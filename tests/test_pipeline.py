@@ -1,0 +1,133 @@
+"""In-pipeline aggregation semantics, ported from the reference's
+tests/test_pipeline.py (count=2 / sum=250 scenarios, label merge,
+missing-field defaults — SURVEY.md §5)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from beametrics_spark.config import ExporterConfig, FilterCondition, MetricConfig, MetricDefinition
+from beametrics_spark.pipeline import build_metrics_pipeline
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("severity", T.StringType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 30)
+
+ROWS = [
+    (T0, "ERROR", 100, "us", "{}"),
+    (T0, "ERROR", 150, None, "{}"),
+    (T0, "INFO", 200, "eu", "{}"),
+]
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def run(logs, configs, **kw):
+    rows = build_metrics_pipeline(logs, configs, **kw).collect()
+    return [r.asDict(recursive=True) for r in rows]
+
+
+def test_filtered_count(logs):
+    # reference tests/test_pipeline.py:119-145 — ERROR count == 2
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="error_count", type="count"),
+        filter_conditions=[FilterCondition("severity", "ERROR", "equals")],
+    )
+    out = run(logs, [cfg])
+    assert len(out) == 1
+    assert out[0]["value"] == 2.0
+    assert out[0]["metric_name"] == "error_count"
+    assert out[0]["window_start"] == datetime(2024, 1, 1, 0, 0, 0)
+    assert out[0]["window_end"] == datetime(2024, 1, 1, 0, 1, 0)
+
+
+def test_filtered_sum(logs):
+    # reference tests/test_pipeline.py:148-178 — ERROR bytes sum == 250
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="bytes_sum", type="sum", field="bytes"),
+        filter_conditions=[FilterCondition("severity", "ERROR", "equals")],
+    )
+    out = run(logs, [cfg])
+    assert len(out) == 1 and out[0]["value"] == 250.0
+
+
+def test_sum_missing_field_contributes_zero(logs):
+    # reference pipeline.py:208 — float(msg.get(field, 0))
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="s", type="sum", field="nonexistent"),
+    )
+    out = run(logs, [cfg])
+    assert len(out) == 1 and out[0]["value"] == 0.0
+
+
+def test_label_merge_dynamic_wins_and_missing_empty(logs):
+    # reference pipeline.py:188-198: dynamic labels override static;
+    # missing dynamic field ⇒ ""
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(
+            name="c",
+            type="count",
+            metric_labels={"service": "api", "region": "static"},
+            dynamic_labels={"region": "region"},
+        ),
+        filter_conditions=[FilterCondition("severity", "ERROR", "equals")],
+    )
+    out = run(logs, [cfg])
+    labels = {frozenset(o["labels"].items()) for o in out}
+    assert frozenset({("service", "api"), ("region", "us")}.union(set())) in labels
+    assert frozenset({("service", "api"), ("region", "")}) in labels  # null region ⇒ ""
+
+
+def test_multi_metric_fanout(logs):
+    cfgs = [
+        MetricConfig(
+            metric_definition=MetricDefinition(name="error_count", type="count"),
+            filter_conditions=[FilterCondition("severity", "ERROR", "equals")],
+        ),
+        MetricConfig(
+            metric_definition=MetricDefinition(name="all_bytes", type="sum", field="bytes"),
+        ),
+    ]
+    out = run(logs, cfgs)
+    by_id = {o["metric_id"]: o for o in out}
+    assert by_id[0]["value"] == 2.0
+    assert by_id[1]["value"] == 450.0
+
+
+def test_monitoring_prefix_in_output(logs):
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="error_count", type="count"),
+        exporter=ExporterConfig(export_type="google-cloud-monitoring"),
+    )
+    out = run(logs, [cfg])
+    assert out[0]["metric_name"] == "custom.googleapis.com/error_count"
+
+
+def test_heterogeneous_window_sizes(logs):
+    cfgs = [
+        MetricConfig(
+            metric_definition=MetricDefinition(name="m60", type="count"),
+            window_size=60,
+        ),
+        MetricConfig(
+            metric_definition=MetricDefinition(name="m120", type="count"),
+            window_size=120,
+        ),
+    ]
+    out = run(logs, cfgs)
+    by_id = {o["metric_id"]: o for o in out}
+    assert by_id[0]["window_end"] == datetime(2024, 1, 1, 0, 1, 0)
+    assert by_id[1]["window_end"] == datetime(2024, 1, 1, 0, 2, 0)
+    assert by_id[0]["value"] == 3.0 and by_id[1]["value"] == 3.0
