@@ -36,12 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ M7 set)."""
-    from beametrics_spark.queries import REFERENCE_QUERIES
+    from beametrics_spark.registry import load_all
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, (fn, _oracle) in REFERENCE_QUERIES.items():
-        out[name] = _wrap(fn)
-    return out
+    return {name: _wrap(fn) for name, (fn, _oracle) in load_all().items()}
 
 
 def _wrap(fn):
@@ -53,10 +50,8 @@ def _wrap(fn):
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted ⇒ rows-only check)."""
-    from beametrics_spark.queries import REFERENCE_QUERIES
+    from beametrics_spark.registry import load_all
 
     return {
-        name: oracle.strip()
-        for name, (_fn, oracle) in REFERENCE_QUERIES.items()
-        if oracle is not None
+        name: oracle for name, (_fn, oracle) in load_all().items() if oracle is not None
     }

@@ -1,0 +1,372 @@
+"""Deduplication operators over the `documents` table.
+
+Five strategies, each a first-class `queries()` entry:
+
+  exact          — hash-groupBy on content fingerprint (md5), min doc_id
+                   survives. One shuffle on the fingerprint; at 100 TB the
+                   md5 projection means the shuffle carries 32-byte keys,
+                   not document bodies.
+  ngram Jaccard  — EXACT all-pairs similarity via shingle inverted index:
+                   explode distinct word-5-grams → self-join on shingle →
+                   per-pair intersection counts → Jaccard. Oracle-checked.
+                   The inverted-index join is the scalable formulation
+                   (never materializes the full doc×doc matrix), but hot
+                   shingles still fan out — that's what MinHash-LSH fixes.
+  MinHash + LSH  — k=64 minhashes from xxhash64 (JVM-side, no UDF),
+                   banded into b=16 bands of r=4 → candidates share a band
+                   bucket → exact-Jaccard verify on candidates only.
+                   Sub-quadratic: cost scales with true-duplicate density.
+  SimHash        — 64-bit signature: sign-sum of per-token hash bits,
+                   computed with bitwise aggregates (no UDF); Hamming-
+                   distance blocking via 4×16-bit band exact match.
+  embedding cosine — near-dup pairs above a cosine threshold over
+                   `embeddings` (see similarity.py for the top-k variant).
+
+All pure DataFrame expressions — no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+SHINGLE_WIDTH = 5
+MINHASH_K = 64
+LSH_BANDS = 16  # r = MINHASH_K / LSH_BANDS = 4 rows per band
+JACCARD_THRESHOLD = 0.8
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization (documents are single-space word streams)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles_expr(text: Column, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct word n-gram shingles, as an array<string>.
+
+    Pure expression tree: transform over an index sequence + slice +
+    concat; Catalyst evaluates it inside codegen, no Python boundary.
+    """
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (width - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, width))
+    )
+    # guard BEFORE building the sequence: sequence(1, 0) is DESCENDING in
+    # Spark, not empty — short docs must yield zero shingles explicitly
+    return F.when(n >= width, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest doc_id
+    (deterministic, unlike dropDuplicates' arbitrary row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- exact n-gram Jaccard pairs (oracle-checked ground truth for LSH) ---------
+
+
+NGRAM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(trim(text), ' ')) - {SHINGLE_WIDTH - 1}, 0)),
+           i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + {SHINGLE_WIDTH - 1}), ' ')
+         )) AS sh
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(c * 1.0 / (na + nb - c), 3) AS jaccard
+FROM pairs WHERE c * 1.0 / (na + nb - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: Jaccard ≥ 0.8 on word-5-gram sets.
+
+    Inverted-index formulation: explode shingles once, self-join on the
+    shingle value (shuffle co-locates equal shingles), count common
+    shingles per pair. |union| = na + nb - common needs no second pass —
+    set sizes ride along with each exploded row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles_expr(F.col("text")).alias("sh")
+    ).select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        pairs.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH (the scale path) -------------------------------------------
+
+
+def minhash_expr(shingles: Column, k: int = MINHASH_K) -> Column:
+    """k minhash values: min over shingles of xxhash64(seed_i ++ shingle).
+
+    xxhash64 is Spark's JVM hash — evaluated in codegen. Simulating k
+    independent hash functions by prefixing a per-function seed string is
+    the standard trick (equivalent to a salted hash family).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(F.lit(f"mh{i}:"), s))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    *,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(doc_a, doc_b) candidates that agree on at least one LSH band."""
+    r = k // bands
+    # materialize shingles first so the k minhash subtrees share one
+    # evaluation instead of duplicating the shingle expression k times
+    sigs = docs.select(
+        "doc_id", shingles_expr(F.col("text")).alias("sh")
+    ).select("doc_id", minhash_expr(F.col("sh"), k).alias("sig"))
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bi * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register("dedup_minhash_lsh", NGRAM_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified.
+
+    Candidates from band collisions (16 bands × 4 rows ⇒ P[candidate] ≈
+    1-(1-j⁴)¹⁶, >0.99 for j ≥ 0.8), then EXACT Jaccard verification on the
+    candidate set only. Because verification is exact and the threshold
+    (0.8) sits where band-recall ≈ 1, the output matches the brute-force
+    oracle — so this entry shares the n-gram ground-truth SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = lsh_candidate_pairs(docs)
+    sh = docs.select("doc_id", shingles_expr(F.col("text")).alias("sh"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    verified = (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "c", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.col("c") / (F.size("sh_a") + F.size("sh_b") - F.col("c")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 3).alias("jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+
+@register("dedup_simhash_pairs", None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signatures, pairs with Hamming
+    distance ≤ 3, blocked on 4×16-bit bands — by pigeonhole, ≤3 differing
+    bits leave ≥1 of the 4 bands identical, so band-blocking has recall 1
+    at this threshold (the classic Manku-et-al. configuration).
+
+    Signature = for each bit position: sign of Σ_tokens (±1 by token-hash
+    bit). Built from groupBy aggregates over exploded tokens — no UDF.
+    Rows-only check (xxhash64 has no DuckDB twin).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # per-bit ±1 sums → sign bit; assemble the 64-bit signature
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), bi * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sig", "b.band", "b.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns — JVM-side
+    (zip_with products + aggregate sums), no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.45 (testdata max ≈ 0.51).
+
+    Brute-force all-pairs — correct baseline; the LSH-bucketed variant in
+    similarity.py is the 100-TB path. Both engines compute in float64
+    (embeddings cast from float32) so only summation-order noise remains,
+    absorbed by round(…, 6).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= 0.45)
+        .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )

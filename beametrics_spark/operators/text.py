@@ -1,0 +1,180 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline primitives: token counting (whitespace + BPE-ish
+regex), quality scoring (length / punctuation / stopword ratios),
+document fingerprinting (md5 + rolling-hash), and a heuristic n-gram
+language identifier. Everything except the language model's profile
+lookup is built-in-function only (JVM-side).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           ROUND(AVG(len(string_split(trim(text), ' '))), 2) AS avg_ws_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '{TOKEN_REGEX}'))), 2) AS avg_bpe_tokens,
+           ROUND(AVG(length(text)), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex), per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ws_tokens), 2).alias("avg_ws_tokens"),
+        F.round(F.avg(bpe_tokens), 2).alias("avg_bpe_tokens"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(text), ' ') AS words,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           ROUND(len(list_filter(words, w -> w IN ({_SW_LIST}))) * 1.0
+                 / greatest(len(words), 1), 4) AS stopword_ratio,
+           ROUND(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+           ROUND(n_chars * 1.0 / greatest(len(words), 1), 2) AS avg_word_len
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: stopword ratio, punctuation density,
+    average word length — the standard cheap quality-filter inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_chars / F.greatest(n_words, F.lit(1)), 2).alias("avg_word_len"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5) uniqueness per source — duplication audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+@register("doc_rolling_fingerprint", None)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style robust fingerprint: min xxhash64 over char-16-gram
+    windows (stride 8) — survives small edits unlike whole-doc md5.
+    Rows-only (xxhash64 has no DuckDB twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - 15, F.lit(1)), F.lit(8)
+    )
+    grams = F.transform(
+        starts, lambda i: F.xxhash64(F.col("text").substr(i, F.lit(16)))
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.size(starts).alias("n_windows"),
+    )
+
+
+# --- heuristic language ID (Pandas UDF — model lookup, the legit slow path) ----
+
+_LANG_PROFILES = {
+    # tiny character-frequency profiles; deterministic stand-in for a real
+    # n-gram LID model (fasttext/CLD3 are not in this container)
+    "en": "etaoinshrdlu",
+    "es": "eaosrnidlctu",
+    "fr": "esaitnrulodc",
+    "de": "enisratdhulc",
+    "zh": "的一是不了人我在有他",
+}
+
+
+@F.pandas_udf(T.StringType())
+def predict_lang(texts: pd.Series) -> pd.Series:
+    """Rank-correlation of observed char frequencies vs per-language
+    profiles. Arrow-vectorized; ~O(len) per doc."""
+
+    def _predict(text: str) -> str:
+        if not text:
+            return "und"
+        from collections import Counter
+
+        freq = Counter(ch for ch in text.lower() if not ch.isspace())
+        top = [c for c, _ in freq.most_common(12)]
+        best, best_score = "und", -1.0
+        for lang, profile in _LANG_PROFILES.items():
+            score = sum(
+                (12 - i) * (12 - profile.index(ch))
+                for i, ch in enumerate(top)
+                if ch in profile
+            )
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    return texts.map(_predict)
+
+
+@register("lang_id_heuristic", None)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID agreement matrix: labeled lang × predicted lang counts.
+
+    Rows-only: the predictor is a Python model lookup (the documented
+    Pandas-UDF slow path), not SQL-expressible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted", predict_lang(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -28,18 +28,9 @@ from beametrics_spark.config import FilterCondition, MetricConfig, MetricDefinit
 from beametrics_spark.pipeline import build_metrics_pipeline
 from beametrics_spark.sources import load_table
 
+from beametrics_spark.registry import register as _register
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# Registry: name -> (spark_fn, oracle_sql | None)
-REFERENCE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def _register(name: str, oracle: str | None):
-    def deco(fn: QueryFn) -> QueryFn:
-        REFERENCE_QUERIES[name] = (fn, oracle)
-        return fn
-
-    return deco
 
 
 def _metric_points(

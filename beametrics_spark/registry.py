@@ -1,0 +1,39 @@
+"""Query registry shared by all operator modules.
+
+Each entry pairs a Spark builder `(spark, sf_dir) -> DataFrame` with its
+DuckDB oracle SQL (None ⇒ not SQL-expressible; driver runs a rows-only
+check). __spark_entry__ exposes the merged registry to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = (fn, oracle.strip() if oracle else None)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, tuple[QueryFn, str | None]]:
+    """Import every module that registers queries, then return the registry."""
+    import beametrics_spark.queries  # noqa: F401
+    import beametrics_spark.operators.relational  # noqa: F401
+    import beametrics_spark.operators.dedup  # noqa: F401
+    import beametrics_spark.operators.similarity  # noqa: F401
+    import beametrics_spark.operators.text  # noqa: F401
+    import beametrics_spark.operators.multimodal  # noqa: F401
+    import beametrics_spark.operators.stream_parity  # noqa: F401
+
+    return QUERIES

@@ -66,9 +66,9 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for name in _nanos_timestamp_columns(path):
-        df = df.withColumn(
-            name, F.timestamp_micros((F.col(name) / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, NOT float division: epoch-nanos (~1.7e18) exceeds
+        # double's 2^53 exact-integer range and would round the microsecond
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df
 
 

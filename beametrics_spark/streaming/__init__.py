@@ -88,9 +88,14 @@ def parse_events(
         src = df.withColumn("_json", decode_multi_encoding(F.col(value_col)))
     else:
         src = df.withColumn("_json", F.col(value_col).cast("string"))
+    # from_json in PERMISSIVE mode yields an all-NULL struct (not NULL) for
+    # corrupt input, so parse validity is checked with get_json_object too
     parsed = src.withColumn("_parsed", F.from_json(F.col("_json"), schema))
     return (
-        parsed.filter(F.col("_parsed").isNotNull())
+        parsed.filter(
+            F.col("_parsed").isNotNull()
+            & F.get_json_object(F.col("_json"), "$").isNotNull()
+        )
         .select("_parsed.*")
     )
 

@@ -1,0 +1,94 @@
+"""Streaming semantics: batch ≡ stream parity, decode fallback chain,
+malformed-message drop (reference DecodeAndParse, pipeline.py:82-108)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beametrics_spark.config import FilterCondition, MetricConfig, MetricDefinition
+from beametrics_spark.pipeline import build_metrics_pipeline
+from beametrics_spark.sinks import MemorySink
+from beametrics_spark.streaming import decode_multi_encoding, parse_events, run_metrics_stream
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("severity", T.StringType()),
+        T.StructField("bytes", T.LongType()),
+    ]
+)
+
+
+def test_multi_encoding_decode(spark):
+    payloads = [
+        (json.dumps({"msg": "plain"}).encode("utf-8"),),
+        (json.dumps({"msg": "テスト"}, ensure_ascii=False).encode("shift-jis"),),
+        (b"invalid json data",),
+        (b"\xff\xff\xff",),
+    ]
+    df = spark.createDataFrame(payloads, "value binary")
+    out = df.select(decode_multi_encoding(F.col("value")).alias("j")).collect()
+    assert json.loads(out[0]["j"]) == {"msg": "plain"}
+    assert json.loads(out[1]["j"]) == {"msg": "テスト"}  # shift-jis fallback
+    assert out[2]["j"] is None  # valid utf-8, invalid JSON → dropped
+    assert out[3]["j"] is None  # undecodable → dropped
+
+
+def test_parse_events_drops_malformed(spark):
+    rows = [
+        ('{"ts": "2024-01-01T00:00:05", "severity": "ERROR", "bytes": 10}',),
+        ("not json",),
+        ('{"ts": "2024-01-01T00:00:15", "severity": "INFO", "bytes": 20}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    parsed = parse_events(df, EVENT_SCHEMA)
+    assert parsed.count() == 2
+    assert parsed.columns == ["ts", "severity", "bytes"]
+
+
+def test_batch_stream_parity(spark, tmp_path):
+    """The SAME plan over the same rows must agree batch vs stream."""
+    data = [
+        ("2024-01-01T00:00:05", "ERROR", 100),
+        ("2024-01-01T00:00:25", "ERROR", 150),
+        ("2024-01-01T00:00:45", "INFO", 200),
+        ("2024-01-01T00:01:10", "ERROR", 50),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for ts, sev, b in data:
+            f.write(json.dumps({"ts": ts, "severity": sev, "bytes": b}) + "\n")
+
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="err_bytes", type="sum", field="bytes"),
+        filter_conditions=[FilterCondition("severity", "ERROR", "equals")],
+    )
+
+    batch_df = spark.read.schema(EVENT_SCHEMA).json(str(src))
+    batch = {
+        (r["window_start"], r["value"])
+        for r in build_metrics_pipeline(batch_df, [cfg], window_size=60).collect()
+    }
+
+    stream_df = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    sink = MemorySink()
+    q = run_metrics_stream(
+        stream_df,
+        [cfg],
+        {0: sink},
+        window_size=60,
+        watermark="10 seconds",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream = {(r["window_start"], r["value"]) for r in sink.rows}
+    assert batch == stream
+    assert batch == {
+        (__import__("datetime").datetime(2024, 1, 1, 0, 0), 250.0),
+        (__import__("datetime").datetime(2024, 1, 1, 0, 1), 50.0),
+    }
