@@ -59,10 +59,17 @@ def labels_expr(definition: MetricDefinition, resolve: FieldResolver) -> Column:
     return F.create_map(*pairs)
 
 
+LABEL_KEY_SEP = "\x01"
+
+
 def labels_key_expr(labels: Column) -> Column:
     """Canonical string form of a labels map, usable as a grouping key.
 
-    Spark cannot group by MapType directly; since labels_expr emits keys in
-    sorted order, to_json is deterministic for equal label sets.
+    Spark cannot group by MapType directly. Within one metric_id the label
+    KEY SET is fixed by config and labels_expr emits keys in sorted order,
+    so concatenating the values alone (with an unprintable separator) is a
+    canonical key — and far cheaper per row than to_json, which profiled as
+    the dominant pre-aggregation cost. The grouping key always includes
+    metric_id, so different key sets never collide.
     """
-    return F.to_json(labels)
+    return F.concat_ws(LABEL_KEY_SEP, F.map_values(labels))

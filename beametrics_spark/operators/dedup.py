@@ -63,6 +63,39 @@ def shingles_expr(text: Column, width: int = SHINGLE_WIDTH) -> Column:
     )
 
 
+def shingle_table(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """(doc_id, s, n): distinct word-n-gram shingles per doc + set size.
+
+    Columnar formulation — posexplode tokens, window `lead` to assemble
+    n-grams, distinct, window count for the set size. Every step stays in
+    whole-stage codegen; the array-expression variant (shingles_expr) runs
+    Spark's higher-order functions INTERPRETED per element, which profiled
+    ~10× slower on the shingle-generation hot path.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens_expr(F.col("text"))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok").alias("t0")] + [
+        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, width)
+    ]
+    grams = (
+        toks.select("doc_id", *leads)
+        .filter(F.col(f"t{width - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[f"t{i}" for i in range(width)]).alias("s"),
+        )
+        .distinct()
+    )
+    return grams.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+
+
 # --- exact dedup ------------------------------------------------------------
 
 
@@ -111,36 +144,54 @@ FROM pairs WHERE c * 1.0 / (na + nb - c) >= {JACCARD_THRESHOLD}
 
 @register("dedup_ngram_jaccard", NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: Jaccard ≥ 0.8 on word-5-gram sets.
+    """Exact near-dup pairs: Jaccard >= 0.8 on word-5-gram sets.
 
-    Inverted-index formulation: explode shingles once, self-join on the
-    shingle value (shuffle co-locates equal shingles), count common
-    shingles per pair. |union| = na + nb - common needs no second pass —
-    set sizes ride along with each exploded row.
+    Inverted-index formulation over the columnar shingle table: group by
+    shingle (one shuffle), emit pairs from each posting list, count common
+    shingles per pair. |union| = na + nb - common rides along with each
+    row — no second pass, and the doc x doc matrix never materializes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles_expr(F.col("text")).alias("sh")
-    ).select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh = shingle_table(docs)
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(_pairs_expr(F.col("ds"))).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("c"),
-            F.first(F.col("a.n")).alias("na"),
-            F.first(F.col("b.n")).alias("nb"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
+    )
+
+
+def _pairs_expr(ds: Column) -> Column:
+    """All ordered pairs (i < j) from a sorted array of (doc_id, n) structs.
+
+    Posting lists are short (shingle doc-frequency), so the interpreted
+    HOF cost here is negligible — unlike the per-shingle hot path.
+    """
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                ),
+            ),
+        )
     )
 
 
@@ -171,12 +222,44 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """(doc_a, doc_b) candidates that agree on at least one LSH band."""
+    return lsh_candidates_from_shingles(shingle_table(docs), k=k, bands=bands)
+
+
+def minhash_table(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id → k minhash columns h0..h{k-1} from the exploded shingle table.
+
+    A single codegen'd hash aggregation with k min() columns. The k hash
+    functions come from TWO base xxhash64 evaluations via the
+    Kirsch-Mitzenmacher construction h_i = h1 + i·h2 (overflow wraps, which
+    is fine for a hash family) — hashing each shingle twice instead of k
+    times. Versus the HOF formulation (minhash_expr, kept for the
+    expression-level API) this is one pass, no interpreted array traversal.
+    """
+    # pmod-bound both operands so h1 + 63·h2 < 2^61 + 2^38 stays inside
+    # long range — ANSI mode (Spark 4 default) turns silent wraparound
+    # into an arithmetic-overflow error
+    hashed = sh.select(
+        "doc_id",
+        F.pmod(F.xxhash64(F.col("s")), F.lit(1 << 61)).alias("_h1"),
+        F.pmod(F.xxhash64(F.lit("mh-salt:"), F.col("s")), F.lit(1 << 32)).alias("_h2"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidates_from_shingles(
+    sh: DataFrame,
+    *,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """LSH banding over a (doc_id, s, …) exploded shingle table."""
     r = k // bands
-    # materialize shingles first so the k minhash subtrees share one
-    # evaluation instead of duplicating the shingle expression k times
-    sigs = docs.select(
-        "doc_id", shingles_expr(F.col("text")).alias("sh")
-    ).select("doc_id", minhash_expr(F.col("sh"), k).alias("sig"))
+    sigs = minhash_table(sh, k)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -185,7 +268,7 @@ def lsh_candidate_pairs(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            *[F.col("sig")[bi * r + j] for j in range(r)]
+                            *[F.col(f"h{bi * r + j}") for j in range(r)]
                         ).alias("bucket"),
                     )
                     for bi in range(bands)
@@ -193,18 +276,22 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # group-by-bucket pair generation (single scan; see dedup_ngram_jaccard)
+    ids_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(ids_pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -218,25 +305,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set only. Because verification is exact and the threshold
     (0.8) sits where band-recall ≈ 1, the output matches the brute-force
     oracle — so this entry shares the n-gram ground-truth SQL.
+
+    The shingle table feeds signatures AND both verification sides:
+    localCheckpoint materializes it once (the batch analog of the
+    signature store a production dedup service keeps).
     """
     docs = load_table(spark, sf_dir, "documents")
-    candidates = lsh_candidate_pairs(docs)
-    sh = docs.select("doc_id", shingles_expr(F.col("text")).alias("sh"))
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    sh = shingle_table(docs).localCheckpoint(eager=True)
+    candidates = lsh_candidates_from_shingles(sh)
+    a_sh = sh.select(
+        F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na")
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    b_sh = sh.select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb")
     )
     verified = (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            "c", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        F.broadcast(candidates)
+        .join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "s"])  # rows = common shingles per pair
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("c"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
         .withColumn(
             "jaccard_raw",
-            F.col("c") / (F.size("sh_a") + F.size("sh_b") - F.col("c")),
+            F.col("c") / (F.col("na") + F.col("nb") - F.col("c")),
         )
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
     )

@@ -1,0 +1,93 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers every operator family: engine pipeline (filter →
+fan-out → window → agg), joins, top-k, rollup, window functions,
+sessionization, dedup (exact, LSH, inverted-index Jaccard), ANN, text
+stats, and the streaming-parity run. Each query is collected to force
+full execution (results are small aggregates — collect is not the
+bottleneck being measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "ref_multi_metric_fanout",
+    "ref_grouped_labels",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "topk_orders_per_priority",
+    "rollup_lineitem_qty",
+    "running_order_totals",
+    "sessions_per_user",
+    "asof_last_click_before_purchase",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk_bruteforce",
+    "text_token_stats",
+    "text_quality_scores",
+    "stream_equals_count_parity",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from beametrics_spark.session import get_spark
+
+    spark = get_spark("beametrics-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    # warmup: JIT + codegen + parquet footer/IO caches, so timings measure
+    # steady-state query execution, not first-touch JVM costs (reported
+    # openly — the warmup is not part of the benchmark result)
+    from beametrics_spark.sources import load_table
+
+    t0 = time.perf_counter()
+    for t in ("events", "lineitem", "orders", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+    qs["ref_equals_count"](spark, sf_dir).collect()
+    print(f"# warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        n = len(qs[name](spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
