@@ -163,7 +163,9 @@ def compile_filter(
     if not conditions:
         return F.lit(True)
     cols = [compile_condition(c, resolve) for c in conditions]
-    # Nulls (missing fields) behave as non-matches under filter(), matching
-    # the reference's None-handling (every operator returns False on None).
-    combined = reduce(lambda a, b: a & b, cols)
-    return F.coalesce(combined, F.lit(False))
+    # NULL (missing field) already behaves as a non-match in every context
+    # this predicate is used — filter() drops NULL, when() falls through —
+    # matching the reference's None-handling (every operator returns False
+    # on None). Do NOT wrap in coalesce(pred, false): that blocks Catalyst
+    # from pushing the simple comparisons into the parquet scan.
+    return reduce(lambda a, b: a & b, cols)

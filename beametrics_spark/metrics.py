@@ -39,37 +39,69 @@ def _label_value(rf: ResolvedField) -> Column:
     return F.coalesce(rf.col.cast("string"), F.lit(""))
 
 
-def labels_expr(definition: MetricDefinition, resolve: FieldResolver) -> Column:
-    """MAP<STRING,STRING> of merged static+dynamic labels.
+def label_entries(
+    definition: MetricDefinition, resolve: FieldResolver
+) -> list[tuple[str, Column]]:
+    """Merged static+dynamic labels as (key, value-expr) pairs, sorted by key.
 
-    Keys are emitted in sorted order so ``to_json(labels)`` is a canonical
-    grouping key (the reference normalizes with tuple(sorted(labels.items()))
-    at pipeline.py:172 for the same reason).
+    Sorted order makes the concatenated values a canonical grouping key —
+    the analog of the reference's tuple(sorted(labels.items())) at
+    pipeline.py:172. Dynamic labels win on key collision (pipeline.py:198).
     """
     merged: dict[str, Column] = {
         k: F.lit(str(v)) for k, v in definition.metric_labels.items()
     }
     for label_name, field_name in definition.dynamic_labels.items():
         merged[label_name] = _label_value(resolve(field_name))  # dynamic wins
-    if not merged:
+    return [(k, merged[k]) for k in sorted(merged)]
+
+
+def labels_expr(definition: MetricDefinition, resolve: FieldResolver) -> Column:
+    """MAP<STRING,STRING> of merged static+dynamic labels."""
+    entries = label_entries(definition, resolve)
+    if not entries:
         return F.create_map().cast("map<string,string>")
     pairs: list[Column] = []
-    for k in sorted(merged):
-        pairs.extend([F.lit(k), merged[k]])
+    for k, v in entries:
+        pairs.extend([F.lit(k), v])
     return F.create_map(*pairs)
 
 
 LABEL_KEY_SEP = "\x01"
 
 
-def labels_key_expr(labels: Column) -> Column:
-    """Canonical string form of a labels map, usable as a grouping key.
+def labels_key_expr(definition: MetricDefinition, resolve: FieldResolver) -> Column:
+    """Canonical STRING grouping key for the label set.
 
-    Spark cannot group by MapType directly. Within one metric_id the label
-    KEY SET is fixed by config and labels_expr emits keys in sorted order,
-    so concatenating the values alone (with an unprintable separator) is a
-    canonical key — and far cheaper per row than to_json, which profiled as
-    the dominant pre-aggregation cost. The grouping key always includes
-    metric_id, so different key sets never collide.
+    Spark cannot group by MapType, and carrying a map through the
+    aggregation (first(labels)) forces sort-based aggregation — so the
+    pre-aggregation path carries ONLY this string. Within one metric_id
+    the label key set is fixed by config and emitted in sorted order, so
+    concatenating the values with an unprintable separator is canonical;
+    the grouping key always includes metric_id, so different key sets
+    never collide. (A label VALUE containing \\x01 would collide keys —
+    accepted and documented, control chars don't appear in label fields.)
     """
-    return F.concat_ws(LABEL_KEY_SEP, F.map_values(labels))
+    entries = label_entries(definition, resolve)
+    if not entries:
+        return F.lit("")
+    return F.concat_ws(LABEL_KEY_SEP, *[v for _k, v in entries])
+
+
+def labels_from_key_expr(
+    definition: MetricDefinition, labels_key: Column
+) -> Column:
+    """Rebuild the MAP<STRING,STRING> from the canonical key, POST-agg.
+
+    Runs on aggregated rows (bounded cardinality), keeping the hot
+    pre-shuffle path map-free so Catalyst uses hash aggregation.
+    """
+    keys = sorted(
+        set(definition.metric_labels) | set(definition.dynamic_labels)
+    )
+    if not keys:
+        return F.create_map().cast("map<string,string>")
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.split(labels_key, LABEL_KEY_SEP, -1),
+    )

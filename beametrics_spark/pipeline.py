@@ -14,10 +14,14 @@ Design choices for 100-TB scale (SURVEY.md §4.3):
   - Catalyst supplies filter pushdown, partial (map-side) aggregation and
     whole-stage codegen for free — the reference hand-rolls filter-before-
     shuffle and relies on Beam combiner lifting (pipeline.py:168-180).
-  - Labels are MAP<STRING,STRING>; the grouping key is their canonical
-    JSON string (Spark cannot group by MapType) — the exact analog of the
-    reference's tuple(sorted(labels.items())) key normalization
-    (pipeline.py:172).
+  - Labels travel pre-shuffle as ONE canonical string key (sorted-key
+    value concatenation — the analog of the reference's
+    tuple(sorted(labels.items())) normalization, pipeline.py:172); the
+    MAP<STRING,STRING> is rebuilt post-aggregation. Spark cannot group by
+    MapType, and a map in any aggregate buffer forces SortAggregate —
+    keeping the hot path map-free keeps it HashAggregate + codegen.
+  - An OR-of-all-configs prefilter runs before the explode so simple
+    predicates reach the parquet scan as PushedFilters.
   - Aggregation is always sum-of-contributions; COUNT rows contribute 1.0
     (reference pipeline.py:206-207 + CombinePerKey(sum) at :180), so one
     physical aggregate serves both metric types.
@@ -28,11 +32,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from functools import reduce
+
 from beametrics_spark.config import MetricConfig, normalize_window_size
 from beametrics_spark.filters import FieldResolver, compile_filter, schema_resolver
-from beametrics_spark.metrics import labels_expr, labels_key_expr, value_expr
+from beametrics_spark.metrics import (
+    labels_from_key_expr,
+    labels_key_expr,
+    value_expr,
+)
 
-FANOUT_SCHEMA = "struct<metric_id:int,value:double,labels:map<string,string>>"
+
+def prefilter_expr(
+    configs: list[MetricConfig], resolve: FieldResolver
+) -> Column | None:
+    """OR of all config predicates, applied BEFORE the fan-out explode.
+
+    Semantically exact: a row matching no config explodes to zero records
+    anyway — but expressed as a plain Filter, Catalyst pushes the
+    disjunction into the parquet scan (PushedFilters), which the
+    generator-embedded predicates alone cannot achieve. None ⇒ some
+    config is match-all, skip the filter.
+    """
+    preds = []
+    for cfg in configs:
+        if not cfg.filter_conditions:
+            return None  # match-all config: every row survives anyway
+        preds.append(compile_filter(cfg.filter_conditions, resolve))
+    return reduce(lambda a, b: a | b, preds)
 
 
 def fanout_entries(
@@ -41,7 +68,9 @@ def fanout_entries(
     """Array of per-config contribution structs; non-matching ⇒ filtered out.
 
     One message → 0..N keyed records (reference FlatMap, pipeline.py:168-178),
-    built as a single expression tree evaluated in one scan.
+    built as a single expression tree evaluated in one scan. Pre-shuffle
+    rows carry (metric_id, value, labels_key) — no map types, so the
+    windowed aggregation stays hash-based (maps force SortAggregate).
     """
     entries = [
         F.when(
@@ -49,7 +78,7 @@ def fanout_entries(
             F.struct(
                 F.lit(i).cast("int").alias("metric_id"),
                 value_expr(cfg.metric_definition, resolve).alias("value"),
-                labels_expr(cfg.metric_definition, resolve).alias("labels"),
+                labels_key_expr(cfg.metric_definition, resolve).alias("labels_key"),
             ),
         )
         for i, cfg in enumerate(configs)
@@ -65,9 +94,11 @@ def fan_out(
     ts_col: str = "ts",
     resolve: FieldResolver | None = None,
 ) -> DataFrame:
-    """events → (ts, metric_id, value, labels, labels_key), single scan."""
+    """events → (ts, metric_id, value, labels_key), single scan."""
     resolve = resolve or schema_resolver(df)
-    exploded = df.select(
+    pre = prefilter_expr(configs, resolve)
+    src = df if pre is None else df.filter(pre)
+    exploded = src.select(
         F.col(ts_col).alias("ts"),
         F.explode(fanout_entries(configs, resolve)).alias("m"),
     )
@@ -75,8 +106,7 @@ def fan_out(
         "ts",
         F.col("m.metric_id").alias("metric_id"),
         F.col("m.value").alias("value"),
-        F.col("m.labels").alias("labels"),
-        labels_key_expr(F.col("m.labels")).alias("labels_key"),
+        F.col("m.labels_key").alias("labels_key"),
     )
 
 
@@ -87,11 +117,15 @@ def aggregate_windows(
     window_size: int | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window sum per (metric_id, labels).
+    """Tumbling-window sum per (metric_id, labels_key).
 
     window start = ts - ts % size, identical bucketing math to the
     reference's DynamicFixedWindows.assign (pipeline.py:67-70); invalid
     sizes fall back to 60 s (pipeline.py:50-65).
+
+    The labels MAP is reconstructed from the canonical key AFTER the
+    aggregation (bounded-cardinality rows), so the pre-shuffle path is
+    map-free and Catalyst plans HashAggregate partial→final.
 
     ``watermark`` (e.g. "30 seconds") is only applied to streaming frames —
     the reference has NO watermark (SURVEY.md §2.2); bounded state at scale
@@ -103,29 +137,26 @@ def aggregate_windows(
     src = fanned
     if watermark is not None and fanned.isStreaming:
         src = fanned.withWatermark("ts", watermark)
-    agg = (
-        src.groupBy(
-            F.window("ts", f"{size} seconds").alias("window"),
-            "metric_id",
-            "labels_key",
-        )
-        .agg(
-            F.sum("value").alias("value"),
-            F.first("labels").alias("labels"),
-        )
-    )
-    # Attach metric names config-side (tiny, compile-time literal chain —
-    # no join needed; reference keeps configs in a Python list the same way,
-    # pipeline.py:225-231).
+    agg = src.groupBy(
+        F.window("ts", f"{size} seconds").alias("window"),
+        "metric_id",
+        "labels_key",
+    ).agg(F.sum("value").alias("value"))
+    # config-side projections on aggregated rows: metric name + labels map
+    # (tiny when-chains — the reference keeps configs in a Python list the
+    # same way, pipeline.py:225-231)
     name_expr = F.lit(None).cast("string")
+    labels_expr_out = F.lit(None).cast("map<string,string>")
     for i, cfg in enumerate(configs):
-        name_expr = F.when(
-            F.col("metric_id") == i, F.lit(cfg.export_metric_name)
-        ).otherwise(name_expr)
+        is_i = F.col("metric_id") == i
+        name_expr = F.when(is_i, F.lit(cfg.export_metric_name)).otherwise(name_expr)
+        labels_expr_out = F.when(
+            is_i, labels_from_key_expr(cfg.metric_definition, F.col("labels_key"))
+        ).otherwise(labels_expr_out)
     return agg.select(
         "metric_id",
         name_expr.alias("metric_name"),
-        "labels",
+        labels_expr_out.alias("labels"),
         F.col("value").cast("double").alias("value"),
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),

@@ -1,0 +1,101 @@
+"""Physical-plan shape assertions — the 100-TB design properties the
+engine promises (SURVEY.md §4.3, build-plan north star):
+
+  * filters compiled from FilterConditions reach the parquet scan
+    (PushedFilters) and prune columns (ReadSchema);
+  * the multi-metric fan-out scans the source ONCE regardless of the
+    number of configs (no union-of-branches re-scan);
+  * small dimension joins broadcast;
+  * windowed aggregation is partial (map-side combine) before the shuffle.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from beametrics_spark.config import FilterCondition, MetricConfig, MetricDefinition
+from beametrics_spark.pipeline import build_metrics_pipeline
+from beametrics_spark.sources import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def configs(n=1):
+    return [
+        MetricConfig(
+            metric_definition=MetricDefinition(name=f"m{i}", type="count"),
+            filter_conditions=[FilterCondition("event_type", "error", "equals")],
+        )
+        for i in range(n)
+    ]
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    """equals-condition must appear in PushedFilters of the parquet scan."""
+    events = load_table(spark, sf_dir, "events")
+    out = build_metrics_pipeline(events, configs(1), window_size=60)
+    plan = formatted_plan(out)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    assert "event_type" in pushed.group(1), pushed.group(1)
+
+
+def test_column_pruning(spark, sf_dir):
+    """A count-only pipeline must not read the unused value/props columns."""
+    events = load_table(spark, sf_dir, "events")
+    out = build_metrics_pipeline(events, configs(1), window_size=60)
+    plan = formatted_plan(out)
+    schema = re.search(r"ReadSchema: (.*)", plan)
+    assert schema, plan
+    read = schema.group(1)
+    assert "event_type" in read and "ts" in read
+    assert "props" not in read and "value" not in read and "user_id" not in read
+
+
+def test_fanout_single_scan(spark, sf_dir):
+    """N metric configs ⇒ exactly one FileScan of the events table."""
+    events = load_table(spark, sf_dir, "events")
+    out = build_metrics_pipeline(events, configs(5), window_size=60)
+    plan = plan_of(out)
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """HashAggregate(partial) → Exchange → HashAggregate(final) — Catalyst's
+    combiner lifting (the reference relies on Beam's CombinePerKey for the
+    same property, pipeline.py:180)."""
+    events = load_table(spark, sf_dir, "events")
+    out = build_metrics_pipeline(events, configs(1), window_size=60)
+    plan = plan_of(out)
+    assert re.search(r"partial_(sum|first)", plan), plan
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_broadcast_dimension_join(spark, sf_dir):
+    from beametrics_spark.operators.relational import revenue_by_nation
+
+    plan = plan_of(revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    """row_number top-k must window-sort within partitions, not globally
+    sort the fact table (no Exchange rangepartitioning)."""
+    from beametrics_spark.operators.relational import topk_orders_per_priority
+
+    plan = plan_of(topk_orders_per_priority(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower().replace(" ", ""), plan
