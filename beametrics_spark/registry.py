@@ -30,6 +30,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     """Import every module that registers queries, then return the registry."""
     import beametrics_spark.queries  # noqa: F401
     import beametrics_spark.operators.relational  # noqa: F401
+    import beametrics_spark.operators.relational2  # noqa: F401
     import beametrics_spark.operators.dedup  # noqa: F401
     import beametrics_spark.operators.similarity  # noqa: F401
     import beametrics_spark.operators.text  # noqa: F401
