@@ -1,0 +1,146 @@
+"""IVF (inverted-file) approximate nearest neighbor — the scale path for
+similarity search when hyperplane LSH prunes poorly (near-uniform
+corpora: random vectors are near-orthogonal, so sign-bit signatures
+carry little locality — measured recall ≈0.4 on the test embeddings).
+
+Classic IVF: a coarse quantizer (k-means) partitions the corpus into C
+cells; a query probes only the nprobe nearest cells and scores those
+candidates exactly. Cost ≈ nprobe/C of brute force, recall degrades
+gracefully with nprobe.
+
+Spark-first and fully deterministic (no RNG — seeds are strided corpus
+vectors). All heavy steps are COLUMNAR: vectors posexplode to
+(vec_id, dim, val) and dot products against a broadcast (cell, dim,
+weight) centroid table are hash aggregations. A literal expression tree
+of C×D multiply-adds (the obvious alternative) spends minutes in
+whole-stage-codegen compilation — measured 10× slower end-to-end.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.dedup import cosine_expr
+from beametrics_spark.operators.similarity import N_QUERIES, TOP_K
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+N_CELLS = 16
+N_PROBE = 6
+LLOYD_ITERS = 2
+
+
+def _norm(v: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def _centroid_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    rows = [
+        (c, d, w) for c, vec in enumerate(centroids) for d, w in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "cell int, dim int, w double")
+
+
+def assign_cells(
+    spark: SparkSession, corpus: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """vec_id → argmax-dot-product cell, via broadcast join + hash agg.
+
+    Vectors are compared un-normalized against normalized centroids —
+    argmax of dot ≡ argmax of cosine for a fixed vector. Ties break on
+    the lowest cell id (deterministic).
+    """
+    dims = corpus.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    dots = (
+        dims.join(F.broadcast(_centroid_df(spark, centroids)), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cell"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def train_ivf_centroids(
+    spark: SparkSession,
+    corpus: DataFrame,
+    *,
+    cells: int = N_CELLS,
+    iters: int = LLOYD_ITERS,
+) -> list[list[float]]:
+    """Deterministic k-means on the corpus; returns C×D floats.
+
+    Centroids live on the driver (KB-scale); assignment and
+    per-dimension means are distributed DataFrame work.
+    """
+    n = corpus.count()
+    stride = max(n // cells, 1)
+    seeds = (
+        corpus.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("vec_id")) - 1
+        )
+        .filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < cells))
+        .select("v")
+        .collect()
+    )
+    centroids = [_norm(list(r["v"])) for r in seeds]
+    dims = corpus.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    for _ in range(iters):
+        assigned = assign_cells(spark, corpus, centroids)
+        means = (
+            dims.join(assigned, "vec_id")
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+            .collect()
+        )
+        new = {r["cell"]: _norm([x["m"] for x in r["ms"]]) for r in means}
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+@register("ann_cosine_topk_ivf", None)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: probe the 6 nearest of 16 cells, exact re-rank.
+
+    Rows-only (approximate recall by design); tests/test_ivf.py asserts
+    recall vs the brute-force oracle and that the candidate set actually
+    pruned.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    centroids = train_ivf_centroids(spark, corpus)
+
+    assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id")
+    # query → nprobe nearest cells (tiny driver-side math)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    probe_rows = []
+    for q in queries:
+        qv = _norm(list(q["v"]))
+        ranked = sorted(
+            range(len(centroids)),
+            key=lambda c: -sum(a * b for a, b in zip(qv, centroids[c])),
+        )
+        for cell in ranked[:N_PROBE]:
+            probe_rows.append((q["vec_id"], cell, list(q["v"])))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, qv array<double>"
+    )
+    candidates = assigned.join(F.broadcast(probes), "cell")
+    scored = candidates.withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("cos_sim"), "rk")
+    )
