@@ -110,12 +110,20 @@ class ExporterConfig:
 
 @dataclass
 class MetricConfig:
-    """One metric pipeline branch. Reference beametrics/pipeline.py:111-117."""
+    """One metric pipeline branch. Reference beametrics/pipeline.py:111-117.
+
+    The reference supports FIXED windows only (SURVEY.md §2.2); sliding
+    windows (``window_slide`` < window_size) and session windows
+    (``session_gap`` set ⇒ gap-merged sessions per label-set, window_size
+    ignored) are engine extensions built on F.window / F.session_window.
+    """
 
     metric_definition: MetricDefinition
     filter_conditions: list[FilterCondition] = field(default_factory=list)
     exporter: ExporterConfig = field(default_factory=ExporterConfig)
     window_size: int = DEFAULT_WINDOW_SIZE
+    window_slide: int | None = None
+    session_gap: int | None = None
 
     @property
     def export_metric_name(self) -> str:
@@ -184,11 +192,15 @@ def _config_from_mapping(entry: dict[str, Any], *, default_export: str = "local"
         export_type=entry.get("export_type", default_export),
         project_id=entry.get("project_id"),
     )
+    slide = entry.get("window_slide")
+    gap = entry.get("session_gap")
     return MetricConfig(
         metric_definition=definition,
         filter_conditions=conditions,
         exporter=exporter,
         window_size=normalize_window_size(entry.get("window_size", window_size)),
+        window_slide=int(slide) if slide else None,
+        session_gap=int(gap) if gap else None,
     )
 
 

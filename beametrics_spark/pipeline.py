@@ -110,18 +110,40 @@ def fan_out(
     )
 
 
+def window_spec_of(cfg: MetricConfig) -> tuple[int, int | None, int | None]:
+    """(size, slide, session_gap) — the windowing identity of a config."""
+    return (
+        normalize_window_size(cfg.window_size),
+        cfg.window_slide,
+        cfg.session_gap,
+    )
+
+
+def _window_expr(spec: tuple[int, int | None, int | None]):
+    size, slide, gap = spec
+    if gap is not None:
+        # gap-merged sessions per (metric_id, labels_key) — engine
+        # extension, the reference has fixed windows only (SURVEY.md §2.2)
+        return F.session_window("ts", f"{gap} seconds")
+    if slide is not None and slide != size:
+        return F.window("ts", f"{size} seconds", f"{slide} seconds")
+    return F.window("ts", f"{size} seconds")
+
+
 def aggregate_windows(
     fanned: DataFrame,
     configs: list[MetricConfig],
     *,
     window_size: int | None = None,
+    window_spec: tuple[int, int | None, int | None] | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window sum per (metric_id, labels_key).
+    """Windowed sum per (metric_id, labels_key).
 
-    window start = ts - ts % size, identical bucketing math to the
-    reference's DynamicFixedWindows.assign (pipeline.py:67-70); invalid
-    sizes fall back to 60 s (pipeline.py:50-65).
+    Tumbling default: window start = ts - ts % size, identical bucketing
+    math to the reference's DynamicFixedWindows.assign (pipeline.py:67-70);
+    invalid sizes fall back to 60 s (pipeline.py:50-65). Sliding and
+    session windows via ``window_spec`` (see MetricConfig).
 
     The labels MAP is reconstructed from the canonical key AFTER the
     aggregation (bounded-cardinality rows), so the pre-shuffle path is
@@ -131,14 +153,16 @@ def aggregate_windows(
     the reference has NO watermark (SURVEY.md §2.2); bounded state at scale
     requires one, so streaming callers must pass it.
     """
-    size = normalize_window_size(
-        window_size if window_size is not None else configs[0].window_size
-    )
+    if window_spec is None:
+        size = normalize_window_size(
+            window_size if window_size is not None else configs[0].window_size
+        )
+        window_spec = (size, None, None)
     src = fanned
     if watermark is not None and fanned.isStreaming:
         src = fanned.withWatermark("ts", watermark)
     agg = src.groupBy(
-        F.window("ts", f"{size} seconds").alias("window"),
+        _window_expr(window_spec).alias("window"),
         "metric_id",
         "labels_key",
     ).agg(F.sum("value").alias("value"))
@@ -182,22 +206,26 @@ def build_metrics_pipeline(
     if not configs:
         raise ValueError("at least one MetricConfig required")
     resolve = resolve or schema_resolver(events)
+    specs: dict[tuple[int, int | None, int | None], list[int]] = {}
     if window_size is not None:
-        sizes = {normalize_window_size(window_size): list(range(len(configs)))}
+        specs = {
+            (normalize_window_size(window_size), None, None): list(
+                range(len(configs))
+            )
+        }
     else:
-        sizes = {}
         for i, cfg in enumerate(configs):
-            sizes.setdefault(normalize_window_size(cfg.window_size), []).append(i)
-    if len(sizes) == 1:
+            specs.setdefault(window_spec_of(cfg), []).append(i)
+    if len(specs) == 1:
         fanned = fan_out(events, configs, ts_col=ts_col, resolve=resolve)
-        (size,) = sizes
+        (spec,) = specs
         return aggregate_windows(
-            fanned, configs, window_size=size, watermark=watermark
+            fanned, configs, window_spec=spec, watermark=watermark
         )
-    # Rare: heterogenous window sizes → one branch per size (each branch
+    # Rare: heterogenous window specs → one branch per spec (each branch
     # still fans out all its configs in one scan).
     out: DataFrame | None = None
-    for size, idxs in sizes.items():
+    for spec, idxs in specs.items():
         subset = [configs[i] for i in idxs]
         fanned = fan_out(events, subset, ts_col=ts_col, resolve=resolve)
         # re-tag metric_id back to global config index
@@ -210,7 +238,7 @@ def build_metrics_pipeline(
         branch = aggregate_windows(
             fanned,
             configs,
-            window_size=size,
+            window_spec=spec,
             watermark=watermark,
         )
         out = branch if out is None else out.unionByName(branch)

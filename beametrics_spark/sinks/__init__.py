@@ -174,12 +174,30 @@ class GoogleCloudMonitoringSink:
                 raise
 
 
+class IdempotentParquetSink:
+    """Exactly-once file sink for foreachBatch: each epoch writes to its
+    own partition directory with overwrite, so a replayed epoch (after a
+    failure between write and checkpoint commit) REPLACES its previous
+    attempt instead of duplicating it. The standard epoch-id idempotence
+    pattern for Structured Streaming file outputs.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{self.path}/epoch={int(epoch_id)}"
+        )
+
+
 SINK_REGISTRY: dict[str, Callable[..., MetricsSink]] = {
     "local": LocalSink,
     "console": ConsoleSink,
     "memory": MemorySink,
     "parquet": ParquetSink,
     "json": JsonSink,
+    "idempotent-parquet": IdempotentParquetSink,
     "google-cloud-monitoring": GoogleCloudMonitoringSink,
 }
 

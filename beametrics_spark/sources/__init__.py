@@ -88,6 +88,30 @@ def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABL
         df.createOrReplaceTempView(n)
 
 
+def read_batch(
+    spark: SparkSession,
+    fmt: str,
+    path: str | None = None,
+    *,
+    schema=None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Generic batch reader: parquet/csv/json/orc/text (+ jdbc, which needs
+    a driver jar on the classpath — option plumbing real, environment-gated).
+
+    Always pass an explicit schema for csv/json in production — inference
+    is a full extra pass over the data.
+    """
+    if fmt == "parquet":
+        return read_parquet(spark, path)
+    reader = spark.read.format(fmt)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path) if path is not None else reader.load()
+
+
 # ---------------------------------------------------------------------------
 # Streaming sources — analogs of the reference's Pub/Sub read (main.py:313).
 # Each returns a streaming DataFrame with a BINARY/STRING `value` column and

@@ -1,0 +1,101 @@
+"""Batch source formats (csv/json/orc roundtrip), idempotent sink replay,
+and extended window types through the engine pipeline."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from beametrics_spark.config import MetricConfig, MetricDefinition
+from beametrics_spark.pipeline import build_metrics_pipeline
+from beametrics_spark.sinks import IdempotentParquetSink, create_sink
+from beametrics_spark.sources import load_table, read_batch
+
+
+def test_csv_json_orc_roundtrip(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").limit(100)
+    n = events.count()
+    schema = events.schema
+    for fmt in ("csv", "json", "orc"):
+        path = str(tmp_path / fmt)
+        w = events.write.format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(path)
+        back = read_batch(
+            spark,
+            fmt,
+            path,
+            schema=schema,
+            options={"header": "true"} if fmt == "csv" else None,
+        )
+        assert back.count() == n, fmt
+        assert back.schema == schema, fmt
+
+
+def test_idempotent_sink_replay(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    sink.write(df, epoch_id=7)
+    sink.write(df, epoch_id=7)  # replayed epoch must NOT duplicate
+    sink.write(df, epoch_id=8)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 4  # 2 epochs x 2 rows, not 6
+    assert isinstance(create_sink("idempotent-parquet", path="/tmp/x"), IdempotentParquetSink)
+
+
+def test_sliding_window_metric(spark):
+    rows = [(datetime(2024, 1, 1, 0, 0, 30), "e", 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, value double")
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="m", type="count"),
+        window_size=120,
+        window_slide=60,
+    )
+    out = build_metrics_pipeline(df, [cfg]).orderBy("window_start").collect()
+    # one event in two hopping windows: starts 23:59 and 00:00
+    assert [r["window_start"].minute for r in out] == [59, 0]
+    assert all(r["value"] == 1.0 for r in out)
+
+
+def test_session_window_metric(spark):
+    rows = [
+        (datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (datetime(2024, 1, 1, 0, 10, 0), 2.0),  # same session (gap 600 < 1800)
+        (datetime(2024, 1, 1, 2, 0, 0), 5.0),  # new session
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="s", type="sum", field="value"),
+        session_gap=1800,
+    )
+    out = build_metrics_pipeline(df, [cfg]).orderBy("window_start").collect()
+    assert len(out) == 2
+    assert out[0]["value"] == 3.0
+    assert out[0]["window_end"] == datetime(2024, 1, 1, 0, 40, 0)  # last + gap
+    assert out[1]["value"] == 5.0
+
+
+def test_mixed_window_specs(spark):
+    """Tumbling + sliding + session configs in ONE pipeline call."""
+    rows = [(datetime(2024, 1, 1, 0, 0, 30), 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    cfgs = [
+        MetricConfig(metric_definition=MetricDefinition(name="t", type="count")),
+        MetricConfig(
+            metric_definition=MetricDefinition(name="sl", type="count"),
+            window_size=120,
+            window_slide=60,
+        ),
+        MetricConfig(
+            metric_definition=MetricDefinition(name="se", type="count"),
+            session_gap=300,
+        ),
+    ]
+    out = build_metrics_pipeline(df, cfgs).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["metric_id"], []).append(r)
+    assert len(by_id[0]) == 1  # tumbling: one window
+    assert len(by_id[1]) == 2  # sliding: two hops
+    assert len(by_id[2]) == 1  # session
+    assert by_id[2][0]["metric_name"] == "se"
