@@ -109,3 +109,23 @@ def test_metrics_json_precedence_and_fallback():
 
     with pytest.raises(ValueError):
         load_metric_configs(metrics_json="not json", single=None)
+
+
+def test_yaml_window_extensions(tmp_path):
+    yaml_text = """
+metrics:
+  - name: sliding
+    type: count
+    window_size: 120
+    window_slide: 60
+  - name: sessions
+    type: sum
+    field: value
+    session_gap: 1800
+"""
+    p = tmp_path / "w.yaml"
+    p.write_text(yaml_text)
+    configs = load_metric_configs(config_path=str(p))
+    assert configs[0].window_size == 120 and configs[0].window_slide == 60
+    assert configs[0].session_gap is None
+    assert configs[1].session_gap == 1800 and configs[1].window_slide is None
