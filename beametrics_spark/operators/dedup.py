@@ -63,14 +63,13 @@ def shingles_expr(text: Column, width: int = SHINGLE_WIDTH) -> Column:
     )
 
 
-def shingle_table(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
-    """(doc_id, s, n): distinct word-n-gram shingles per doc + set size.
+def gram_rows(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """(doc_id, s): word-n-gram occurrences per doc — WITH duplicates.
 
     Columnar formulation — posexplode tokens, window `lead` to assemble
-    n-grams, distinct, window count for the set size. Every step stays in
-    whole-stage codegen; the array-expression variant (shingles_expr) runs
-    Spark's higher-order functions INTERPRETED per element, which profiled
-    ~10× slower on the shingle-generation hot path.
+    n-grams. Every step stays in whole-stage codegen; the array-expression
+    variant (shingles_expr) runs Spark's higher-order functions
+    INTERPRETED per element, which profiled ~10× slower.
     """
     from pyspark.sql import Window
 
@@ -82,15 +81,21 @@ def shingle_table(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
     leads = [F.col("tok").alias("t0")] + [
         F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, width)
     ]
-    grams = (
+    return (
         toks.select("doc_id", *leads)
         .filter(F.col(f"t{width - 1}").isNotNull())
         .select(
             "doc_id",
             F.concat_ws(" ", *[f"t{i}" for i in range(width)]).alias("s"),
         )
-        .distinct()
     )
+
+
+def shingle_table(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """(doc_id, s, n): DISTINCT shingles per doc + set size."""
+    from pyspark.sql import Window
+
+    grams = gram_rows(docs, width).distinct()
     return grams.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
@@ -222,7 +227,7 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """(doc_a, doc_b) candidates that agree on at least one LSH band."""
-    return lsh_candidates_from_shingles(shingle_table(docs), k=k, bands=bands)
+    return lsh_candidates_from_shingles(gram_rows(docs), k=k, bands=bands)
 
 
 def minhash_table(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
@@ -257,7 +262,11 @@ def lsh_candidates_from_shingles(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """LSH banding over a (doc_id, s, …) exploded shingle table."""
+    """LSH banding over (doc_id, s) gram rows.
+
+    Duplicate gram occurrences are harmless: min-hash over a multiset
+    equals min-hash over its distinct set.
+    """
     r = k // bands
     sigs = minhash_table(sh, k)
     banded = sigs.select(
@@ -306,13 +315,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.8) sits where band-recall ≈ 1, the output matches the brute-force
     oracle — so this entry shares the n-gram ground-truth SQL.
 
-    The shingle table feeds signatures AND both verification sides:
-    localCheckpoint materializes it once (the batch analog of the
-    signature store a production dedup service keeps).
+    Cost structure: signatures come from RAW gram occurrences — the
+    minimum of a hash family over a multiset equals the minimum over its
+    distinct set, so the distinct shuffle and per-doc set-size pass are
+    skipped entirely on the hot path. Exact set semantics (distinct + n)
+    are only materialized for the few candidate docs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs).localCheckpoint(eager=True)
-    candidates = lsh_candidates_from_shingles(sh)
+    # candidates are referenced twice below (id extraction + join) and are
+    # tiny — checkpoint THEM, not the shingle table, so the heavy
+    # gram→minhash→banding pipeline runs exactly once
+    candidates = lsh_candidates_from_shingles(gram_rows(docs)).localCheckpoint(
+        eager=True
+    )
+    # exact verification needs shingle SETS — but only for candidate docs
+    cand_ids = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh = shingle_table(docs.join(F.broadcast(cand_ids), "doc_id"))
     a_sh = sh.select(
         F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na")
     )
