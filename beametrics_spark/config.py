@@ -76,6 +76,12 @@ class MetricDefinition:
     field: str | None = None
     metric_labels: dict[str, str] = None  # type: ignore[assignment]
     dynamic_labels: dict[str, str] = None  # type: ignore[assignment]
+    # Cardinality guard (engine extension — SURVEY.md §4.3: the reference
+    # has none and an unbounded dynamic label grows aggregation state and
+    # the metric backend without limit). When set, each dynamic label
+    # value is deterministically hash-bucketed into at most this many
+    # distinct values ("b<n>") — label fidelity traded for bounded state.
+    label_cardinality_cap: int | None = None
 
     def __post_init__(self) -> None:
         if isinstance(self.type, str):
@@ -175,12 +181,14 @@ def _config_from_mapping(entry: dict[str, Any], *, default_export: str = "local"
     JSON-ish ``filter_conditions`` (reference README.md YAML shape;
     main.py:161-189 create_metrics_configs).
     """
+    cap = entry.get("label_cardinality_cap")
     definition = MetricDefinition(
         name=entry["name"],
         type=entry.get("type", "count"),
         field=entry.get("field"),
         metric_labels=entry.get("labels") or entry.get("metric_labels"),
         dynamic_labels=entry.get("dynamic_labels"),
+        label_cardinality_cap=int(cap) if cap else None,
     )
     raw_conditions = (
         entry.get("filter-conditions")

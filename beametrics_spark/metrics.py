@@ -51,8 +51,17 @@ def label_entries(
     merged: dict[str, Column] = {
         k: F.lit(str(v)) for k, v in definition.metric_labels.items()
     }
+    cap = definition.label_cardinality_cap
     for label_name, field_name in definition.dynamic_labels.items():
-        merged[label_name] = _label_value(resolve(field_name))  # dynamic wins
+        value = _label_value(resolve(field_name))  # dynamic wins
+        if cap is not None:
+            # cardinality guard: bounded label domain via deterministic
+            # hash bucketing (state/backend protection, SURVEY.md §4.3)
+            value = F.concat(
+                F.lit("b"),
+                F.pmod(F.xxhash64(value), F.lit(int(cap))).cast("string"),
+            )
+        merged[label_name] = value
     return [(k, merged[k]) for k in sorted(merged)]
 
 

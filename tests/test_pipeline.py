@@ -131,3 +131,33 @@ def test_heterogeneous_window_sizes(logs):
     assert by_id[0]["window_end"] == datetime(2024, 1, 1, 0, 1, 0)
     assert by_id[1]["window_end"] == datetime(2024, 1, 1, 0, 2, 0)
     assert by_id[0]["value"] == 3.0 and by_id[1]["value"] == 3.0
+
+
+def test_label_cardinality_guard(spark, sf_dir):
+    """SURVEY §4.3: an unbounded dynamic label must be cappable."""
+    from beametrics_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    uncapped = MetricConfig(
+        metric_definition=MetricDefinition(
+            name="u", type="count", dynamic_labels={"user": "user_id"}
+        ),
+    )
+    capped = MetricConfig(
+        metric_definition=MetricDefinition(
+            name="c",
+            type="count",
+            dynamic_labels={"user": "user_id"},
+            label_cardinality_cap=5,
+        ),
+    )
+    out = build_metrics_pipeline(events, [uncapped, capped], window_size=10**9)
+    labels = {}
+    total = {}
+    for r in out.collect():
+        labels.setdefault(r["metric_id"], set()).add(r["labels"]["user"])
+        total[r["metric_id"]] = total.get(r["metric_id"], 0) + r["value"]
+    assert len(labels[0]) > 5  # raw user cardinality
+    assert len(labels[1]) <= 5  # guard bounds the domain
+    assert all(v.startswith("b") for v in labels[1])
+    assert total[0] == total[1]  # no events lost, only re-bucketed
