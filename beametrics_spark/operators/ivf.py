@@ -28,8 +28,13 @@ from beametrics_spark.operators.similarity import N_QUERIES, TOP_K
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
+# Sweep at sf0.01 (recall @ fraction of corpus scored, vs brute force):
+# nprobe=6 → 0.64 @ 0.37; nprobe=8 → 0.78 @ 0.50. Extra Lloyd iterations
+# (2→4) move recall <±0.02 — the test embeddings are near-uniform, so
+# cells can't tighten. On clustered real-world embeddings the same
+# nprobe/C ratio prunes far harder; expose both knobs.
 N_CELLS = 16
-N_PROBE = 6
+N_PROBE = 8
 LLOYD_ITERS = 2
 
 
@@ -109,7 +114,7 @@ def train_ivf_centroids(
 
 @register("ann_cosine_topk_ivf", None)
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: probe the 6 nearest of 16 cells, exact re-rank.
+    """IVF ANN top-k: probe the N_PROBE nearest of N_CELLS cells, exact re-rank.
 
     Rows-only (approximate recall by design); tests/test_ivf.py asserts
     recall vs the brute-force oracle and that the candidate set actually

@@ -443,3 +443,29 @@ def value_quantiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q")[1], 2).alias("p95"),
         F.round(F.col("q")[2], 2).alias("p99"),
     )
+
+
+@register(
+    "value_quantiles_exact_per_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quantiles_exact_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — the oracle-checked twin of
+    `value_quantiles_per_type` (Spark `percentile` and DuckDB
+    `quantile_cont` both do linear interpolation on the sorted set;
+    the approx variant stays the 100 TB scale path)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("q"),
+    ).select(
+        "event_type",
+        F.round(F.col("q")[0], 4).alias("p50"),
+        F.round(F.col("q")[1], 4).alias("p95"),
+        F.round(F.col("q")[2], 4).alias("p99"),
+    )
