@@ -66,28 +66,26 @@ def shingles_expr(text: Column, width: int = SHINGLE_WIDTH) -> Column:
 def gram_rows(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
     """(doc_id, s): word-n-gram occurrences per doc — WITH duplicates.
 
-    Columnar formulation — posexplode tokens, window `lead` to assemble
-    n-grams. Every step stays in whole-stage codegen; the array-expression
-    variant (shingles_expr) runs Spark's higher-order functions
-    INTERPRETED per element, which profiled ~10× slower.
+    ZERO-SHUFFLE columnar formulation: arrays_zip of `width` shifted
+    slices of the token array, exploded, concat_ws'd. arrays_zip/slice/
+    explode are ordinary codegen expressions — unlike the lambda HOF
+    variant (shingles_expr: interpreted per element, ~10× slower) and
+    unlike the previous posexplode + window-`lead` variant, whose
+    partitionBy(doc_id) sort was a full shuffle of the token table
+    (measured 2.5× slower end-to-end at sf0.1).
     """
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(tokens_expr(F.col("text"))).alias("pos", "tok"),
+    d = (
+        docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= width)  # slice length must stay positive
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("tok").alias("t0")] + [
-        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, width)
-    ]
-    return (
-        toks.select("doc_id", *leads)
-        .filter(F.col(f"t{width - 1}").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[f"t{i}" for i in range(width)]).alias("s"),
-        )
+    gram_len = F.col("n") - (width - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, gram_len).alias(f"t{i}") for i in range(width)]
+    )
+    return d.select("doc_id", F.explode(zipped).alias("g")).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col("g")[f"t{i}"] for i in range(width)]).alias("s"),
     )
 
 
@@ -363,28 +361,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash ---------------------------------------------------------------------
 
 
-@register("dedup_simhash_pairs", None)
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed 64-bit in BOTH engines
+SIMHASH_BANDS = 4  # 4 × 15-bit bands; Hamming ≤ 3 ⇒ ≥1 band identical
+_BAND_W = SIMHASH_BITS // SIMHASH_BANDS
+_BAND_MASK = (1 << _BAND_W) - 1
+
+# The oracle recomputes the identical signature in DuckDB: same md5-based
+# token hash, same per-bit sign sums, same banding. Generated
+# programmatically — 60 aggregate expressions are mechanical either way.
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {", ".join(f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END AS b{i}" for i in range(SIMHASH_BITS))}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, ({" + ".join(f"b{i}" for i in range(SIMHASH_BITS))}) AS sig FROM bits),
+banded AS (
+  SELECT doc_id, sig, band, (sig >> (band * {_BAND_W})) & {_BAND_MASK} AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+def _md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash shared with the DuckDB oracle:
+    first 15 hex chars of md5, parsed base-16. 60 bits stays inside the
+    signed long range of both engines (no ANSI overflow)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+@register("dedup_simhash_pairs", _SIMHASH_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signatures, pairs with Hamming
-    distance ≤ 3, blocked on 4×16-bit bands — by pigeonhole, ≤3 differing
+    """SimHash near-dup candidates: 60-bit signatures, pairs with Hamming
+    distance ≤ 3, blocked on 4×15-bit bands — by pigeonhole, ≤3 differing
     bits leave ≥1 of the 4 bands identical, so band-blocking has recall 1
     at this threshold (the classic Manku-et-al. configuration).
 
     Signature = for each bit position: sign of Σ_tokens (±1 by token-hash
     bit). Built from groupBy aggregates over exploded tokens — no UDF.
-    Rows-only check (xxhash64 has no DuckDB twin).
+    The token hash is md5-derived (not xxhash64) so the DuckDB oracle can
+    recompute identical signatures — values checked, not just shape.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    # per-bit ±1 sums → sign bit; assemble the 64-bit signature
+    ).withColumn("h", _md5_hash60(F.col("tok")))
+    # per-bit ±1 sums → sign bit; assemble the 60-bit signature
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     sig = bit_sums.select(
@@ -394,7 +438,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
                 ).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
+                for i in range(SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("sig"),
@@ -407,11 +451,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftrightunsigned(F.col("sig"), bi * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sig"), bi * _BAND_W)
+                        .bitwiseAND(F.lit(_BAND_MASK))
                         .alias("bucket"),
                     )
-                    for bi in range(4)
+                    for bi in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("b"),

@@ -106,18 +106,33 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_rolling_fingerprint", None)
+@register(
+    "doc_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, greatest(length(text) - 15, 1), 8),
+             i -> md5(substr(text, i, 16)))) AS fp_min,
+           len(generate_series(1, greatest(length(text) - 15, 1), 8)) AS n_windows
+    FROM documents
+    """,
+)
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style robust fingerprint: min xxhash64 over char-16-gram
-    windows (stride 8) — survives small edits unlike whole-doc md5.
-    Rows-only (xxhash64 has no DuckDB twin)."""
+    """Winnowing-style robust fingerprint: min md5 over char-16-gram
+    windows (stride 8) — survives small edits unlike whole-doc hashing.
+
+    md5 (not xxhash64) so DuckDB computes the identical fingerprint —
+    the oracle checks VALUES, not just shape. In production the same
+    plan with xxhash64 halves the hash cost; only the hash family
+    changes. The per-window transform is an interpreted HOF, acceptable
+    off the hot path (≈n/8 windows per doc)."""
     docs = load_table(spark, sf_dir, "documents")
     n = F.length("text")
     starts = F.sequence(
         F.lit(1), F.greatest(n - 15, F.lit(1)), F.lit(8)
     )
     grams = F.transform(
-        starts, lambda i: F.xxhash64(F.col("text").substr(i, F.lit(16)))
+        starts, lambda i: F.md5(F.col("text").substr(i, F.lit(16)))
     )
     return docs.select(
         "doc_id",
