@@ -55,13 +55,16 @@ def stream_equals_count_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = build_metrics_pipeline(stream, [cfg], window_size=60)
     name = f"parity_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
-    q = (
-        plan.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    from beametrics_spark.streaming import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            plan.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
