@@ -141,6 +141,62 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, lang, text,
+             len(string_split(trim(text), ' ')) AS n_words
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE n_words BETWEEN 25 AND 95
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, md5(text) AS fp,
+             min(source) AS source, min(lang) AS lang,
+             min(n_words) AS n_words
+      FROM filtered GROUP BY md5(text)
+    )
+    SELECT source, lang,
+           count(*) AS n_docs,
+           ROUND(AVG(n_words), 2) AS avg_words
+    FROM deduped GROUP BY source, lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality filter → exact dedup →
+    per-(source, lang) survivor stats. The composite the individual
+    operators exist for; one declarative plan, so Catalyst fuses the
+    filter into the scan and both aggregations stay hash-based.
+
+    At scale the md5-groupBy dedup shuffles 32-byte fingerprints (not
+    bodies) for only the quality-surviving subset — filter-before-dedup
+    ordering matters at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    filtered = docs.select("doc_id", "source", "lang", "text").filter(
+        n_words.between(25, 95)
+    )
+    deduped = (
+        filtered.select(
+            "source", "lang", F.md5("text").alias("fp"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("source").alias("source"),
+            F.min("lang").alias("lang"),
+            F.min("n_words").alias("n_words"),
+        )
+    )
+    return deduped.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_words"), 2).alias("avg_words"),
+    )
+
+
 # --- heuristic language ID (Pandas UDF — model lookup, the legit slow path) ----
 
 _LANG_PROFILES = {

@@ -99,3 +99,33 @@ def test_mixed_window_specs(spark):
     assert len(by_id[1]) == 2  # sliding: two hops
     assert len(by_id[2]) == 1  # session
     assert by_id[2][0]["metric_name"] == "se"
+
+
+def test_kafka_source_wiring(spark):
+    """Kafka option plumbing reaches Spark's source resolution (the
+    connector jar is environment-gated, not in this image): the failure
+    must be Spark's data-source lookup, not our registry."""
+    import pytest
+
+    from beametrics_spark.sources import stream_source
+
+    with pytest.raises(Exception) as ei:
+        stream_source(
+            spark,
+            "kafka",
+            options={"kafka.bootstrap.servers": "h:9092", "subscribe": "t"},
+        )
+    assert "kafka" in str(ei.value).lower()
+
+
+def test_jdbc_source_wiring(spark):
+    """JDBC is built into Spark: with options wired but no url, the JDBC
+    relation provider itself must reject (proves options reach it)."""
+    import pytest
+
+    from beametrics_spark.sources import read_batch
+
+    with pytest.raises(Exception) as ei:
+        read_batch(spark, "jdbc", options={"dbtable": "t"})
+    msg = str(ei.value).lower()
+    assert "url" in msg or "jdbc" in msg
