@@ -336,10 +336,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
+    # checkpoint the candidate shingle sets too: both broadcast sides (a
+    # and b) below are exchanges that would otherwise each re-run the
+    # document scan + gram explosion; materializing ~|candidates| tiny
+    # rows once makes the verify phase scan-free
     sets_df = (
         gram_rows(docs.join(F.broadcast(cand_ids), "doc_id"))
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("sh"))
+        .localCheckpoint(eager=True)
     )
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))

@@ -24,6 +24,21 @@ def get_spark(app_name: str = "beametrics_spark", *, shuffle_partitions: int | N
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Spark-docs-recommended production setting: coalesce to the
+        # advisory partition size instead of keeping default parallelism —
+        # a KB-scale shuffle runs 1 task, not 32 near-empty ones. At 100 TB
+        # the same advisory size yields thousands of right-sized tasks.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Advisory size tuned for local[32]: shuffles here are KB-MB scale
+        # but CPU-dense per byte (join fan-out, 64-column aggs), so a small
+        # target keeps all cores busy while still collapsing trivial
+        # shuffles to one task. On a real cluster raise this back to
+        # 64-256MB (SPARK_GRAFT_ADVISORY_PARTITION) — per-task overhead is
+        # higher and shuffle bytes per query are ~10^6× larger.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2MB"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
