@@ -72,3 +72,66 @@ def stream_equals_count_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "window_start", F.col("value").cast("double").alias("value")
     )
+
+
+@register(
+    "stream_dedup_exact_parity",
+    """
+    SELECT DISTINCT md5(text) AS fp FROM documents
+    """,
+)
+def stream_dedup_exact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a STREAMING operator: dropDuplicatesWithinWatermark
+    on the content fingerprint over a documents file-stream, checked
+    against the batch DISTINCT oracle.
+
+    WithinWatermark is the state-evicting variant — dedup state for a
+    fingerprint is dropped once the watermark passes it, so a continuous
+    100 TB ingest keeps bounded state (plain streaming dropDuplicates
+    retains every key forever). The fingerprint (not the body) is what
+    enters the state store: 32 bytes per doc, same shuffle discipline as
+    batch dedup_exact. Event time is synthesized monotonically from
+    doc_id — the corpus has no ingest timestamp; any real pipeline's
+    arrival time slots in unchanged.
+    """
+    path = os.path.join(sf_dir, "documents.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_doc_")
+    os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
+    return stream_dedup_exact(spark, stream_dir)
+
+
+def stream_dedup_exact(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """The streaming dedup plan over any parquet directory of documents
+    (doc_id, text, ...); returns first-seen fingerprints, one per distinct
+    text. Separated from the registry entry so tests can feed a corpus
+    that actually contains duplicates (the small SFs don't)."""
+    raw_schema = spark.read.parquet(stream_dir).schema
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+    deduped = (
+        stream.select(
+            F.md5("text").alias("fp"),
+            # offset past epoch 0: the initial watermark IS epoch 0, and
+            # a row landing exactly on it is dropped as late
+            F.timestamp_seconds(F.col("doc_id") + F.lit(86400)).alias("ingest_ts"),
+        )
+        .withWatermark("ingest_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("fp")
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
+    from beametrics_spark.streaming import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -92,3 +92,20 @@ def test_batch_stream_parity(spark, tmp_path):
         (__import__("datetime").datetime(2024, 1, 1, 0, 0), 250.0),
         (__import__("datetime").datetime(2024, 1, 1, 0, 1), 50.0),
     }
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per fingerprint, in a
+    corpus where duplicates genuinely exist (the small-SF documents
+    tables have none)."""
+    from beametrics_spark.operators.stream_parity import stream_dedup_exact
+
+    src = str(tmp_path / "docs")
+    rows = [(i, "unique text %d" % i) for i in range(20)]
+    rows += [(100 + i, "duplicated body") for i in range(5)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out = stream_dedup_exact(spark, src)
+    fps = [r["fp"] for r in out.collect()]
+    assert len(fps) == 21  # 20 unique + 1 survivor for the 5 dups
+    assert len(set(fps)) == 21
