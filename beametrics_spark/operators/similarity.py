@@ -72,13 +72,19 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH-bucketed ANN (scale path) --------------------------------------------
 #
-# Config chosen by empirical sweep at sf0.01 (recall vs fraction of the
-# corpus scored, vs the brute-force truth):
-#   16 planes, 4×4-bit bands, no probe      → recall 0.46 @ 0.24 scan
-#   32 planes, 4×8-bit bands, ≤2-bit probe  → recall 0.84 @ 0.52 scan
-#   64 planes, 8×8-bit bands, ≤1-bit probe  → recall 0.76 @ 0.27 scan ← chosen
-# Wider bands are more selective; query-side multi-probe buys the recall
-# back without touching the corpus-side row count.
+# Config chosen by empirical sweep at sf0.01 (scripts/ann_sweep.py —
+# recall vs fraction of the corpus scored, vs the brute-force truth):
+#   16×4-bit bands, no probe   → recall 0.92 @ 0.63 scan   (lift 1.5×)
+#   16×4-bit bands, ≤1 probe   → recall 1.00 @ 1.00 scan   (lift 1.0×)
+#    8×8-bit bands, ≤1 probe   → recall 0.76 @ 0.27 scan   (lift 2.8×) ← chosen
+#    8×8-bit bands, ≤2 probe   → recall 0.96 @ 0.73 scan   (lift 1.3×)
+#    4×16-bit bands, ≤2 probe  → recall 0.10 @ 0.02 scan
+# The test corpus is NEAR-UNIFORM — the adversarial case for LSH (true
+# neighbors barely beat random, so recall can't far exceed scan
+# fraction). The chosen point maximizes lift = recall/scan; on real
+# clustered embeddings the same config's recall rises sharply while the
+# scan fraction falls. Wider bands are more selective; query-side
+# multi-probe buys recall back without touching corpus-side row count.
 
 
 N_PLANES = 64  # signature bits (one long)

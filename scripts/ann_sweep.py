@@ -1,0 +1,117 @@
+"""Hyperplane-LSH config sweep: recall vs fraction-of-corpus-scored.
+
+Usage: python scripts/ann_sweep.py [sf_dir]
+
+Reproduces the table in operators/similarity.py. Signature bits are
+fixed at 64 (one long); configs vary banding (bands x bits <= 64) and
+query-side multi-probe radius (0/1/2 flipped bits per band).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    ann_cosine_topk_bruteforce,
+    cosine_expr,
+    with_signatures,
+)
+from beametrics_spark.session import get_spark
+from beametrics_spark.sources import load_table
+
+
+def banded(sigs, bands: int, bits: int):
+    mask = (1 << bits) - 1
+    return sigs.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "v", "bb.band", "bb.bucket")
+
+
+def probe_buckets(bits: int, radius: int):
+    out = [0]
+    if radius >= 1:
+        out += [1 << i for i in range(bits)]
+    if radius >= 2:
+        out += [(1 << i) | (1 << j) for i, j in itertools.combinations(range(bits), 2)]
+    return out
+
+
+def run(spark, sf_dir, bands, bits, radius):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = banded(with_signatures(spark, emb, 64), bands, bits).localCheckpoint(eager=True)
+    flips = probe_buckets(bits, radius)
+    queries = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "band",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in flips])
+        ).alias("bucket"),
+    )
+    corpus = b.filter(F.col("vec_id") >= N_QUERIES)
+    n_corpus = corpus.select("vec_id").distinct().count()
+    cand = (
+        corpus.join(F.broadcast(queries), ["band", "bucket"])
+        .select("query_id", "qv", "vec_id", "v")
+        .distinct()
+    )
+    n_cand = cand.count()
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    got = (
+        cand.withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    truth = ann_cosine_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    hit = got.join(truth, ["query_id", "vec_id"]).count()
+    total = truth.count()
+    scan = n_cand / (n_corpus * N_QUERIES)
+    print(
+        f"{bands:>2} bands x {bits} bits, probe<={radius}: "
+        f"recall {hit / total:.3f} @ {scan:.3f} scan "
+        f"({len(flips)} probes/band)"
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("ann-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    for bands, bits, radius in [
+        (16, 4, 0),
+        (16, 4, 1),
+        (8, 8, 1),
+        (8, 8, 2),
+        (4, 16, 2),
+    ]:
+        run(spark, sf_dir, bands, bits, radius)
+
+
+if __name__ == "__main__":
+    main()
