@@ -100,6 +100,82 @@ def stream_dedup_exact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_exact(spark, stream_dir)
 
 
+@register(
+    "stream_join_click_purchase_parity",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+    """,
+)
+def stream_join_click_purchase_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: click→purchase attribution (clicks joined
+    to same-user purchases within the preceding 60 min), both sides
+    watermarked, checked against the batch self-join oracle.
+
+    The watermarks + the time-bound join condition are what make this run
+    forever on unbounded input: each side's join state is evicted once the
+    watermark passes the 60-min attribution horizon, so state is
+    O(events in horizon), not O(stream). Inner-join matches emit eagerly
+    per micro-batch (no watermark wait), which is why a single-batch file
+    source drains to the complete result. The equi-key (user_id) carries
+    the shuffle partitioning; the range condition is a residual, exactly
+    like the batch range join (relational3.py).
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_ev_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "30 seconds")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 60 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("purchase_user").alias("user_id"),
+    )
+    name = f"sjoin_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
+    from beametrics_spark.streaming import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stream_dedup_exact(spark: SparkSession, stream_dir: str) -> DataFrame:
     """The streaming dedup plan over any parquet directory of documents
     (doc_id, text, ...); returns first-seen fingerprints, one per distinct

@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "running_order_totals",
     "sessions_per_user",
     "asof_last_click_before_purchase",
+    "tpch_q3_shipping_priority",
+    "range_join_purchases_after_order",
+    "token_frequencies_top100",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -38,6 +41,7 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_quality_scores",
     "stream_equals_count_parity",
+    "stream_join_click_purchase_parity",
 ]
 
 

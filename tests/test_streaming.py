@@ -109,3 +109,34 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     fps = [r["fp"] for r in out.collect()]
     assert len(fps) == 21  # 20 unique + 1 survivor for the 5 dups
     assert len(set(fps)) == 21
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream inner join (watermarked, time-bounded) produces the
+    same pairs as the batch self-join on the same events table."""
+    from beametrics_spark.operators.stream_parity import (
+        stream_join_click_purchase_parity,
+    )
+    from beametrics_spark.sources import load_table
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_join_click_purchase_parity(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").selectExpr(
+        "event_id AS cid", "user_id AS cu", "ts AS cts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS pid", "user_id AS pu", "ts AS pts"
+    )
+    want = {
+        (r["cid"], r["pid"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("cts") <= F.col("pts")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
