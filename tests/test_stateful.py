@@ -4,6 +4,8 @@ timeout flush)."""
 
 import json
 
+import pytest
+
 from pyspark.sql import types as T
 
 from beametrics_spark.streaming.stateful import sessionize_stream
@@ -69,3 +71,64 @@ def test_streaming_sessionization(spark, tmp_path):
         assert (2, 1, 5.0) in got  # user 2 (timeout flush)
     finally:
         q.stop()
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas's Python runner requires protobuf, "
+    "absent in this container (no pip install); the operator is exercised "
+    "on protobuf-equipped clusters",
+)
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas carries exact per-key totals across
+    micro-batches (maxFilesPerTrigger=1 forces two batches)."""
+    from beametrics_spark.streaming.tws import running_totals_stream
+
+    src = tmp_path / "tws_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 10.0}) + "\n")
+        f.write(json.dumps({"user_id": 1, "value": 5.0}) + "\n")
+        f.write(json.dumps({"user_id": 2, "value": 7.0}) + "\n")
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 2.5}) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_totals_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("tws_out").collect()
+    finally:
+        q.stop()
+    # latest update per key must hold the exact lifetime totals
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert latest[1] == (3, 17.5)
+    assert latest[2] == (1, 7.0)
