@@ -25,6 +25,10 @@ BENCH_QUERIES = [
     "ref_multi_metric_fanout",
     "ref_grouped_labels",
     "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
     "revenue_by_nation",
     "topk_orders_per_priority",
     "rollup_lineitem_qty",
