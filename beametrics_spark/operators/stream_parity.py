@@ -75,6 +75,63 @@ def stream_equals_count_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_window_parity",
+    """
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT time_bucket(INTERVAL '60 seconds', ts) - INTERVAL '60 seconds'
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT window_start, CAST(count(*) AS DOUBLE) AS value
+    FROM starts GROUP BY 1
+    """,
+)
+def stream_sliding_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ref_sliding_window_count (120 s windows hopping every 60 s), but
+    executed via readStream → memory sink: hopping windows assign each
+    event to size/slide streaming state entries, and the engine's
+    window_slide path must produce the identical window set in both
+    execution modes. Shares the batch query's enumerate-both-offsets
+    DuckDB oracle."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_slide_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="sliding_errors", type="count"),
+        filter_conditions=[FilterCondition("event_type", "error", "equals")],
+        window_size=120,
+        window_slide=60,
+    )
+    plan = build_metrics_pipeline(stream, [cfg])
+    name = f"slide_parity_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
+    from beametrics_spark.streaming import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            plan.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "window_start", F.col("value").cast("double").alias("value")
+    )
+
+
+@register(
     "stream_dedup_exact_parity",
     """
     SELECT DISTINCT md5(text) AS fp FROM documents

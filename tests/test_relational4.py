@@ -13,6 +13,8 @@ from beametrics_spark.operators.relational4 import (
     tpch_q4_order_priority,
     tpch_q5_local_supplier,
     tpch_q6_forecast_revenue,
+    tpch_q7_volume_shipping,
+    tpch_q8_market_share,
     tpch_q10_returned_items,
     tpch_q14_promo_effect,
     tpch_q18_large_volume,
@@ -79,6 +81,22 @@ def test_q18_agg_before_join(spark, sf_dir):
     assert all(r["sum_qty"] > 250 for r in rows)
     prices = [r["o_totalprice"] for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_q7_both_directions(spark, sf_dir):
+    """Only the two requested direction pairs can appear (sf0.001 may have
+    zero qualifying pairs — value parity is the sf0.01 oracle's job)."""
+    rows = tpch_q7_volume_shipping(spark, sf_dir).collect()
+    pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
+    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert all(r["revenue"] > 0 for r in rows)
+
+
+def test_q8_share_bounded(spark, sf_dir):
+    rows = tpch_q8_market_share(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
 
 
 def test_unpivot_shape(spark, sf_dir):
