@@ -138,6 +138,41 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS hx
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+    ), d AS (
+      SELECT doc_id,
+        ((strpos('0123456789abcdef', substr(hx,5,1))-1)*16
+          + strpos('0123456789abcdef', substr(hx,6,1))-1)*256
+        + (strpos('0123456789abcdef', substr(hx,7,1))-1)*16
+        + strpos('0123456789abcdef', substr(hx,8,1))-1 AS duration_ms
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(floor(greatest(duration_ms - 1, 0) / 1000) + 1 AS BIGINT)
+             AS n_frames
+    FROM d
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline, oracle-checked end-to-end: binary column →
+    mapInPandas decode (duration from the payload) → sequence/explode one
+    row per 1000 ms frame offset → per-video frame count. The stub decode
+    is sha256-derived, so DuckDB reproduces the duration — and therefore
+    the exact frame count — from the same bytes, making even the
+    Python-UDF leg of the multimodal path value-verifiable, not rows-only.
+    At scale the explode happens post-decode on the executor, one task per
+    Arrow batch; no driver materialization."""
+    media = media_table(spark, sf_dir)
+    decoded = decode_media(media, fake=True)
+    frames = sample_frames(decoded, every_ms=1000)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
 @register("multimodal_decode_features", None)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode pipeline smoke: stub decode → per-type feature norms.
