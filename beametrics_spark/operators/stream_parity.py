@@ -132,6 +132,80 @@ def stream_sliding_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_window_parity",
+    """
+    WITH seq AS (
+      SELECT event_type, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE event_type IN ('error', 'purchase')
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ),
+    sess AS (
+      SELECT event_type, ts, value,
+             SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT event_type, min(ts) AS window_start,
+           max(ts) + INTERVAL '1800 seconds' AS window_end,
+           ROUND(SUM(value), 2) AS value
+    FROM sess GROUP BY event_type, sid
+    """,
+)
+def stream_session_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ref_session_window_sum via readStream: gap-merged session windows as
+    a STREAMING aggregation — the state store merges overlapping sessions
+    per key as batches arrive, and the watermark bounds session state
+    (sessions whose end precedes the watermark finalize and evict; Spark
+    permits complete/append but not update output for session windows).
+    Values must equal the batch window-function construction, so this
+    shares ref_session_window_sum's lag/cumsum DuckDB oracle."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_sess_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.filter(F.col("event_type").isin("error", "purchase"))
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(
+            name="session_value",
+            type="sum",
+            field="value",
+            dynamic_labels={"event_type": "event_type"},
+        ),
+        session_gap=1800,
+    )
+    plan = build_metrics_pipeline(stream, [cfg], watermark="30 seconds")
+    name = f"sess_parity_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
+    from beametrics_spark.streaming import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            plan.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.element_at("labels", "event_type").alias("event_type"),
+        "window_start",
+        "window_end",
+        F.round("value", 2).alias("value"),
+    )
+
+
+@register(
     "stream_dedup_exact_parity",
     """
     SELECT DISTINCT md5(text) AS fp FROM documents
