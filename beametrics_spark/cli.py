@@ -59,6 +59,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--watermark", default="30 seconds")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--output-mode", default="update")
+
+    p.add_argument(
+        "--sql",
+        default=None,
+        help="ad-hoc SQL over the warehouse tables (registers every parquet "
+        "table under --sql-dir as a view, runs the statement through "
+        "Catalyst, prints JSON lines)",
+    )
+    p.add_argument(
+        "--sql-dir",
+        default=None,
+        help="directory of <table>.parquet files for --sql (view per table)",
+    )
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="with --sql: print the formatted physical plan instead of rows",
+    )
     return p
 
 
@@ -95,8 +113,43 @@ def configs_from_args(args: argparse.Namespace):
     )
 
 
+def run_sql(args: argparse.Namespace) -> int:
+    """SQL mode: the full Spark SQL surface (parser, Catalyst, AQE) over
+    the warehouse directory — what makes this a queryable engine, not only
+    a config-driven metrics pipeline. Goes beyond the reference, which has
+    no query language at all (SURVEY.md §3: 'its queries are
+    configuration')."""
+    from beametrics_spark.session import get_spark
+    from beametrics_spark.sources import register_views
+
+    spark = get_spark("beametrics-sql")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.sql_dir:
+        import glob
+        import os
+
+        names = [
+            os.path.splitext(os.path.basename(f))[0]
+            for f in sorted(glob.glob(os.path.join(args.sql_dir, "*.parquet")))
+        ]
+        register_views(spark, args.sql_dir, names)
+    df = spark.sql(args.sql)
+    if args.explain:
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+        return 0
+    for line in df.toJSON().toLocalIterator():
+        print(line)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.sql:
+        return run_sql(args)
     validate_args(args)
     configs = configs_from_args(args)
 
