@@ -91,3 +91,70 @@ def ref_session_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_end",
         F.round("value", 2).alias("value"),
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+      FROM bounds
+    ),
+    actual AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             count(*) AS n, ROUND(SUM(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, s.bucket,
+           COALESCE(a.n, 0) AS n,
+           COALESCE(a.total, 0.0) AS total
+    FROM spine s
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN actual a ON a.event_type = t.event_type AND a.bucket = s.bucket
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample: every (event_type, hour) slot between
+    the corpus bounds gets a row, zero-filled where no events landed — the
+    regularized series a downstream forecaster or dashboard needs (a
+    GROUP BY alone silently omits empty buckets).
+
+    Scale shape: the spine is GENERATED with sequence()+explode from one
+    global (min,max) row — no driver-side loop, no range table shipped
+    from the driver; it broadcasts against the per-type aggregates, and
+    the heavy side (raw events) is touched exactly once by the real
+    aggregation. Bucket count = hours in range — bounded and tiny relative
+    to the data regardless of SF."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    actual = events.groupBy(
+        "event_type", hour.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    types = events.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(actual, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )

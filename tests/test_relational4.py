@@ -127,3 +127,14 @@ def test_first_last_one_row_per_customer(spark, sf_dir):
     assert len(rows) == n_cust
     multi = [r for r in rows if r["second_orderkey"] is not None]
     assert multi  # customers with ≥2 orders resolve nth_value(2)
+
+
+def test_gap_fill_complete_grid(spark, sf_dir):
+    """Every (type, hour) slot in range is present; some are zero-filled."""
+    from beametrics_spark.operators.windows_ext import timeseries_gap_fill
+
+    rows = timeseries_gap_fill(spark, sf_dir).collect()
+    types = {r["event_type"] for r in rows}
+    buckets = {r["bucket"] for r in rows}
+    assert len(rows) == len(types) * len(buckets)
+    assert all(r["n"] >= 0 for r in rows)
