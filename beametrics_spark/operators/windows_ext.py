@@ -158,3 +158,75 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total", F.lit(0.0)).alias("total"),
         )
     )
+
+
+@register(
+    "timeseries_fill_forward",
+    """
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+      FROM bounds
+    ),
+    actual AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             ROUND(AVG(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, s.bucket, a.avg_value
+      FROM spine s
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      LEFT JOIN actual a ON a.event_type = t.event_type AND a.bucket = s.bucket
+    )
+    SELECT event_type, bucket,
+           COALESCE(last_value(avg_value IGNORE NULLS)
+                      OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING), 0.0) AS filled_value
+    FROM grid
+    """,
+)
+def timeseries_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill resample: hourly average value per event type with
+    empty buckets carrying the last observation forward (leading gaps
+    before the first observation fill with 0). The other canonical
+    regularization besides zero-fill — what a metrics dashboard or a
+    feature-engineering job does to sparse gauges.
+
+    One window pass (partition per type, ordered by bucket) over the tiny
+    grid — the raw events are only touched by the hourly aggregation; the
+    fill itself costs |types| × |hours| rows regardless of SF."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    actual = events.groupBy("event_type", hour.alias("bucket")).agg(
+        F.round(F.avg("value"), 4).alias("avg_value")
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    types = events.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types)).join(
+        actual, ["event_type", "bucket"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        "bucket",
+        F.coalesce(
+            F.last("avg_value", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("filled_value"),
+    )

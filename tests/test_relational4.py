@@ -138,3 +138,18 @@ def test_gap_fill_complete_grid(spark, sf_dir):
     buckets = {r["bucket"] for r in rows}
     assert len(rows) == len(types) * len(buckets)
     assert all(r["n"] >= 0 for r in rows)
+
+
+def test_fill_forward_no_gaps_after_first(spark, sf_dir):
+    """After a type's first observed bucket, filled_value is never the
+    leading-gap sentinel unless a real 0 average occurred."""
+    from beametrics_spark.operators.windows_ext import timeseries_fill_forward
+
+    rows = timeseries_fill_forward(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["bucket"])):
+        by_type.setdefault(r["event_type"], []).append(r["filled_value"])
+    for vals in by_type.values():
+        seen_real = [v for v in vals if v != 0.0]
+        assert seen_real  # every type has at least one observation
