@@ -1,0 +1,236 @@
+"""Text analysis, wave 2: repetition / duplication quality signals of the
+kind large-scale training-data pipelines gate on (Gopher-style repetition
+ratios, RefinedWeb/C4-style corpus-duplicated-span fractions) plus a
+composite pass/fail rate rollup.
+
+The reference has no text analytics at all (SURVEY.md §2.2 — its only
+string ops are json.loads / str() / float(), `beametrics/pipeline.py:90,
+195,208`); this module extends the engine's document-curation surface.
+
+All pure DataFrame expressions — no Python UDFs. Scale notes (100 TB):
+- Per-doc token statistics come from ONE explode + two hash aggregations
+  (doc_id×token, then doc_id). The explode multiplies rows ~|tokens| but
+  carries only (doc_id, token) — narrow rows, map-side partial combine
+  collapses most of the fan-out before the shuffle.
+- The corpus-duplication query shuffles shingles twice (document
+  frequency, then join back). The join key is the shingle string; at
+  100 TB you'd hash shingles to int64 first (same trick as simhash) to
+  shrink shuffle width — kept as strings here to stay oracle-exact.
+- The pass/fail rollup reuses the per-doc aggregates; its final group
+  key (lang, source) is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.dedup import (
+    SHINGLE_WIDTH,
+    shingle_table,
+    tokens_expr,
+)
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+# thresholds for the composite quality gate (chosen to split the synthetic
+# corpus: token counts run 10-99, type-token ratio 0.28-1.0)
+MIN_TOKENS = 20
+MAX_TOKENS = 90
+MIN_TTR = 0.45
+
+
+def _unigram_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, c): per-document token occurrence counts."""
+    return (
+        docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _per_doc_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, ttr, top_unigram_mass, mean_word_len)."""
+    return _unigram_counts(docs).groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 3).alias("ttr"),
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 3).alias("top_unigram_mass"),
+        F.round(
+            F.sum(F.length("tok") * F.col("c")) * F.lit(1.0) / F.sum("c"), 3
+        ).alias("mean_word_len"),
+    )
+
+
+_SIGNALS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+uc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(c) AS n_tokens,
+         round(count(*) * 1.0 / sum(c), 3) AS ttr,
+         round(max(c) * 1.0 / sum(c), 3) AS top_unigram_mass,
+         round(sum(len(tok) * c) * 1.0 / sum(c), 3) AS mean_word_len
+  FROM uc GROUP BY 1
+),
+bc AS (
+  SELECT doc_id, s, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS s
+    FROM t
+  )
+  GROUP BY 1, 2
+),
+bs AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 3) AS top_bigram_mass
+  FROM bc GROUP BY 1
+)
+SELECT p.doc_id, p.n_tokens, p.ttr, p.top_unigram_mass, p.mean_word_len,
+       coalesce(bs.top_bigram_mass, 0.0) AS top_bigram_mass
+FROM per_doc p LEFT JOIN bs USING (doc_id)
+"""
+
+
+@register("quality_repetition_signals", _SIGNALS_ORACLE)
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals: token count,
+    type-token ratio, top-unigram mass, mean word length, top-bigram
+    mass. High top-n-gram mass ⇒ boilerplate/spam; low TTR ⇒ repetition
+    loops — the standard cheap pre-filters before any model-based
+    scoring. One explode feeds every unigram statistic; bigram mass
+    reuses the zero-shuffle columnar gram generator from dedup."""
+    from beametrics_spark.operators.dedup import gram_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = _per_doc_signals(docs)
+    bigram_mass = (
+        gram_rows(docs, 2)
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 3).alias("top_bigram_mass")
+        )
+    )
+    return per_doc.join(bigram_mass, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "ttr",
+        "top_unigram_mass",
+        "mean_word_len",
+        F.coalesce("top_bigram_mass", F.lit(0.0)).alias("top_bigram_mass"),
+    )
+
+
+_DUP_FRAC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(trim(text), ' ')) - {SHINGLE_WIDTH - 1}, 0)),
+           i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + {SHINGLE_WIDTH - 1}), ' ')
+         )) AS sh
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
+dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY 1)
+SELECT ex.doc_id,
+       max(ex.n) AS n_shingles,
+       round(sum(CASE WHEN dfc.df > 1 THEN 1 ELSE 0 END) * 1.0 / max(ex.n), 3)
+         AS dup_shingle_frac
+FROM ex JOIN dfc USING (s)
+GROUP BY 1
+"""
+
+
+@register("corpus_duplicate_ngram_fraction", _DUP_FRAC_ORACLE)
+def corpus_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style span-duplication signal: per document, the
+    fraction of its distinct word-5-gram shingles that also occur in at
+    least one OTHER document. Documents scoring high are near-copies or
+    template spam even when no single whole-document duplicate exists.
+    Two shuffles: shingle document-frequency (map-side combine collapses
+    per-doc duplicates first), then the join back to each doc's shingle
+    set. Since per-doc shingles are distinct, df > 1 ⇔ the shingle
+    appears in another document."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs)  # (doc_id, s, n) — distinct shingles + set size
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+                * F.lit(1.0)
+                / F.max("n"),
+                3,
+            ).alias("dup_shingle_frac"),
+        )
+    )
+
+
+_PASS_RATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+  FROM documents
+),
+uc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens,
+         count(*) * 1.0 / sum(c) AS ttr
+  FROM uc GROUP BY 1
+)
+SELECT t.lang, t.source,
+       count(*) AS n_docs,
+       sum(CASE WHEN p.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                 AND p.ttr >= {MIN_TTR} THEN 1 ELSE 0 END) AS n_pass,
+       round(sum(CASE WHEN p.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                       AND p.ttr >= {MIN_TTR} THEN 1 ELSE 0 END) * 1.0
+             / count(*), 3) AS pass_rate
+FROM t JOIN per_doc p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+@register("quality_filter_pass_rates", _PASS_RATE_ORACLE)
+def quality_filter_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-gate yield report: per (lang, source), how many
+    documents survive the token-count + type-token-ratio filter — the
+    dashboard a curation pipeline watches to catch a source going bad.
+    The per-doc signal computation is shared with
+    quality_repetition_signals; the unrounded TTR feeds the threshold
+    (rounding first would shift documents at the boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = _unigram_counts(docs).groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (F.count(F.lit(1)) * F.lit(1.0) / F.sum("c")).alias("ttr"),
+    )
+    passes = F.when(
+        F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+        & (F.col("ttr") >= MIN_TTR),
+        1,
+    ).otherwise(0)
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(passes).alias("n_pass"),
+            F.round(F.sum(passes) * F.lit(1.0) / F.count(F.lit(1)), 3).alias(
+                "pass_rate"
+            ),
+        )
+    )
