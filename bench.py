@@ -28,7 +28,9 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
     "tpch_q18_large_volume",
+    "tpch_q21_suppliers_kept_waiting",
     "revenue_by_nation",
     "topk_orders_per_priority",
     "rollup_lineitem_qty",
@@ -49,6 +51,8 @@ BENCH_QUERIES = [
     "timeseries_gap_fill",
     "text_token_stats",
     "text_quality_scores",
+    "quality_repetition_signals",
+    "corpus_duplicate_ngram_fraction",
     "stream_equals_count_parity",
     "stream_join_click_purchase_parity",
 ]
