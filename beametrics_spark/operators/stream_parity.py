@@ -307,6 +307,77 @@ def stream_join_click_purchase_parity(spark: SparkSession, sf_dir: str) -> DataF
     return spark.table(name)
 
 
+@register(
+    "stream_static_enrich_parity",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           c.c_nationkey,
+           count(*) AS n_purchases,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: a purchase stream joined to the
+    static customer dimension (user_id = c_custkey), aggregated to
+    hourly revenue per nation — the canonical "enrich events against a
+    dimension table" streaming pattern the previous parity queries
+    didn't cover. The static side is read fresh per micro-batch and
+    BROADCAST (no stream-side shuffle before the join, no state stores
+    for the join itself — only the downstream windowed aggregation
+    keeps state). Checked against the batch join oracle; complete mode
+    finalizes every window after the single file-source batch."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_se_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    from beametrics_spark.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "c_nationkey",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_nationkey",
+            "n_purchases",
+            "total_value",
+        )
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
+    from beametrics_spark.streaming import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            enriched.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stream_dedup_exact(spark: SparkSession, stream_dir: str) -> DataFrame:
     """The streaming dedup plan over any parquet directory of documents
     (doc_id, text, ...); returns first-seen fingerprints, one per distinct

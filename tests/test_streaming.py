@@ -140,3 +140,33 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join ≡ batch join + windowed agg."""
+    from beametrics_spark.operators.stream_parity import (
+        stream_static_enrich_parity,
+    )
+    from beametrics_spark.sources import load_table
+
+    got = {
+        (r["window_start"], r["c_nationkey"]): (r["n_purchases"], r["total_value"])
+        for r in stream_static_enrich_parity(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    want = {
+        (r["ws"], r["c_nationkey"]): (r["n"], r["tv"])
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(
+            F.window("ts", "1 hour").start.alias("ws"), "c_nationkey"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
