@@ -240,3 +240,75 @@ def quality_filter_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TFIDF_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(c) AS len FROM tc GROUP BY 1),
+dft AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM t),
+scored AS (
+  SELECT tc.doc_id, tc.tok,
+         (tc.c * 1.0 / dl.len) * ((n.nd + 1.0) / (dft.df + 1.0)) AS score
+  FROM tc JOIN dl USING (doc_id) JOIN dft USING (tok) CROSS JOIN n
+),
+rk AS (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, tok AS term, round(score, 6) AS tfidf
+FROM rk WHERE rk <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword-extraction /
+    inverted-index-weighting operator. The IDF here is the RATIONAL
+    variant (N+1)/(df+1) rather than its logarithm: log is monotone, so
+    per-document rankings are identical, and pure rational arithmetic is
+    bit-deterministic across engines (IEEE division/multiplication are
+    correctly rounded everywhere; ln's last ulp is not), which is what
+    lets the oracle hash-match the ranked output exactly.
+
+    Shuffle budget: term counts on (doc_id, tok); document lengths reuse
+    the doc_id side; document frequency is one aggregation on tok whose
+    result joins back on the same partitioning; the scalar corpus size
+    broadcasts; the final top-3 is a window over each doc's terms."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = _unigram_counts(docs)
+    dl = tc.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    dft = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tc.join(dl, "doc_id")
+        .join(dft, "tok")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                (F.col("c") * F.lit(1.0) / F.col("len"))
+                * ((F.col("nd") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "rk", F.col("tok").alias("term"), F.round("score", 6).alias("tfidf")
+        )
+    )

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_quality_scores",
     "quality_repetition_signals",
     "corpus_duplicate_ngram_fraction",
+    "tfidf_top_terms",
     "stream_equals_count_parity",
     "stream_join_click_purchase_parity",
 ]

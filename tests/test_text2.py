@@ -75,3 +75,21 @@ def test_no_python_udfs_in_plans(spark, sf_dir):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_tfidf_top3_per_doc(spark, sf_dir):
+    from beametrics_spark.operators.text2 import tfidf_top_terms
+
+    rows = tfidf_top_terms(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == n_docs
+    for doc_rows in by_doc.values():
+        assert [r["rk"] for r in sorted(doc_rows, key=lambda r: r["rk"])] == list(
+            range(1, len(doc_rows) + 1)
+        )
+        scores = [r["tfidf"] for r in sorted(doc_rows, key=lambda r: r["rk"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
