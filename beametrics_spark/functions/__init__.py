@@ -75,3 +75,37 @@ def salted_aggregate(
             )
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_aggs)
     return partial.groupBy(*keys).agg(*merge_aggs)
+
+
+# Documented-baseline paths (all-pairs cosine, brute-force ANN) are
+# correct but O(n²); at 100 TB a misrouted call would launch an
+# ~10^16-pair cartesian join. The guard makes that impossible to reach
+# by accident: one cheap count() per invocation, and anything over the
+# cap raises with a pointer to the sub-quadratic path.
+MAX_QUADRATIC_ROWS = 100_000
+
+
+def guard_quadratic(
+    df: DataFrame,
+    side_name: str,
+    *,
+    scale_path: str,
+    limit: int = MAX_QUADRATIC_ROWS,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Refuse to feed more than `limit` rows into an all-pairs operator.
+
+    Returns `df` unchanged when within bounds (or explicitly overridden
+    with allow_quadratic=True); raises ValueError otherwise. The count is
+    an extra scan, but baselines are by definition not the hot path.
+    """
+    if allow_quadratic:
+        return df
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{side_name} has {n} rows > {limit}: refusing O(n²) all-pairs "
+            f"baseline at this scale. Use {scale_path}, or pass "
+            "allow_quadratic=True if you really mean it."
+        )
+    return df

@@ -93,8 +93,8 @@ _CLUSTERS_ORACLE = f"""
 WITH RECURSIVE d AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           generate_series(1, greatest(len(string_split(trim(text), ' ')) - {SHINGLE_WIDTH - 1}, 0)),
-           i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + {SHINGLE_WIDTH - 1}), ' ')
+           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - {SHINGLE_WIDTH - 1}, 0)),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + {SHINGLE_WIDTH - 1}), ' ')
          )) AS sh
   FROM documents
 ),

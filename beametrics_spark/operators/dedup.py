@@ -128,8 +128,8 @@ NGRAM_ORACLE = f"""
 WITH d AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           generate_series(1, greatest(len(string_split(trim(text), ' ')) - {SHINGLE_WIDTH - 1}, 0)),
-           i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + {SHINGLE_WIDTH - 1}), ' ')
+           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - {SHINGLE_WIDTH - 1}, 0)),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + {SHINGLE_WIDTH - 1}), ' ')
          )) AS sh
   FROM documents
 ),
@@ -424,7 +424,7 @@ _BAND_MASK = (1 << _BAND_W) - 1
 # programmatically — 60 aggregate expressions are mechanical either way.
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
   FROM documents
 ),
 h AS (
@@ -562,16 +562,27 @@ def cosine_expr(a: Column, b: Column) -> Column:
     WHERE list_cosine_similarity(a.v, b.v) >= 0.45
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, *, allow_quadratic: bool = False
+) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.45 (testdata max ≈ 0.51).
 
     Brute-force all-pairs — correct baseline; the LSH-bucketed variant in
-    similarity.py is the 100-TB path. Both engines compute in float64
-    (embeddings cast from float32) so only summation-order noise remains,
-    absorbed by round(…, 6).
+    similarity.py is the 100-TB path. Guarded: refuses to run above
+    MAX_QUADRATIC_ROWS so the baseline can't be reached by accident at
+    scale. Both engines compute in float64 (embeddings cast from float32)
+    so only summation-order noise remains, absorbed by round(…, 6).
     """
+    from beametrics_spark.functions import guard_quadratic
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = guard_quadratic(
+        emb,
+        "embeddings",
+        scale_path="dedup_minhash_lsh / ann_cosine_topk_lsh",
+        allow_quadratic=allow_quadratic,
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))

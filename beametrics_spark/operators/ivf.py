@@ -73,6 +73,35 @@ def assign_cells(
     )
 
 
+def probe_cells(
+    spark: SparkSession,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """query vec_id → its nprobe highest-dot-product cells, fully distributed.
+
+    Same broadcast-join + hash-agg shape as assign_cells but keeping the
+    top nprobe ranks instead of rank 1 — the query side scales to a query
+    TABLE (no .collect(), no driver loop). Argmax-dot against normalized
+    centroids ≡ argmax-cosine for a fixed query vector, so queries join
+    un-normalized; ties break on the lowest cell id.
+    """
+    dims = queries.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    dots = (
+        dims.join(F.broadcast(_centroid_df(spark, centroids)), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cell"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "cell")
+    )
+
+
 def train_ivf_centroids(
     spark: SparkSession,
     corpus: DataFrame,
@@ -127,19 +156,17 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_ivf_centroids(spark, corpus)
 
     assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id")
-    # query → nprobe nearest cells (tiny driver-side math)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).collect()
-    probe_rows = []
-    for q in queries:
-        qv = _norm(list(q["v"]))
-        ranked = sorted(
-            range(len(centroids)),
-            key=lambda c: -sum(a * b for a, b in zip(qv, centroids[c])),
+    # query → nprobe nearest cells, distributed (scales to a query TABLE;
+    # no .collect() of query vectors, no driver-side ranking loop)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    probes = (
+        probe_cells(spark, queries, centroids)
+        .join(queries, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell",
+            F.col("v").alias("qv"),
         )
-        for cell in ranked[:N_PROBE]:
-            probe_rows.append((q["vec_id"], cell, list(q["v"])))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, cell int, qv array<double>"
     )
     candidates = assigned.join(F.broadcast(probes), "cell")
     scored = candidates.withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))

@@ -122,7 +122,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
       FROM documents
     )
     SELECT media_type, count(*) AS n_items,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            ROUND(AVG(n_bytes), 2) AS avg_bytes
     FROM m GROUP BY media_type
     """,

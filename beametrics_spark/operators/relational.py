@@ -366,14 +366,20 @@ def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           SUM(CASE WHEN prev_ts IS NULL
+           CAST(SUM(CASE WHEN prev_ts IS NULL
                       OR date_diff('microsecond', prev_ts, ts) > 1800000000
-                    THEN 1 ELSE 0 END) AS n_sessions,
-           count(*) AS n_events
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
     FROM seq GROUP BY user_id
     """,
 )
 def sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Normalization contract: both engines emit n_sessions/n_events as 64-bit
+    # ints. DuckDB's SUM over integers yields HUGEINT (int128) — left uncast it
+    # stringifies/hashes differently from Spark's bigint in the driver's
+    # value-hash even when the values are equal (r1 driver row: rows/schema
+    # matched, hash didn't). Explicit BIGINT on the oracle + long on the Spark
+    # side makes the two hashers agree by construction.
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_seconds = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
@@ -387,8 +393,8 @@ def sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(
-            F.sum("new_session").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
 

@@ -48,10 +48,10 @@ from beametrics_spark.sources import load_table
     "tpch_q12_ship_priority_classes",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL '60 days'
@@ -368,14 +368,16 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "tpch_q22_global_sales_opportunity",
     """
-    WITH wealthy AS (
-      SELECT c_custkey, c_nationkey, c_acctbal
+    WITH stats AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
       FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7)
+    ),
+    wealthy AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer, stats
       WHERE c_nationkey IN (1, 3, 5, 7)
-        AND c_acctbal > (
-          SELECT AVG(c_acctbal) FROM customer
-          WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7)
-        )
+        AND CAST(c_acctbal AS DECIMAL(18,2)) * n > s
     )
     SELECT w.c_nationkey,
            count(*) AS numcust,
@@ -404,8 +406,14 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     nations = [1, 3, 5, 7]
     cust = load_table(spark, sf_dir, "customer")
     target = cust.filter(F.col("c_nationkey").isin(nations))
-    avg_bal = target.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    # "above average" without dividing: bal > s/n ⟺ bal·n > s, with the sum
+    # accumulated in DECIMAL — exact in both engines regardless of partial-
+    # aggregation order, so a balance within a ulp of the mean can't flip
+    # in/out between Spark and DuckDB (Q15 uses the same trick for its
+    # max-equality comparison).
+    stats = target.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
     orders = (
         load_table(spark, sf_dir, "orders")
@@ -413,8 +421,8 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .select("o_custkey")
     )
     wealthy = (
-        target.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        target.join(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("n") > F.col("s"))
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
     return (

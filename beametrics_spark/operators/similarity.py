@@ -45,18 +45,31 @@ FROM scored WHERE rk <= {TOP_K}
 
 
 @register("ann_cosine_topk_bruteforce", ANN_ORACLE)
-def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_cosine_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, *, allow_quadratic: bool = False
+) -> DataFrame:
     """Exact top-10 cosine neighbors for each query vector.
 
     Queries broadcast (tiny) → corpus scanned once, no shuffle of the
     corpus; per-query top-k via window row_number. Both engines compute
-    in float64, ties broken by vec_id.
+    in float64, ties broken by vec_id. Guarded on the QUERY side: cost is
+    O(Q×N) and the plan broadcasts Q — a query TABLE must go through the
+    LSH/IVF paths instead.
     """
+    from beametrics_spark.functions import guard_quadratic
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    queries = guard_quadratic(
+        queries,
+        "query set",
+        scale_path="ann_cosine_topk_lsh / ann_cosine_topk_ivf",
+        limit=10_000,
+        allow_quadratic=allow_quadratic,
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     scored = corpus.join(F.broadcast(queries)).withColumn(

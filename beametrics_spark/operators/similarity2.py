@@ -80,13 +80,13 @@ cd AS (SELECT label, dim, avg(x) AS c FROM ex GROUP BY 1, 2),
 cent AS (SELECT label AS c_label, list(c ORDER BY dim) AS cv FROM cd GROUP BY 1),
 scored AS (
   SELECT e.vec_id, e.label, cent.c_label,
-         list_cosine_similarity(e.v, cent.cv) AS sim,
+         ROUND(list_cosine_similarity(e.v, cent.cv), 6) AS sim,
          row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                            ORDER BY ROUND(list_cosine_similarity(e.v, cent.cv), 6) DESC,
                                      cent.c_label ASC) AS rk
   FROM e CROSS JOIN cent
 )
-SELECT vec_id, label, c_label AS assigned_label, ROUND(sim, 6) AS cos_sim
+SELECT vec_id, label, c_label AS assigned_label, sim AS cos_sim
 FROM scored WHERE rk = 1
 """
 
@@ -112,11 +112,15 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
+    # Rank on the 6-dp ROUNDED similarity (same quantization as the output)
+    # so both engines order near-equidistant centroids identically — the
+    # unrounded doubles differ per engine by summation order, and a
+    # within-a-ulp pair could otherwise flip assigned_label between runs.
     scored = emb.join(F.broadcast(cent)).select(
         "vec_id",
         "label",
         "c_label",
-        cosine_expr(F.col("v"), F.col("cv")).alias("sim"),
+        F.round(cosine_expr(F.col("v"), F.col("cv")), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
     return (
@@ -126,7 +130,7 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.col("c_label").alias("assigned_label"),
-            F.round("sim", 6).alias("cos_sim"),
+            F.col("sim").alias("cos_sim"),
         )
     )
 

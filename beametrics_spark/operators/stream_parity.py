@@ -14,8 +14,10 @@ no watermark-advancement second trigger is needed to flush results.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +25,83 @@ from pyspark.sql import functions as F
 from beametrics_spark.config import FilterCondition, MetricConfig, MetricDefinition
 from beametrics_spark.pipeline import build_metrics_pipeline
 from beametrics_spark.registry import register
+
+
+# Footer-interpretation confs every parity run needs: nanos columns read as
+# long (r1 testdata), and micros-without-timezone read as LTZ rather than
+# TIMESTAMP_NTZ (r2 testdata) — NTZ is rejected as an event-time column.
+_PARQUET_TS_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, confs: dict[str, str] | None = None):
+    """Set session confs for the duration of one parity run, then restore
+    (or unset) them — they must stay in effect through query drain, since
+    the parquet scan interprets footers at execution time, but must not
+    leak into whatever the session runs next."""
+    confs = confs or _PARQUET_TS_CONFS
+    saved: dict[str, str | None] = {}
+    for key, value in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                try:
+                    spark.conf.unset(key)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(key, old)
+
+
+def _file_stream(spark: SparkSession, path: str, table: str, prefix: str):
+    """File-source stream over a single parquet file (FileStreamSource wants
+    a directory, so the file is exposed through a symlink dir), with the ts
+    column normalized from nanos-long when the footer stores TIMESTAMP(NANOS).
+    Returns (stream_df, stream_dir); the caller removes stream_dir after
+    draining."""
+    raw_schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(path, os.path.join(stream_dir, f"{table}.parquet"))
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream, stream_dir
+
+
+def _drain_to_table(
+    spark: SparkSession, df: DataFrame, name_prefix: str, mode: str, *cleanup_dirs: str
+) -> DataFrame:
+    """start → processAllAvailable → stop into a memory sink; removes the
+    checkpoint dir and any caller temp dirs once the sink is materialized."""
+    from beametrics_spark.streaming import scoped_state_partitions
+
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
+    with scoped_state_partitions(spark):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        for d in (ckpt, *cleanup_dirs):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
 
 
 @register(
@@ -36,42 +115,18 @@ from beametrics_spark.registry import register
 )
 def stream_equals_count_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ref_equals_count, but executed via readStream → memory sink."""
-    # file streaming source needs an explicit schema — use the RAW footer
-    # schema (ts arrives as nanos-long under nanosAsLong), then normalize
-    # to TIMESTAMP exactly like the batch loader does
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    # FileStreamSource requires a directory — expose the file through one
-    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_src_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    cfg = MetricConfig(
-        metric_definition=MetricDefinition(name="error_count", type="count"),
-        filter_conditions=[FilterCondition("event_type", "error", "equals")],
-    )
-    plan = build_metrics_pipeline(stream, [cfg], window_size=60)
-    name = f"parity_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
-    from beametrics_spark.streaming import scoped_state_partitions
-
-    with scoped_state_partitions(spark):
-        q = (
-            plan.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_src_"
         )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
-        "window_start", F.col("value").cast("double").alias("value")
-    )
+        cfg = MetricConfig(
+            metric_definition=MetricDefinition(name="error_count", type="count"),
+            filter_conditions=[FilterCondition("event_type", "error", "equals")],
+        )
+        plan = build_metrics_pipeline(stream, [cfg], window_size=60)
+        out = _drain_to_table(spark, plan, "parity", "complete", stream_dir)
+    return out.select("window_start", F.col("value").cast("double").alias("value"))
 
 
 @register(
@@ -96,39 +151,19 @@ def stream_sliding_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution modes. Shares the batch query's enumerate-both-offsets
     DuckDB oracle."""
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_slide_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    cfg = MetricConfig(
-        metric_definition=MetricDefinition(name="sliding_errors", type="count"),
-        filter_conditions=[FilterCondition("event_type", "error", "equals")],
-        window_size=120,
-        window_slide=60,
-    )
-    plan = build_metrics_pipeline(stream, [cfg])
-    name = f"slide_parity_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
-    from beametrics_spark.streaming import scoped_state_partitions
-
-    with scoped_state_partitions(spark):
-        q = (
-            plan.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_slide_"
         )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
-        "window_start", F.col("value").cast("double").alias("value")
-    )
+        cfg = MetricConfig(
+            metric_definition=MetricDefinition(name="sliding_errors", type="count"),
+            filter_conditions=[FilterCondition("event_type", "error", "equals")],
+            window_size=120,
+            window_slide=60,
+        )
+        plan = build_metrics_pipeline(stream, [cfg])
+        out = _drain_to_table(spark, plan, "slide_parity", "complete", stream_dir)
+    return out.select("window_start", F.col("value").cast("double").alias("value"))
 
 
 @register(
@@ -163,41 +198,23 @@ def stream_session_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values must equal the batch window-function construction, so this
     shares ref_session_window_sum's lag/cumsum DuckDB oracle."""
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_sess_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.filter(F.col("event_type").isin("error", "purchase"))
-    cfg = MetricConfig(
-        metric_definition=MetricDefinition(
-            name="session_value",
-            type="sum",
-            field="value",
-            dynamic_labels={"event_type": "event_type"},
-        ),
-        session_gap=1800,
-    )
-    plan = build_metrics_pipeline(stream, [cfg], watermark="30 seconds")
-    name = f"sess_parity_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
-    from beametrics_spark.streaming import scoped_state_partitions
-
-    with scoped_state_partitions(spark):
-        q = (
-            plan.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_sess_"
         )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
+        stream = stream.filter(F.col("event_type").isin("error", "purchase"))
+        cfg = MetricConfig(
+            metric_definition=MetricDefinition(
+                name="session_value",
+                type="sum",
+                field="value",
+                dynamic_labels={"event_type": "event_type"},
+            ),
+            session_gap=1800,
+        )
+        plan = build_metrics_pipeline(stream, [cfg], watermark="30 seconds")
+        out = _drain_to_table(spark, plan, "sess_parity", "complete", stream_dir)
+    return out.select(
         F.element_at("labels", "event_type").alias("event_type"),
         "window_start",
         "window_end",
@@ -228,7 +245,10 @@ def stream_dedup_exact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "documents.parquet")
     stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_doc_")
     os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
-    return stream_dedup_exact(spark, stream_dir)
+    try:
+        return stream_dedup_exact(spark, stream_dir)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 @register(
@@ -256,55 +276,43 @@ def stream_join_click_purchase_parity(spark: SparkSession, sf_dir: str) -> DataF
     like the batch range join (relational3.py).
     """
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_ev_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    with _scoped_conf(spark):
 
-    def side(event_type: str, prefix: str) -> DataFrame:
-        s = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return (
-            s.filter(F.col("event_type") == event_type)
-            .select(
-                F.col("event_id").alias(f"{prefix}_id"),
-                F.col("user_id").alias(f"{prefix}_user"),
-                F.col("ts").alias(f"{prefix}_ts"),
+        def side(event_type: str, prefix: str, stream: DataFrame) -> DataFrame:
+            return (
+                stream.filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                )
+                .withWatermark(f"{prefix}_ts", "30 seconds")
             )
-            .withWatermark(f"{prefix}_ts", "30 seconds")
-        )
 
-    clicks = side("click", "click")
-    purchases = side("purchase", "purchase")
-    joined = clicks.join(
-        purchases,
-        (F.col("click_user") == F.col("purchase_user"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 60 MINUTES"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
-        "inner",
-    ).select(
-        "click_id",
-        "purchase_id",
-        F.col("purchase_user").alias("user_id"),
-    )
-    name = f"sjoin_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
-    from beametrics_spark.streaming import scoped_state_partitions
-
-    with scoped_state_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
+        s1, stream_dir = _file_stream(spark, path, "events", "beametrics_stream_ev_")
+        s2 = spark.readStream.schema(
+            spark.read.parquet(stream_dir).schema
+        ).format("parquet").load(stream_dir)
+        if dict(s2.dtypes).get("ts") == "bigint":
+            s2 = s2.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        clicks = side("click", "click", s1)
+        purchases = side("purchase", "purchase", s2)
+        joined = clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 60 MINUTES")
+            )
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+            "inner",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.col("purchase_user").alias("user_id"),
         )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+        out = _drain_to_table(spark, joined, "sjoin", "append", stream_dir)
+    return out
 
 
 @register(
@@ -330,52 +338,36 @@ def stream_static_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps state). Checked against the batch join oracle; complete mode
     finalizes every window after the single file-source batch."""
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_se_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_se_"
+        )
 
-    from beametrics_spark.sources import load_table
+        from beametrics_spark.sources import load_table
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    enriched = (
-        stream.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
-        .groupBy(
-            F.window("ts", "1 hour").alias("w"),
-            "c_nationkey",
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+        enriched = (
+            stream.filter(F.col("event_type") == "purchase")
+            .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"),
+                "c_nationkey",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "c_nationkey",
+                "n_purchases",
+                "total_value",
+            )
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "c_nationkey",
-            "n_purchases",
-            "total_value",
-        )
-    )
-    name = f"enrich_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
-    from beametrics_spark.streaming import scoped_state_partitions
-
-    with scoped_state_partitions(spark):
-        q = (
-            enriched.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+        out = _drain_to_table(spark, enriched, "enrich", "complete", stream_dir)
+    return out
 
 
 def stream_dedup_exact(spark: SparkSession, stream_dir: str) -> DataFrame:
@@ -396,20 +388,5 @@ def stream_dedup_exact(spark: SparkSession, stream_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["fp"])
         .select("fp")
     )
-    name = f"dedup_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
-    from beametrics_spark.streaming import scoped_state_partitions
-
-    with scoped_state_partitions(spark):
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    # stream_dir belongs to the caller — only the checkpoint is cleaned here
+    return _drain_to_table(spark, deduped, "dedup", "append")

@@ -28,7 +28,7 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
     f"""
     SELECT lang,
            count(*) AS n_docs,
-           ROUND(AVG(len(string_split(trim(text), ' '))), 2) AS avg_ws_tokens,
+           ROUND(AVG(len(regexp_split_to_array(trim(text), '\s+'))), 2) AS avg_ws_tokens,
            ROUND(AVG(len(regexp_extract_all(text, '{TOKEN_REGEX}'))), 2) AS avg_bpe_tokens,
            ROUND(AVG(length(text)), 2) AS avg_chars
     FROM documents GROUP BY lang
@@ -55,7 +55,7 @@ _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
     f"""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(text), ' ') AS words,
+             regexp_split_to_array(trim(text), '\s+') AS words,
              length(text) AS n_chars,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
       FROM documents
@@ -146,7 +146,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scored AS (
       SELECT doc_id, source, lang, text,
-             len(string_split(trim(text), ' ')) AS n_words
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words
       FROM documents
     ),
     filtered AS (

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from beametrics_spark.operators.dedup import (
     SHINGLE_WIDTH,
-    shingle_table,
     tokens_expr,
 )
 from beametrics_spark.registry import register
@@ -63,7 +62,7 @@ def _per_doc_signals(docs: DataFrame) -> DataFrame:
 
 _SIGNALS_ORACLE = """
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ),
 uc AS (
   SELECT doc_id, tok, count(*) AS c
@@ -72,7 +71,7 @@ uc AS (
 ),
 per_doc AS (
   SELECT doc_id,
-         sum(c) AS n_tokens,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
          round(count(*) * 1.0 / sum(c), 3) AS ttr,
          round(max(c) * 1.0 / sum(c), 3) AS top_unigram_mass,
          round(sum(len(tok) * c) * 1.0 / sum(c), 3) AS mean_word_len
@@ -133,8 +132,8 @@ _DUP_FRAC_ORACLE = f"""
 WITH d AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           generate_series(1, greatest(len(string_split(trim(text), ' ')) - {SHINGLE_WIDTH - 1}, 0)),
-           i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + {SHINGLE_WIDTH - 1}), ' ')
+           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - {SHINGLE_WIDTH - 1}, 0)),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + {SHINGLE_WIDTH - 1}), ' ')
          )) AS sh
   FROM documents
 ),
@@ -185,7 +184,7 @@ def corpus_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFra
 
 _PASS_RATE_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS toks
   FROM documents
 ),
 uc AS (
@@ -200,8 +199,8 @@ per_doc AS (
 )
 SELECT t.lang, t.source,
        count(*) AS n_docs,
-       sum(CASE WHEN p.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
-                 AND p.ttr >= {MIN_TTR} THEN 1 ELSE 0 END) AS n_pass,
+       CAST(sum(CASE WHEN p.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                 AND p.ttr >= {MIN_TTR} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
        round(sum(CASE WHEN p.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
                        AND p.ttr >= {MIN_TTR} THEN 1 ELSE 0 END) * 1.0
              / count(*), 3) AS pass_rate
@@ -244,7 +243,7 @@ def quality_filter_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = """
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ),
 tc AS (
   SELECT doc_id, tok, count(*) AS c

@@ -64,6 +64,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     columns push through it.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet timestamps with isAdjustedToUTC=false would infer as
+    # TIMESTAMP_NTZ under Spark 4's default; read them as LTZ instead so
+    # (with the UTC session timezone) wall-clock values match DuckDB's naive
+    # timestamps and remain castable to numeric epoch seconds.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for name in _nanos_timestamp_columns(path):
         # integer `div`, NOT float division: epoch-nanos (~1.7e18) exceeds

@@ -78,3 +78,19 @@ def test_plan_helpers(spark, sf_dir):
     assert scan_count(li) == 1
     assert uses_hash_aggregate(li)
     assert any("l_returnflag" in f for f in pushed_filters(li))
+
+
+def test_guard_quadratic_blocks_and_allows(spark):
+    from beametrics_spark.functions import guard_quadratic
+
+    small = spark.range(10)
+    # within bounds: passthrough
+    assert guard_quadratic(small, "small", scale_path="lsh").count() == 10
+
+    big = spark.range(500)
+    with pytest.raises(ValueError, match="refusing O"):
+        guard_quadratic(big, "big", scale_path="lsh", limit=100)
+    # explicit override skips even the count
+    assert guard_quadratic(
+        big, "big", scale_path="lsh", limit=100, allow_quadratic=True
+    ).count() == 500
