@@ -89,7 +89,7 @@ def connected_components(pairs: DataFrame, max_iter: int = _CC_MAX_ITER) -> Data
 # Oracle: DuckDB recursive CTE — transitive closure over the exact n-gram
 # Jaccard pair set (same ground truth the LSH path is verified against),
 # then min reachable id per vertex = component root.
-_CLUSTERS_ORACLE = f"""
+_CLUSTERS_ORACLE = rf"""
 WITH RECURSIVE d AS (
   SELECT doc_id,
          list_distinct(list_transform(

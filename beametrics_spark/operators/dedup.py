@@ -124,7 +124,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact n-gram Jaccard pairs (oracle-checked ground truth for LSH) ---------
 
 
-NGRAM_ORACLE = f"""
+NGRAM_ORACLE = rf"""
 WITH d AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -422,7 +422,7 @@ _BAND_MASK = (1 << _BAND_W) - 1
 # The oracle recomputes the identical signature in DuckDB: same md5-based
 # token hash, same per-bit sign sums, same banding. Generated
 # programmatically — 60 aggregate expressions are mechanical either way.
-_SIMHASH_ORACLE = f"""
+_SIMHASH_ORACLE = rf"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
   FROM documents

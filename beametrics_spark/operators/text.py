@@ -25,7 +25,7 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
 
 @register(
     "text_token_stats",
-    f"""
+    rf"""
     SELECT lang,
            count(*) AS n_docs,
            ROUND(AVG(len(regexp_split_to_array(trim(text), '\s+'))), 2) AS avg_ws_tokens,
@@ -52,7 +52,7 @@ _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 @register(
     "text_quality_scores",
-    f"""
+    rf"""
     WITH t AS (
       SELECT doc_id,
              regexp_split_to_array(trim(text), '\s+') AS words,
@@ -143,7 +143,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curation_pipeline",
-    """
+    r"""
     WITH scored AS (
       SELECT doc_id, source, lang, text,
              len(regexp_split_to_array(trim(text), '\s+')) AS n_words

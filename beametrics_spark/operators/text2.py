@@ -60,7 +60,7 @@ def _per_doc_signals(docs: DataFrame) -> DataFrame:
     )
 
 
-_SIGNALS_ORACLE = """
+_SIGNALS_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ),
@@ -128,7 +128,7 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_FRAC_ORACLE = f"""
+_DUP_FRAC_ORACLE = rf"""
 WITH d AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -182,7 +182,7 @@ def corpus_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-_PASS_RATE_ORACLE = f"""
+_PASS_RATE_ORACLE = rf"""
 WITH t AS (
   SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS toks
   FROM documents
@@ -241,7 +241,7 @@ def quality_filter_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TFIDF_ORACLE = """
+_TFIDF_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ),
