@@ -34,6 +34,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.relational3  # noqa: F401
     import beametrics_spark.operators.relational4  # noqa: F401
     import beametrics_spark.operators.relational5  # noqa: F401
+    import beametrics_spark.operators.relational6  # noqa: F401
     import beametrics_spark.operators.dedup  # noqa: F401
     import beametrics_spark.operators.curation  # noqa: F401
     import beametrics_spark.operators.similarity  # noqa: F401
