@@ -212,17 +212,53 @@ def _config_from_mapping(entry: dict[str, Any], *, default_export: str = "local"
     )
 
 
-def load_yaml_config(path: str) -> dict[str, Any]:
-    """Load a YAML config file from a local path.
+# In-process store backing memory:// config URLs — the unit-testable
+# stand-in for an object store, and a hook for embedding callers that
+# build configs programmatically.
+MEMORY_CONFIGS: dict[str, str] = {}
 
-    Reference config.py:9-39 also fetched gs:// URLs via the GCS client;
-    we read through Python's open() (any fuse/nfs mount works) and leave
-    object stores to a fsspec hook if ever needed.
+
+def _read_config_text(path: str) -> str:
+    """Fetch raw config text by URL scheme.
+
+    Reference config.py:19-23 dispatches on urlparse().scheme — gs://
+    through the GCS client, everything else through open(). Same
+    dispatch here, minus the hard GCP dependency: file:// and bare
+    paths read locally, memory:// reads MEMORY_CONFIGS, and any other
+    scheme (gs://, s3://, abfss://, ...) goes through fsspec when it's
+    installed — a deployment concern, not a code change.
+    """
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        local = path[len("file://") :] if parsed.scheme == "file" else path
+        with open(local) as f:
+            return f.read()
+    if parsed.scheme == "memory":
+        key = path[len("memory://") :]
+        if key not in MEMORY_CONFIGS:
+            raise FileNotFoundError(f"no memory:// config registered at {key!r}")
+        return MEMORY_CONFIGS[key]
+    try:
+        import fsspec  # not in the base image; present on real deployments
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError(
+            f"config URL {path!r} needs fsspec (scheme {parsed.scheme!r}); "
+            "pip install fsspec plus the scheme's filesystem package"
+        ) from exc
+    with fsspec.open(path, "r") as f:  # pragma: no cover
+        return f.read()
+
+
+def load_yaml_config(path: str) -> dict[str, Any]:
+    """Load a YAML config from a local path or URL (file://, memory://,
+    or any fsspec-resolvable scheme). Mirrors reference config.py:9-39,
+    which fetched gs:// via the GCS client and open()'d anything else.
     """
     if yaml is None:  # pragma: no cover
         raise RuntimeError("pyyaml not available")
-    with open(path) as f:
-        data = yaml.safe_load(f)
+    data = yaml.safe_load(_read_config_text(path))
     if not isinstance(data, dict) or "metrics" not in data:
         raise ValueError("YAML config must contain a top-level 'metrics' list")
     return data

@@ -95,6 +95,41 @@ metrics:
     assert configs[1].filter_conditions[0].operator == "greater_than"
 
 
+def test_yaml_config_url_schemes(tmp_path):
+    """file:// and memory:// URLs resolve like the reference's gs://
+    dispatch (reference config.py:19-23) without a cloud client."""
+    import pytest
+
+    from beametrics_spark.config import MEMORY_CONFIGS, load_yaml_config
+
+    yaml_text = """
+metrics:
+  - name: url_count
+    type: count
+    filter-conditions:
+      - {field: event_type, value: error, operator: equals}
+    export_type: local
+"""
+    p = tmp_path / "config.yaml"
+    p.write_text(yaml_text)
+
+    via_file_url = load_yaml_config(f"file://{p}")
+    assert via_file_url["metrics"][0]["name"] == "url_count"
+
+    MEMORY_CONFIGS["team/config.yaml"] = yaml_text
+    try:
+        via_memory = load_yaml_config("memory://team/config.yaml")
+        assert via_memory == via_file_url
+    finally:
+        del MEMORY_CONFIGS["team/config.yaml"]
+
+    with pytest.raises(FileNotFoundError):
+        load_yaml_config("memory://missing.yaml")
+
+    configs = load_metric_configs(config_path=f"file://{p}")
+    assert configs[0].metric_definition.name == "url_count"
+
+
 def test_metrics_json_precedence_and_fallback():
     # --metrics JSON parses (main.py:288-308); bad JSON falls back to single
     metrics = json.dumps(
