@@ -94,6 +94,104 @@ def test_batch_stream_parity(spark, tmp_path):
     }
 
 
+def test_monitoring_sink_contract_through_foreachbatch(spark, tmp_path):
+    """End-to-end adapter contract: a streaming query pushing to the
+    Cloud Monitoring sink with an injected fake client keeps running
+    through InvalidArgument responses (swallowed per-point, reference
+    metrics_exporter.py:116-121) while every accepted point arrives as
+    a well-formed TimeSeries request; a fatal client error fails the
+    query instead of being dropped."""
+    from beametrics_spark.sinks import GoogleCloudMonitoringSink
+
+    class InvalidArgument(Exception):
+        pass
+
+    class RecordingClient:
+        """Accepts err_bytes points; rejects all_count points as invalid."""
+
+        requests: list = []
+        rejected = 0
+
+        def create_time_series(self, req):
+            if "all_count" in req["time_series"]["metric"]["type"]:
+                RecordingClient.rejected += 1
+                raise InvalidArgument("bad label")
+            self.requests.append(req)
+
+    data = [
+        ("2024-01-01T00:00:05", "ERROR", 100),
+        ("2024-01-01T00:00:25", "ERROR", 150),
+        ("2024-01-01T00:01:10", "INFO", 50),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for ts, sev, b in data:
+            f.write(json.dumps({"ts": ts, "severity": sev, "bytes": b}) + "\n")
+
+    cfgs = [
+        MetricConfig(
+            metric_definition=MetricDefinition(
+                name="err_bytes", type="sum", field="bytes"
+            ),
+            filter_conditions=[FilterCondition("severity", "ERROR", "equals")],
+        ),
+        MetricConfig(
+            metric_definition=MetricDefinition(name="all_count", type="count"),
+            filter_conditions=[],  # empty ⇒ match-all (reference filter.py:18-19)
+        ),
+    ]
+    sink = GoogleCloudMonitoringSink("proj", client_factory=RecordingClient)
+    stream_df = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    q = run_metrics_stream(
+        stream_df,
+        cfgs,
+        {0: sink, 1: sink},
+        window_size=60,
+        watermark="10 seconds",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    q.processAllAvailable()
+    assert q.exception() is None  # InvalidArgument never killed the query
+    q.stop()
+
+    assert RecordingClient.rejected > 0
+    assert RecordingClient.requests  # at-least-once: accepted points delivered
+    for req in RecordingClient.requests:
+        assert req["name"] == "projects/proj"
+        ts = req["time_series"]
+        assert ts["resource"] == {
+            "type": "global",
+            "labels": {"project_id": "proj"},
+        }
+        (point,) = ts["points"]
+        assert point["interval"]["end_time"] % 60 == 0
+        assert isinstance(point["value"]["double_value"], float)
+
+    class Fatal(Exception):
+        pass
+
+    class FatalClient:
+        def create_time_series(self, req):
+            raise Fatal("quota permanently exceeded")
+
+    sink2 = GoogleCloudMonitoringSink("proj", client_factory=FatalClient)
+    q2 = run_metrics_stream(
+        stream_df,
+        cfgs[:1],
+        {0: sink2},
+        window_size=60,
+        watermark="10 seconds",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        output_mode="update",
+    )
+    with pytest.raises(Exception, match="quota|StreamingQuery"):
+        q2.processAllAvailable()
+        q2.awaitTermination(30)
+    q2.stop()
+
+
 def test_stream_dedup_drops_duplicates(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps one row per fingerprint, in a
     corpus where duplicates genuinely exist (the small-SF documents
