@@ -6,12 +6,14 @@ feature-extract / resize / frame-sample run as Arrow-batched functions
 over ``mapInPandas`` so each task processes whole record batches without
 JVM→Python row churn.
 
-The actual codec step is STUBBED — image/audio libraries are not in this
-container (TESTDATA ships no media either). ``decode_media`` raises
-NotImplementedError unless ``fake=True``, which substitutes a
-deterministic pseudo-decode (hash-derived dims/duration) so the
-Spark-side plumbing — schema, batch iteration, partition behavior — is
-real and tested end-to-end.
+The general codec step is STUBBED — image/audio libraries are not in
+this container (TESTDATA ships no media either): ``decode_media`` with
+``fake=True`` substitutes a deterministic pseudo-decode (hash-derived
+dims/duration) so the Spark-side plumbing — schema, batch iteration,
+partition behavior — is real and tested end-to-end. BMP and PPM need no
+codec, so ``fake=False`` has a REAL path for them (operators/
+imagecodec.py, pure numpy in the Arrow batch); any other media type
+still raises NotImplementedError honestly.
 """
 
 from __future__ import annotations
@@ -65,22 +67,37 @@ def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, list[f
     return width, height, duration, feature
 
 
+def _real_decode(payload: bytes, media_type: str) -> tuple[int, int, int, list[float]]:
+    """Real decode for codec-free formats: BMP/PPM parse + mean-RGB
+    feature. Sums are exact int64 over uint8 samples, so the derived
+    doubles are bit-identical across engines and summation orders."""
+    if media_type not in ("image/bmp", "image/ppm"):
+        raise NotImplementedError(
+            f"no codec for {media_type!r} in this container "
+            "(only image/bmp and image/ppm decode for real); "
+            "pass fake=True for the deterministic stub"
+        )
+    from beametrics_spark.operators.imagecodec import decode_image
+
+    w, h, px = decode_image(payload)
+    sums = px.astype("int64").sum(axis=(0, 1))
+    feature = [float(s) / (w * h) / 255.0 for s in sums]
+    return w, h, 0, feature
+
+
 def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
     """Decode/feature-extract over mapInPandas (Arrow record batches).
 
-    ``fake=False`` raises NotImplementedError at task time — the honest
-    marker that no codec exists in this environment.
+    ``fake=False`` decodes BMP/PPM payloads for real (pure numpy, see
+    operators/imagecodec.py) and raises NotImplementedError for media
+    types that would need an absent codec — the honest marker.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode_one = _fake_decode if fake else _real_decode
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) not available in this "
-                    "container; pass fake=True for the deterministic stub"
-                )
             decoded = [
-                _fake_decode(p, m)
+                decode_one(p, m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
@@ -171,6 +188,81 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_media(media, fake=True)
     frames = sample_frames(decoded, every_ms=1000)
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+def bmp_ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize REAL image payloads: each doc_id becomes a BMP (even)
+    or PPM (odd) whose pixels follow the shared fixture formula. The
+    encode runs in the same Arrow batches the decoder uses."""
+    from beametrics_spark.operators.imagecodec import fixture_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [fixture_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [mt for mt, _ in payloads],
+                    "payload": [p for _, p in payloads],
+                    "n_bytes": [len(p) for _, p in payloads],
+                }
+            )
+
+    return docs.mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_bmp_ppm_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             16 + doc_id % 17 AS width,
+             16 + doc_id % 13 AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                  ELSE 'image/ppm' END AS media_type
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.media_type, d.width, d.height,
+             (d.doc_id*7 + x.x*3 + y.y*5) % 256       AS r,
+             (d.doc_id*7 + x.x*3 + y.y*5 + 11) % 256  AS g,
+             (d.doc_id*7 + x.x*3 + y.y*5 + 22) % 256  AS b
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) x,
+           LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) y
+    )
+    SELECT doc_id, media_type,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(SUM(r) AS DOUBLE) / (width * height) / 255.0 AS mean_r,
+           CAST(SUM(g) AS DOUBLE) / (width * height) / 255.0 AS mean_g,
+           CAST(SUM(b) AS DOUBLE) / (width * height) / 255.0 AS mean_b
+    FROM px
+    GROUP BY doc_id, media_type, width, height
+    """,
+)
+def multimodal_bmp_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-oracled: synthesized BMP/PPM payloads →
+    actual header+pixel parse (fake=False) → per-doc dims and mean RGB.
+
+    DuckDB recomputes the same pixels from the fixture formula, so every
+    byte the parser touches — row padding, bottom-up BMP order, BGR
+    swizzle, PPM header scan — is verified by value, not just shape.
+    Channel sums are exact int64, so the double means are bit-identical
+    regardless of summation order in either engine.
+    """
+    media = bmp_ppm_media_table(spark, sf_dir)
+    decoded = decode_media(media, fake=False)
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.element_at("feature", 1).alias("mean_r"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_b"),
+    )
 
 
 @register("multimodal_decode_features", None)
