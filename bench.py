@@ -68,6 +68,57 @@ STREAMING_QUERIES = [
 ]
 
 
+def _layout_bench(spark, sf_dir: str) -> dict:
+    """Physical-layout demo: the same join-aggregate over bucketed vs
+    flat parquet. Bucketing pre-shuffles at write time (an index-build
+    cost, amortized over every subsequent query — reported separately
+    as build_s), so the per-query join runs with ZERO exchanges. At
+    100 TB this is the difference between re-shuffling terabytes per
+    query and none; broadcast is disabled during the measurement so the
+    plan proves co-location, not small-table luck.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from beametrics_spark.sources import load_table
+    from beametrics_spark.sources.layout import bucketed_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    t0 = time.perf_counter()
+    write_bucketed(orders, "bench_b_orders", "o_orderkey", 16)
+    write_bucketed(li, "bench_b_lineitem", "o_orderkey", 16)
+    build_s = round(time.perf_counter() - t0, 3)
+
+    def agg(df):
+        return df.groupBy("o_orderkey").agg(
+            F.sum("l_quantity").alias("qty"), F.first("o_totalprice").alias("price")
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = agg(bucketed_join(spark, "bench_b_orders", "bench_b_lineitem", "o_orderkey"))
+        flat = agg(orders.join(li, "o_orderkey"))
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must be exchange-free"
+        out = {"build_s": build_s, "bucketed_exchanges": 0}
+        for label, df in (("bucketed_join_agg", bucketed), ("flat_join_agg", flat)):
+            df.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            out[label] = round(time.perf_counter() - t0, 3)
+            print(f"# layout/{label}: {out[label]:.3f}s", file=sys.stderr)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bench_b_orders")
+        spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -120,6 +171,7 @@ def main() -> int:
 
     timings = timed(BENCH_QUERIES)
     streaming = timed(STREAMING_QUERIES)
+    layout = _layout_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -131,6 +183,7 @@ def main() -> int:
                 "queries": timings,
                 "streaming_parity_queries": streaming,
                 "streaming_parity_wall": round(sum(streaming.values()), 3),
+                "layout": layout,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
