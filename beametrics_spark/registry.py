@@ -37,6 +37,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.relational6  # noqa: F401
     import beametrics_spark.operators.dedup  # noqa: F401
     import beametrics_spark.operators.curation  # noqa: F401
+    import beametrics_spark.operators.curation2  # noqa: F401
     import beametrics_spark.operators.similarity  # noqa: F401
     import beametrics_spark.operators.similarity2  # noqa: F401
     import beametrics_spark.operators.ivf  # noqa: F401
