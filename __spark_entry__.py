@@ -68,18 +68,51 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
 )
 
 
+# Family order for the uncertified prefix: streaming parity and window
+# extensions have waited two rounds; rows-only entries sort after every
+# hash-checkable oracle query (the driver's rows-only check is weaker,
+# so oracle entries spend the bounded prefix better).
+_FAMILY_PRIORITY = {
+    "stream_parity": 0,
+    "windows_ext": 1,
+    "dedup": 2,
+    "curation": 3,
+    "curation2": 4,
+    "multimodal": 5,
+    "text": 6,
+    "text2": 7,
+    "relational6": 8,
+    "relational4": 9,
+    "relational5": 10,
+    "similarity2": 11,
+    "similarity": 12,
+    "ivf": 13,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ M7 set).
 
     Ordered with queries lacking a prior-round driver CORRECTNESS row
     first (see DRIVER_CERTIFIED) so the driver's bounded per-round check
     extends cumulative certification instead of re-checking the same
-    prefix every round.
+    prefix every round; within the uncertified block, oracle-checkable
+    entries precede rows-only ones, families per _FAMILY_PRIORITY.
     """
     from beametrics_spark.registry import load_all
 
     items = list(load_all().items())
-    items.sort(key=lambda kv: kv[0] in DRIVER_CERTIFIED)  # stable: keeps registry order
+
+    def rank(kv):
+        name, (fn, oracle) = kv
+        family = fn.__module__.rsplit(".", 1)[-1]
+        return (
+            name in DRIVER_CERTIFIED,
+            oracle is None,
+            _FAMILY_PRIORITY.get(family, 99),
+        )
+
+    items.sort(key=rank)  # stable: registry order within each group
     return {name: _wrap(fn) for name, (fn, _oracle) in items}
 
 

@@ -54,6 +54,14 @@ BENCH_QUERIES = [
     "quality_repetition_signals",
     "corpus_duplicate_ngram_fraction",
     "tfidf_top_terms",
+    # round-3 additions: partsupp-adapted TPC-H shapes, corpus governance,
+    # real image decode
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "pii_detection_rates",
+    "contamination_ngram_overlap",
+    "sequence_packing",
+    "multimodal_bmp_ppm_decode",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
