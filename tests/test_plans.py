@@ -99,3 +99,42 @@ def test_topk_no_global_sort(spark, sf_dir):
 
     plan = plan_of(topk_orders_per_priority(spark, sf_dir))
     assert "rangepartitioning" not in plan.lower().replace(" ", ""), plan
+
+
+def test_contamination_no_cartesian_and_single_gram_shuffle(spark, sf_dir):
+    """Decontamination must stay an inverted-index semi join on the gram
+    string — no doc x doc product anywhere in the plan."""
+    from beametrics_spark.operators.curation2 import contamination_ngram_overlap
+
+    plan = plan_of(contamination_ngram_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_q9_broadcasts_all_dimensions(spark, sf_dir):
+    """Q9's three dimension joins (part/supplier/nation) broadcast; only
+    lineitem-orders may shuffle."""
+    from beametrics_spark.operators.relational6 import tpch_q9_product_type_profit
+
+    plan = plan_of(tpch_q9_product_type_profit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_pii_detection_single_scan_no_join(spark, sf_dir):
+    """PII detection is one codegen regex pass + a tiny rollup — a single
+    scan, no join of any kind."""
+    from beametrics_spark.operators.curation2 import pii_detection_rates
+
+    plan = plan_of(pii_detection_rates(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_sequence_packing_one_shuffle_per_window(spark, sf_dir):
+    """Packing is one window per source partition: exactly one
+    hash-partitioning exchange feeds the window sort."""
+    from beametrics_spark.operators.curation2 import sequence_packing
+
+    plan = plan_of(sequence_packing(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # window + agg
+    assert "rangepartitioning" not in plan.lower().replace(" ", ""), plan
