@@ -390,3 +390,51 @@ def stream_dedup_exact(spark: SparkSession, stream_dir: str) -> DataFrame:
     )
     # stream_dir belongs to the caller — only the checkpoint is cleaned here
     return _drain_to_table(spark, deduped, "dedup", "append")
+
+
+@register(
+    "stream_multi_metric_fanout_parity",
+    """
+    SELECT CAST(0 AS INT) AS metric_id,
+           time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events WHERE event_type = 'error' GROUP BY 2
+    UNION ALL
+    SELECT CAST(1 AS INT) AS metric_id,
+           time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+           ROUND(SUM(value), 2) AS value
+    FROM events WHERE value > 100 GROUP BY 2
+    """,
+)
+def stream_multi_metric_fanout_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ref_multi_metric_fanout — the reference's flagship shape (N configs
+    over one stream, reference pipeline.py:168-178) — executed via
+    readStream → memory sink. The single-scan explode fan-out matters
+    MORE in streaming than batch: a union-of-branches plan would attach
+    N separate file-stream sources re-reading every micro-batch, while
+    the explode keeps one source feeding N metric groups. Shares the
+    batch query's two-branch UNION oracle."""
+    path = os.path.join(sf_dir, "events.parquet")
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_fanout_"
+        )
+        cfgs = [
+            MetricConfig(
+                metric_definition=MetricDefinition(name="error_count", type="count"),
+                filter_conditions=[FilterCondition("event_type", "error", "equals")],
+            ),
+            MetricConfig(
+                metric_definition=MetricDefinition(
+                    name="big_value_sum", type="sum", field="value"
+                ),
+                filter_conditions=[FilterCondition("value", 100, "greater_than")],
+            ),
+        ]
+        plan = build_metrics_pipeline(stream, cfgs, window_size=60)
+        out = _drain_to_table(spark, plan, "fanout_parity", "complete", stream_dir)
+    return out.select(
+        F.col("metric_id").cast("int").alias("metric_id"),
+        "window_start",
+        F.round("value", 2).alias("value"),
+    )
