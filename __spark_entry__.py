@@ -79,14 +79,15 @@ _FAMILY_PRIORITY = {
     "curation": 3,
     "curation2": 4,
     "multimodal": 5,
-    "text": 6,
-    "text2": 7,
-    "relational6": 8,
-    "relational4": 9,
-    "relational5": 10,
-    "similarity2": 11,
-    "similarity": 12,
-    "ivf": 13,
+    "events_ext": 6,
+    "text": 7,
+    "text2": 8,
+    "relational6": 9,
+    "relational4": 10,
+    "relational5": 11,
+    "similarity2": 12,
+    "similarity": 13,
+    "ivf": 14,
 }
 
 
