@@ -268,3 +268,63 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
+    """Stop → new data lands → restart from the SAME checkpoint: the
+    restarted query must pick up exactly the new file (no reprocessing,
+    no loss) and converge to the same aggregates as a batch run over
+    everything. This is the exactly-once source-tracking contract the
+    reference delegates to Dataflow and we delegate to checkpointed
+    file-source offsets."""
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for ts, sev, b in rows:
+                f.write(json.dumps({"ts": ts, "severity": sev, "bytes": b}) + "\n")
+
+    write_file("a.json", [
+        ("2024-01-01T00:00:05", "ERROR", 100),
+        ("2024-01-01T00:00:25", "ERROR", 150),
+    ])
+
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="err_bytes", type="sum", field="bytes"),
+        filter_conditions=[FilterCondition("severity", "ERROR", "equals")],
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream_df = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+        sink = MemorySink()
+        q = run_metrics_stream(
+            stream_df, [cfg], {0: sink},
+            window_size=60, watermark="10 seconds",
+            checkpoint_dir=ckpt, output_mode="update",
+        )
+        return q, sink
+
+    q1, sink1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    first = {(r["window_start"], r["value"]) for r in sink1.rows}
+    assert first == {(__import__("datetime").datetime(2024, 1, 1, 0, 0), 250.0)}
+
+    # new file arrives while the query is down
+    write_file("b.json", [
+        ("2024-01-01T00:00:45", "ERROR", 25),   # same window → updated agg
+        ("2024-01-01T00:01:10", "ERROR", 50),   # new window
+    ])
+
+    q2, sink2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    emitted = {(r["window_start"], r["value"]) for r in sink2.rows}
+    # update mode after restart emits only windows touched by file b,
+    # with state RESTORED from the checkpoint (250 + 25, not 25):
+    assert emitted == {
+        (__import__("datetime").datetime(2024, 1, 1, 0, 0), 275.0),
+        (__import__("datetime").datetime(2024, 1, 1, 0, 1), 50.0),
+    }
