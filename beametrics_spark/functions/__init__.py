@@ -109,3 +109,43 @@ def guard_quadratic(
             "allow_quadratic=True if you really mean it."
         )
     return df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot LEFT key over
+    ``salt_buckets`` reducers by salting the left side and replicating
+    the right side once per salt value.
+
+    Use when the right side is too big to broadcast but small enough
+    that salt_buckets-fold replication is cheaper than one straggler
+    reducer holding an entire hot key (the classic 100 TB skew-join
+    rewrite; AQE's runtime skew split covers many cases, but salting is
+    deterministic, planner-independent, and works for sort-merge joins
+    whose skew AQE only discovers after the shuffle is written).
+
+    The salt is a deterministic hash over the left row's columns — no
+    rand(), so results are reproducible and restart-safe in streaming.
+    Only the join distribution changes; the joined rows are identical
+    to the unsalted join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_src = F.concat_ws(
+        "\x02", *[F.col(c).cast("string") for c in left.columns]
+    )
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets))
+    )
+    replicated_right = right.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    joined = salted_left.join(replicated_right, [on, "_salt"], how)
+    return joined.drop("_salt")

@@ -94,3 +94,69 @@ def test_guard_quadratic_blocks_and_allows(spark):
     assert guard_quadratic(
         big, "big", scale_path="lsh", limit=100, allow_quadratic=True
     ).count() == 500
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salted join returns exactly the plain join's rows — only the
+    shuffle distribution differs."""
+    from beametrics_spark.functions import salted_join
+    from beametrics_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    plain = orders.join(li, "o_orderkey")
+    salted = salted_join(orders, li, "o_orderkey", salt_buckets=8)
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A 10k-row hot key must land in multiple salt buckets, and the join
+    key of the exchange must include the salt column."""
+    from beametrics_spark.functions import salted_join
+
+    hot = spark.range(10000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k int, name string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(hot, dim, "k", salt_buckets=8)
+        assert out.count() == 10000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan  # the exchange partitions on (k, _salt)
+        # distribution check: the hot key's rows hash into >1 salt bucket
+        salts = (
+            hot.withColumn(
+                "_salt",
+                F.pmod(
+                    F.xxhash64(
+                        F.concat_ws(
+                            "\x02", *[F.col(c).cast("string") for c in hot.columns]
+                        )
+                    ),
+                    F.lit(8),
+                ),
+            )
+            .select("_salt")
+            .distinct()
+            .count()
+        )
+        assert salts == 8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest
+
+    from beametrics_spark.functions import salted_join
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full")
