@@ -112,8 +112,10 @@ def _layout_bench(spark, sf_dir: str) -> dict:
         bucketed = agg(bucketed_join(spark, "bench_b_orders", "bench_b_lineitem", "o_orderkey"))
         flat = agg(orders.join(li, "o_orderkey"))
         plan = bucketed._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, "bucketed join must be exchange-free"
-        out = {"build_s": build_s, "bucketed_exchanges": 0}
+        # tests/test_layout.py asserts exchange-freeness hard; here it is
+        # recorded so a planner regression degrades the metric instead of
+        # failing the whole bench run
+        out = {"build_s": build_s, "bucketed_exchanges": plan.count("Exchange")}
         for label, df in (("bucketed_join_agg", bucketed), ("flat_join_agg", flat)):
             df.write.format("noop").mode("overwrite").save()  # warm
             t0 = time.perf_counter()
