@@ -123,3 +123,36 @@ def test_brp_lsh_variant(spark, sf_dir):
     key = emb.first()["vec"]
     nn = model.approxNearestNeighbors(emb, key, 5)
     assert nn.count() == 5
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """The deletion-neighborhood join finds EXACTLY the brute-force ED≤1
+    pair set — blocking loses nothing, verification removes the
+    false candidates (e.g. transposition pairs at distance 2)."""
+    from beametrics_spark.operators.dedup import dedup_edit_distance_pairs
+    from beametrics_spark.sources import load_table
+
+    out = {
+        (r["str_a"], r["str_b"], r["ed"])
+        for r in dedup_edit_distance_pairs(spark, sf_dir).collect()
+    }
+    assert out
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.concat(
+            F.lit("item-"),
+            (F.col("doc_id") / 2).cast("long").cast("string"),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("x")).otherwise(F.lit("")),
+        ).alias("s")
+    ).distinct()
+    a = keys.select(F.col("s").alias("str_a"))
+    b = keys.select(F.col("s").alias("str_b"))
+    brute = {
+        (r["str_a"], r["str_b"], r["ed"])
+        for r in a.join(b, F.col("str_a") < F.col("str_b"))
+        .select("str_a", "str_b", F.levenshtein("str_a", "str_b").alias("ed"))
+        .filter(F.col("ed") <= 1)
+        .collect()
+    }
+    assert out == brute
+    assert all(ed <= 1 for _, _, ed in out)
