@@ -232,7 +232,18 @@ def _read_config_text(path: str) -> str:
 
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
-        local = path[len("file://") :] if parsed.scheme == "file" else path
+        if parsed.scheme == "file":
+            # RFC 8089: file://HOST/path — only empty/localhost authority
+            # is readable here; file://configs/x.yaml would otherwise
+            # silently resolve 'configs' as a cwd-relative directory
+            if parsed.netloc not in ("", "localhost"):
+                raise ValueError(
+                    f"file:// URL with remote authority {parsed.netloc!r} "
+                    "is not readable locally"
+                )
+            local = parsed.path
+        else:
+            local = path
         with open(local) as f:
             return f.read()
     if parsed.scheme == "memory":

@@ -118,6 +118,7 @@ def salted_join(
     *,
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_on: str | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: spread each hot LEFT key over
     ``salt_buckets`` reducers by salting the left side and replicating
@@ -130,15 +131,21 @@ def salted_join(
     deterministic, planner-independent, and works for sort-merge joins
     whose skew AQE only discovers after the shuffle is written).
 
-    The salt is a deterministic hash over the left row's columns — no
-    rand(), so results are reproducible and restart-safe in streaming.
+    The salt is a deterministic hash — no rand(), so results are
+    reproducible and restart-safe in streaming. Default salt source is
+    the whole left row; if the hot key's rows are near-identical
+    (default-filled records), pass ``salt_on`` naming a high-cardinality
+    column (an id, an event time) so duplicates still spread — a
+    constant salt source degenerates back to one reducer per hot key.
     Only the join distribution changes; the joined rows are identical
     to the unsalted join.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt_src = F.concat_ws(
-        "\x02", *[F.col(c).cast("string") for c in left.columns]
+    salt_src = (
+        F.col(salt_on)
+        if salt_on
+        else F.concat_ws("\x02", *[F.col(c).cast("string") for c in left.columns])
     )
     salted_left = left.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets))

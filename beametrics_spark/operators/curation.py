@@ -171,12 +171,9 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the `source`/`doc_id` columns are the only ones read besides output.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-            "long"
-        ),
-        F.lit(100),
-    )
+    from beametrics_spark.operators.dedup import md5_hash60
+
+    bucket = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(100))
     pct = (
         F.when(F.col("source").isin(*_STRATA_HI), F.lit(50))
         .when(F.col("source").isin(*_STRATA_MID), F.lit(25))

@@ -257,8 +257,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
     return (
+        # integer `div`, not floor(double-divide): the double path loses
+        # exactness once a partition's cumulative tokens exceed 2^53 —
+        # precisely the regime the scale notes promise determinism for
         packed.withColumn(
-            "seq_id", F.floor(F.col("cum_before") / SEQ_CAP_TOKENS).cast("bigint")
+            "seq_id", F.expr(f"cum_before div {SEQ_CAP_TOKENS}").cast("bigint")
         )
         .groupBy("source", "seq_id")
         .agg(
@@ -310,12 +313,9 @@ def domain_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.expr("(1000 * m) div n_total").alias("keep_permille"),
     )
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-            "long"
-        ),
-        F.lit(1000),
-    )
+    from beametrics_spark.operators.dedup import md5_hash60
+
+    bucket = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(1000))
     return (
         docs.join(F.broadcast(rates), "source")
         .filter(bucket < F.col("keep_permille"))

@@ -452,7 +452,7 @@ FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
 
 
-def _md5_hash60(col: Column) -> Column:
+def md5_hash60(col: Column) -> Column:
     """Deterministic 60-bit integer hash shared with the DuckDB oracle:
     first 15 hex chars of md5, parsed base-16. 60 bits stays inside the
     signed long range of both engines (no ANSI overflow)."""
@@ -474,7 +474,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok")
-    ).withColumn("h", _md5_hash60(F.col("tok")))
+    ).withColumn("h", md5_hash60(F.col("tok")))
     # per-bit ±1 sums → sign bit; assemble the 60-bit signature
     bit_sums = toks.groupBy("doc_id").agg(
         *[

@@ -112,12 +112,9 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus grows). Narrow projection, one tiny agg shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-            "long"
-        ),
-        F.lit(100),
-    )
+    from beametrics_spark.operators.dedup import md5_hash60
+
+    bucket = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(100))
     split = (
         F.when(bucket < 90, F.lit("train"))
         .when(bucket < 95, F.lit("val"))

@@ -90,7 +90,12 @@ def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         tokens.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval, then raster begins
+    # single whitespace after maxval, then raster begins; tolerate a
+    # CRLF-writing encoder (else every sample would shift one byte)
+    if data[pos : pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     w, h, maxval = tokens
     if maxval != 255:
         raise ValueError(f"only maxval=255 PPM supported, got {maxval}")

@@ -69,3 +69,41 @@ def write_partitioned(
     cardinality partitioning creates a small-file explosion instead.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def bucketed_vs_flat_demo(spark: SparkSession, sf_dir: str, table_prefix: str):
+    """Build the shared bucketed-vs-flat join-aggregate demo used by both
+    bench.py (timings) and scripts/plan_report.py (plan audit), so the
+    two artifacts always describe the SAME experiment.
+
+    Returns (bucketed_df, flat_df, cleanup) — the same
+    `orders ⋈ lineitem ON o_orderkey → groupBy(o_orderkey)` over
+    16-bucket catalog tables vs flat parquet. Caller is responsible for
+    disabling broadcast around plan/timing reads and must call
+    cleanup() when done.
+    """
+    from pyspark.sql import functions as F
+
+    from beametrics_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    b_orders = f"{table_prefix}_b_orders"
+    b_li = f"{table_prefix}_b_lineitem"
+    write_bucketed(orders, b_orders, "o_orderkey", 16)
+    write_bucketed(li, b_li, "o_orderkey", 16)
+
+    def agg(df):
+        return df.groupBy("o_orderkey").agg(
+            F.sum("l_quantity").alias("qty"), F.first("o_totalprice").alias("price")
+        )
+
+    def cleanup():
+        spark.sql(f"DROP TABLE IF EXISTS {b_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_li}")
+
+    return agg(bucketed_join(spark, b_orders, b_li, "o_orderkey")), agg(
+        orders.join(li, "o_orderkey")
+    ), cleanup

@@ -87,35 +87,31 @@ def _layout_bench(spark, sf_dir: str) -> dict:
     """
     import time
 
-    from pyspark.sql import functions as F
+    from beametrics_spark.sources.layout import bucketed_vs_flat_demo
 
-    from beametrics_spark.sources import load_table
-    from beametrics_spark.sources.layout import bucketed_join, write_bucketed
-
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
-    )
     t0 = time.perf_counter()
-    write_bucketed(orders, "bench_b_orders", "o_orderkey", 16)
-    write_bucketed(li, "bench_b_lineitem", "o_orderkey", 16)
+    bucketed, flat, cleanup = bucketed_vs_flat_demo(spark, sf_dir, "bench")
     build_s = round(time.perf_counter() - t0, 3)
-
-    def agg(df):
-        return df.groupBy("o_orderkey").agg(
-            F.sum("l_quantity").alias("qty"), F.first("o_totalprice").alias("price")
-        )
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        bucketed = agg(bucketed_join(spark, "bench_b_orders", "bench_b_lineitem", "o_orderkey"))
-        flat = agg(orders.join(li, "o_orderkey"))
-        plan = bucketed._jdf.queryExecution().executedPlan().toString()
-        # tests/test_layout.py asserts exchange-freeness hard; here it is
-        # recorded so a planner regression degrades the metric instead of
-        # failing the whole bench run
-        out = {"build_s": build_s, "bucketed_exchanges": plan.count("Exchange")}
+        # count shuffle exchanges from the FINALIZED adaptive plan (AQE
+        # only settles stages after execution — the pre-execution string
+        # is the initial plan); recorded, not asserted, so a planner
+        # regression degrades the metric instead of failing the bench
+        # (tests/test_layout.py keeps the hard assertion)
+        bucketed.collect()
+        import re as _re
+
+        final = (
+            bucketed._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        n_shuffles = len(_re.findall(r"Exchange hashpartitioning", final))
+        out = {"build_s": build_s, "bucketed_exchanges": n_shuffles}
         for label, df in (("bucketed_join_agg", bucketed), ("flat_join_agg", flat)):
             df.write.format("noop").mode("overwrite").save()  # warm
             t0 = time.perf_counter()
@@ -124,8 +120,7 @@ def _layout_bench(spark, sf_dir: str) -> dict:
             print(f"# layout/{label}: {out[label]:.3f}s", file=sys.stderr)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS bench_b_orders")
-        spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
+        cleanup()
     return out
 
 

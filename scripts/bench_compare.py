@@ -33,8 +33,10 @@ def main() -> int:
             continue
         tot_s += sv
         tot_d += dv
-        print(f"| {name} | {sv:.3f} | {dv:.3f} | {sv / dv:.2f}x |")
-    print(f"| **total** | **{tot_s:.3f}** | **{tot_d:.3f}** | **{tot_s / tot_d:.2f}x** |")
+        ratio = f"{sv / dv:.2f}x" if dv > 0 else "—"  # sub-ms duck timings round to 0
+        print(f"| {name} | {sv:.3f} | {dv:.3f} | {ratio} |")
+    tot_ratio = f"{tot_s / tot_d:.2f}x" if tot_d > 0 else "—"
+    print(f"| **total** | **{tot_s:.3f}** | **{tot_d:.3f}** | **{tot_ratio}** |")
     print()
     print("Streaming-parity pipelines (full Structured Streaming harness:")
     print("micro-batch scheduler + state store + checkpoint I/O; setup cost")

@@ -71,6 +71,15 @@ def test_ppm_golden_and_comment_header():
     assert np.array_equal(out, px)
 
 
+def test_ppm_crlf_header():
+    """A CRLF-writing encoder must not shift the raster by one byte."""
+    px = np.array([[[9, 8, 7], [6, 5, 4]]], dtype=np.uint8)
+    crlf = b"P6\r\n2 1\r\n255\r\n" + px.tobytes()
+    w, h, out = decode_ppm(crlf)
+    assert (w, h) == (2, 1)
+    assert np.array_equal(out, px)
+
+
 def test_ppm_round_trip():
     rng = np.random.default_rng(11)
     px = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
