@@ -1,0 +1,46 @@
+"""Profiling operator invariants. Full value parity runs through
+scripts/oracle_check.py (both queries have DuckDB oracles)."""
+
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.profiling import (
+    key_skew_profile,
+    table_profile,
+    table_profile_orders,
+)
+from beametrics_spark.sources import load_table
+
+
+def test_key_skew_profile_ordering_and_ratio(spark, sf_dir):
+    rows = key_skew_profile(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    counts = [r["n_rows"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    n_keys = li.select("l_orderkey").distinct().count()
+    total = li.count()
+    top = rows[0]
+    assert abs(top["skew_ratio"] - round(top["n_rows"] * n_keys / total, 4)) < 1e-9
+    assert all(r["skew_ratio"] >= 1.0 for r in rows)  # hottest ≥ mean
+
+
+def test_table_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "k int, s string"
+    )
+    out = {r["column_name"]: r for r in table_profile(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4
+    assert out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 2
+    assert (out["k"]["min_value"], out["k"]["max_value"]) == ("1", "2")
+    assert out["s"]["n_nulls"] == 1
+    assert out["s"]["n_distinct"] == 2
+    assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "b")
+
+
+def test_table_profile_orders_shape(spark, sf_dir):
+    rows = table_profile_orders(spark, sf_dir).collect()
+    assert len(rows) == 4
+    n = load_table(spark, sf_dir, "orders").count()
+    assert all(r["n_rows"] == n for r in rows)
+    assert all(r["n_nulls"] == 0 for r in rows)  # synthetic data is complete
