@@ -156,3 +156,35 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark, sf_dir):
     }
     assert out == brute
     assert all(ed <= 1 for _, _, ed in out)
+
+
+def test_incremental_dedup_classification(spark, sf_dir):
+    """Planted duplicates: corpus-dup beats batch-dup; first batch
+    occurrence of a batch-internal dup is 'new', later ones dup_in_batch."""
+    from beametrics_spark.operators.dedup import (
+        classify_incremental,
+        dedup_incremental_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "known text"), (1, "other known")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "known text"),     # dup of corpus
+            (11, "fresh text"),     # new
+            (12, "fresh text"),     # dup within batch (11 came first)
+            (13, "known text"),     # corpus-dup wins over batch-dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in classify_incremental(corpus, batch).collect()}
+    assert out == {
+        10: "dup_of_corpus",
+        11: "new",
+        12: "dup_in_batch",
+        13: "dup_of_corpus",
+    }
+    # registry entry runs on the real table and covers the whole batch
+    rows = dedup_incremental_batch(spark, sf_dir).collect()
+    assert rows and {r["status"] for r in rows} <= {"dup_of_corpus", "dup_in_batch", "new"}
