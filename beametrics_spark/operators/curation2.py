@@ -227,7 +227,13 @@ SEQ_CAP_TOKENS = 512
       FROM toks
     )
     SELECT source,
-           cum_before // {SEQ_CAP_TOKENS} AS seq_id,
+           -- normalization contract (same class as sessions_per_user):
+           -- cum_before is a windowed SUM(BIGINT), which DuckDB widens to
+           -- HUGEINT; left uncast, the driver's value-hasher serializes
+           -- HUGEINT differently from Spark's BIGINT even though the
+           -- numbers are equal (CORRECTNESS_r03 hash-red). Every exported
+           -- integer column must be CAST AS BIGINT on the DuckDB side.
+           CAST(cum_before // {SEQ_CAP_TOKENS} AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM packed
