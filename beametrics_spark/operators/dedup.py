@@ -38,6 +38,37 @@ MINHASH_K = 64
 LSH_BANDS = 16  # r = MINHASH_K / LSH_BANDS = 4 rows per band
 JACCARD_THRESHOLD = 0.8
 
+# Hot-group safety valve: a gram / LSH bucket / neighborhood key shared by
+# m documents expands to C(m,2) pairs. At test SFs m stays tiny, but at
+# corpus scale a boilerplate stop-gram appearing in 10^6+ docs would emit
+# ~5*10^11 pairs from a single group — OOM/straggler, not slow. Groups
+# larger than this cap are dropped BEFORE pair expansion. Recall argument:
+# a group that hot is corpus boilerplate with ~zero discriminative signal;
+# its members, if truly near-identical, are all-pairs-connected through
+# many OTHER (sub-cap) groups and through the exact-dup / cluster
+# pre-pass (dedup_exact, dedup_clusters), which never pair-expands.
+HOT_GROUP_CAP = 1024
+
+
+def drop_hot_groups(df: DataFrame, is_hot: Column, metric) -> DataFrame:
+    """Filter out hot-group rows, recording how many were dropped as an
+    observed metric (`n_dropped`) on the plan itself.
+
+    ``observe`` piggybacks on the existing pass — no extra job, unlike a
+    ``.count()`` — and surfaces through QueryExecutionListener (or a
+    passed ``pyspark.sql.Observation``, used by tests) so a production
+    run can alert on silent truncation. This is the repo's
+    log-what-you-drop discipline at zero marginal cost.
+
+    Known PySpark 4 quirk (tested in test_dedup_caps): if the WHOLE query
+    result is empty, AQE's empty-relation propagation hands Observation.get
+    a schema-less metrics row and its Python conversion asserts; the
+    listener path and any non-empty result are unaffected.
+    """
+    return df.observe(
+        metric, F.sum(is_hot.cast("long")).alias("n_dropped")
+    ).filter(~is_hot)
+
 
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokenization (documents are single-space word streams)."""
@@ -155,12 +186,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — no second pass, and the doc x doc matrix never materializes.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    cap=HOT_GROUP_CAP,
+    cap_metric="ngram_hot_grams",
+) -> DataFrame:
+    """Pair generation body, parameterized so tests can plant hot grams.
+
+    Posting lists larger than `cap` are dropped before pair expansion
+    (see HOT_GROUP_CAP). When the cap triggers, pairs whose overlap
+    depended on the dropped boilerplate gram lose that one contribution
+    to `c` — an explicit approximation, observable via the `cap_metric`
+    drop count; it never triggers at the shipped SFs (max posting list
+    ~tens of docs), so oracle parity is exact there. The aggregation
+    buffer itself stays O(df) per gram — for corpora where single-gram
+    df can reach 10^8 (GB-scale buffers), pre-filter stop-grams with a
+    map-combinable df-count semi-join before this inverted index.
+    """
     sh = shingle_table(docs)
-    pairs = (
+    posting = (
         sh.groupBy("s")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(F.explode(_pairs_expr(F.col("ds"))).alias("p"))
+    )
+    posting = drop_hot_groups(posting, F.size("ds") > cap, cap_metric)
+    pairs = (
+        posting.select(F.explode(_pairs_expr(F.col("ds"))).alias("p"))
         .select("p.*")
         .groupBy("doc_a", "doc_b")
         .agg(
@@ -176,25 +231,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pairs_expr(ds: Column) -> Column:
-    """All ordered pairs (i < j) from a sorted array of (doc_id, n) structs.
+def _ordered_pairs(ds: Column, build) -> Column:
+    """All ordered pairs (i < j) of a sorted array, shaped by `build(x, y)`.
 
-    Posting lists are short (shingle doc-frequency), so the interpreted
-    HOF cost here is negligible — unlike the per-shingle hot path.
+    Posting lists are short once drop_hot_groups has run (≤ cap), so the
+    interpreted HOF cost here is bounded — unlike the per-shingle hot path.
     """
     return F.flatten(
         F.transform(
             ds,
             lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["n"].alias("na"),
-                    y["n"].alias("nb"),
-                ),
+                F.slice(ds, i + 2, F.size(ds)), lambda y: build(x, y)
             ),
         )
+    )
+
+
+def _pairs_expr(ds: Column) -> Column:
+    """Pairs of (doc_id, n) structs for the jaccard inverted index."""
+    return _ordered_pairs(
+        ds,
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["n"].alias("na"),
+            y["n"].alias("nb"),
+        ),
     )
 
 
@@ -304,16 +366,27 @@ def lsh_candidates(
     *,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    cap: int = HOT_GROUP_CAP,
+    cap_metric="lsh_hot_buckets",
 ) -> DataFrame:
     """Candidate pairs straight from documents via the string-free hash
     path (gram_hash_rows) — the hot-path entry point."""
     return _candidates_from_sigs(
-        _minhash_from_base_hashes(gram_hash_rows(docs), k), k=k, bands=bands
+        _minhash_from_base_hashes(gram_hash_rows(docs), k),
+        k=k,
+        bands=bands,
+        cap=cap,
+        cap_metric=cap_metric,
     )
 
 
 def _candidates_from_sigs(
-    sigs: DataFrame, *, k: int = MINHASH_K, bands: int = LSH_BANDS
+    sigs: DataFrame,
+    *,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    cap: int = HOT_GROUP_CAP,
+    cap_metric="lsh_hot_buckets",
 ) -> DataFrame:
     r = k // bands
     banded = sigs.select(
@@ -333,20 +406,22 @@ def _candidates_from_sigs(
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bucket")
     # group-by-bucket pair generation (single scan; see dedup_ngram_jaccard)
-    ids_pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    ids_pairs = _ordered_pairs(
+        F.col("ids"),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
-    return (
+    buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(ids_pairs).alias("p"))
+    )
+    # hot-bucket cap (HOT_GROUP_CAP): >cap docs agreeing on a full band
+    # signature are mutually near-identical boilerplate — pair expansion
+    # there is C(m,2); they stay connected through the exact-dup /
+    # cluster pre-pass, so dropping the bucket costs no real recall
+    buckets = drop_hot_groups(buckets, F.size("ids") > cap, cap_metric)
+    return (
+        buckets.select(F.explode(ids_pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -472,6 +547,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute identical signatures — values checked, not just shape.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    cap: int = HOT_GROUP_CAP,
+    cap_metric="simhash_hot_bucket_rows",
+) -> DataFrame:
+    """Signature + banding + self-join body, parameterized for tests."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok")
     ).withColumn("h", md5_hash60(F.col("tok")))
@@ -513,21 +598,30 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "sig", "b.band", "b.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # grouped pair generation (same shape as the LSH path): one shuffle on
+    # (band, bucket), hot buckets capped BEFORE C(m,2) expansion. This
+    # replaced a banded self-join — besides the unbounded hot-bucket
+    # fan-out, a self-join duplicates the whole signature pipeline into
+    # both branches (and an observe metric below a self-join is collected
+    # twice with merge-order semantics — unreliable).
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    buckets = drop_hot_groups(buckets, F.size("ds") > cap, cap_metric)
+    sig_pairs = _ordered_pairs(
+        F.col("ds"),
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["sig"].alias("sig_a"),
+            y["sig"].alias("sig_b"),
+        ),
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        buckets.select(F.explode(sig_pairs).alias("p"))
+        .select("p.*")
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -641,7 +735,23 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 2 == 1, F.lit("x")).otherwise(F.lit("")),
         ).alias("s")
     ).distinct()
-    # deletion neighborhood: the string itself + each single-char deletion
+    return edit_distance_pairs(keys)
+
+
+def edit_distance_pairs(
+    keys: DataFrame,
+    *,
+    cap: int = HOT_GROUP_CAP,
+    cap_metric="edit_distance_hot_keys",
+) -> DataFrame:
+    """Deletion-neighborhood join body over a (s: string) vocabulary,
+    parameterized so tests can feed real vocabularies and hot keys."""
+    # deletion neighborhood: the string itself + each single-char deletion.
+    # Guard empty strings BEFORE building the sequence: sequence(1, 0) is
+    # DESCENDING in Spark ([1, 0]), which would emit spurious neighborhood
+    # keys for blank entries in a real vocabulary (unreachable with the
+    # fixture's 'item-…' keys, guarded anyway).
+    keys = keys.filter(F.length("s") > 0)
     positions = F.sequence(F.lit(1), F.length("s"))
     deletions = F.transform(
         positions,
@@ -652,11 +762,28 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neighborhood = F.array_union(F.array(F.col("s")), deletions)
     exploded = keys.select("s", F.explode(neighborhood).alias("nk"))
+    # grouped pair generation with a hot-key cap (was a self-join on nk,
+    # which both fans out C(m,2) join rows on a hot key and duplicates
+    # the neighborhood pipeline into both branches). Note the recall
+    # semantics of a TRIGGERED cap here: unlike the gram paths, a
+    # substitution pair shares exactly ONE neighborhood key, so dropping
+    # a hot key is an explicit approximation (observable via the metric,
+    # never triggered at shipped SFs) — a key that hot means Ω(cap)
+    # strings within ~2 edits of one another, a degenerate blob whose
+    # pairwise expansion is the OOM the cap exists to prevent.
+    groups = (
+        exploded.groupBy("nk")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    groups = drop_hot_groups(groups, F.size("ss") > cap, cap_metric)
+    str_pairs = _ordered_pairs(
+        F.col("ss"),
+        lambda x, y: F.struct(x.alias("str_a"), y.alias("str_b")),
+    )
     cand = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), "nk")
-        .filter(F.col("a.s") < F.col("b.s"))
-        .select(F.col("a.s").alias("str_a"), F.col("b.s").alias("str_b"))
+        groups.select(F.explode(str_pairs).alias("p"))
+        .select("p.*")
         .distinct()
     )
     ed = F.levenshtein("str_a", "str_b")
