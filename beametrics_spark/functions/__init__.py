@@ -26,6 +26,18 @@ def time_bucket(ts: Column, seconds: int) -> Column:
     )
 
 
+def _check_no_salt_column(*frames: DataFrame) -> None:
+    """The salting helpers inject an internal '_salt' column; silently
+    overwriting (left side) or duplicating (right side) a caller's
+    existing '_salt' would corrupt the join keys, so fail loudly."""
+    for frame in frames:
+        if "_salt" in frame.columns:
+            raise ValueError(
+                "input already has a '_salt' column; rename it before "
+                "using the salting helpers (reserved internal name)"
+            )
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
@@ -50,6 +62,7 @@ def salted_aggregate(
     classic rewrite at 100 TB (one ultra-hot label-set would otherwise
     pin a single reducer).
     """
+    _check_no_salt_column(df)
     salt_src = (
         F.col(salt_on)
         if salt_on
@@ -142,6 +155,7 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    _check_no_salt_column(left, right)
     salt_src = (
         F.col(salt_on)
         if salt_on

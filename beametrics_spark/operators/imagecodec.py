@@ -90,13 +90,16 @@ def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         tokens.append(int(data[start:pos]))
+    w, h, maxval = tokens
     # single whitespace after maxval, then raster begins; tolerate a
-    # CRLF-writing encoder (else every sample would shift one byte)
-    if data[pos : pos + 2] == b"\r\n":
+    # CRLF-writing encoder (else every sample would shift one byte) —
+    # but ONLY when the 2-byte skip is the interpretation consistent
+    # with the declared dimensions: a spec-valid file whose header ends
+    # with a lone '\r' may legitimately start its raster with 0x0A
+    if data[pos : pos + 2] == b"\r\n" and len(data) - pos - 2 == w * h * 3:
         pos += 2
     else:
         pos += 1
-    w, h, maxval = tokens
     if maxval != 255:
         raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
     raw = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)

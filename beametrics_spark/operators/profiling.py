@@ -97,8 +97,8 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'o_totalprice', COUNT(*),
            CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
            CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
-           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
-           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+           CAST(CAST(ROUND(MIN(o_totalprice), 2) AS DECIMAL(38,2)) AS VARCHAR),
+           CAST(CAST(ROUND(MAX(o_totalprice), 2) AS DECIMAL(38,2)) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', COUNT(*),
@@ -113,11 +113,11 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style column profile of `orders`: null count, exact distinct
     count, min/max per column — one row per profiled column.
 
-    Built generically by table_profile(); Spark evaluates all columns'
-    aggregates in a single scan (one wide aggregate per column batch),
-    with values stringified so heterogeneous column types share one
-    output schema. min/max of doubles are rounded to match the oracle's
-    text rendering.
+    Built generically by table_profile(); all columns' aggregates run in
+    ONE df.agg (single scan), reshaped to row-per-column with stack().
+    Values are stringified so heterogeneous column types share one
+    output schema; double min/max render through DECIMAL(38,2) on both
+    engines (see table_profile's formatting contract).
     """
     orders = load_table(spark, sf_dir, "orders")
     return table_profile(
@@ -133,28 +133,52 @@ def table_profile(
     """Generic per-column profile: (column_name, n_rows, n_nulls,
     n_distinct, min_value, max_value), one output row per column.
 
-    Each column's aggregates run in one scan pass; the per-column
-    aggregate frames are unioned (|columns| one-row frames — plan width
-    grows with the profile, data volume does not).
+    ALL columns' aggregates run in one df.agg — genuinely one scan of
+    the source (the previous per-column agg+union shape scanned once per
+    profiled column). The multiple count_distinct columns plan as one
+    Expand (×|columns| rows into a map-side-combined partial aggregate),
+    which at 100 TB is far cheaper than |columns| extra scans. The
+    single one-row result is reshaped to one-row-per-column with stack().
+
+    Formatting contract for min/max: non-integer numeric columns MUST
+    appear in round_cols — their min/max are rounded then rendered via
+    DECIMAL(38, n), because a raw double→string cast turns >=1e7 values
+    into scientific notation ('5.5E7') in Spark while DuckDB renders
+    positionally. Integer and string columns cast identically in both
+    engines and need no entry.
     """
     round_cols = round_cols or {}
-    parts = []
+
+    def _fmt(expr, c):
+        if c in round_cols:
+            n = round_cols[c]
+            return F.round(expr, n).cast(f"decimal(38,{n})").cast("string")
+        return expr.cast("string")
+
+    per_col = []
     for c in columns:
         col = F.col(c)
-        lo, hi = F.min(col), F.max(col)
-        if c in round_cols:
-            lo = F.round(lo, round_cols[c])
-            hi = F.round(hi, round_cols[c])
-        parts.append(
-            df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
-                F.count_distinct(col).alias("n_distinct"),
-                lo.cast("string").alias("min_value"),
-                hi.cast("string").alias("max_value"),
-            ).select(F.lit(c).alias("column_name"), "*")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        per_col += [
+            F.count(col).alias(f"_cnt_{c}"),
+            F.count_distinct(col).alias(f"_nd_{c}"),
+            _fmt(F.min(col), c).alias(f"_min_{c}"),
+            _fmt(F.max(col), c).alias(f"_max_{c}"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("n_rows"), *per_col)
+    stacked = ", ".join(
+        f"'{c}', _cnt_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in columns
+    )
+    return row.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(columns)}, {stacked}) AS"
+            " (column_name, _cnt, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("_cnt")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

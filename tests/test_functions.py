@@ -160,3 +160,19 @@ def test_salted_join_rejects_unsupported_how(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, "k", how="full")
+
+
+def test_salting_rejects_existing_salt_column(spark):
+    import pytest
+
+    from beametrics_spark.functions import salted_aggregate, salted_join
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 2)], "k long, _salt long")
+    clean = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_aggregate(df, ["k"], {"n": F.count(F.lit(1))})
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(df, clean, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(clean, df, "k")

@@ -80,6 +80,18 @@ def test_ppm_crlf_header():
     assert np.array_equal(out, px)
 
 
+def test_ppm_lone_cr_with_0x0a_raster_start():
+    """A spec-valid header ending in a lone '\\r' whose raster happens to
+    BEGIN with byte 0x0A must not lose its first sample to the CRLF
+    tolerance — the 2-byte skip only applies when it is the
+    interpretation consistent with the declared dimensions."""
+    px = np.array([[[0x0A, 8, 7], [6, 5, 4]]], dtype=np.uint8)
+    lone_cr = b"P6\r2 1\r255\r" + px.tobytes()
+    w, h, out = decode_ppm(lone_cr)
+    assert (w, h) == (2, 1)
+    assert np.array_equal(out, px)
+
+
 def test_ppm_round_trip():
     rng = np.random.default_rng(11)
     px = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
