@@ -232,14 +232,20 @@ def bmp_ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dims d,
            LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) x,
            LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) y
+    ),
+    means AS (
+      SELECT doc_id, media_type,
+             CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+             CAST(SUM(r) AS DOUBLE) / (width * height) / 255.0 AS mean_r,
+             CAST(SUM(g) AS DOUBLE) / (width * height) / 255.0 AS mean_g,
+             CAST(SUM(b) AS DOUBLE) / (width * height) / 255.0 AS mean_b
+      FROM px
+      GROUP BY doc_id, media_type, width, height
     )
-    SELECT doc_id, media_type,
-           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
-           CAST(SUM(r) AS DOUBLE) / (width * height) / 255.0 AS mean_r,
-           CAST(SUM(g) AS DOUBLE) / (width * height) / 255.0 AS mean_g,
-           CAST(SUM(b) AS DOUBLE) / (width * height) / 255.0 AS mean_b
-    FROM px
-    GROUP BY doc_id, media_type, width, height
+    SELECT doc_id, media_type, width, height, mean_r, mean_g, mean_b,
+           ROUND(sqrt(mean_r*mean_r + mean_g*mean_g + mean_b*mean_b), 6)
+             AS feature_norm
+    FROM means
     """,
 )
 def multimodal_bmp_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,29 +260,23 @@ def multimodal_bmp_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     media = bmp_ppm_media_table(spark, sf_dir)
     decoded = decode_media(media, fake=False)
+    mr = F.element_at("feature", 1)
+    mg = F.element_at("feature", 2)
+    mb = F.element_at("feature", 3)
+    # feature_norm folds the former multimodal_decode_features stub-smoke
+    # entry into this value-oracled query: the downstream feature math
+    # (L2 norm over the decoded embedding) is now verified against the
+    # oracle instead of rows-only. Same left-assoc double expression in
+    # both engines, so the value is deterministic; round(6) absorbs any
+    # final-ulp rendering difference.
+    norm = F.round(F.sqrt(mr * mr + mg * mg + mb * mb), 6)
     return decoded.select(
         "doc_id",
         "media_type",
         "width",
         "height",
-        F.element_at("feature", 1).alias("mean_r"),
-        F.element_at("feature", 2).alias("mean_g"),
-        F.element_at("feature", 3).alias("mean_b"),
-    )
-
-
-@register("multimodal_decode_features", None)
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode pipeline smoke: stub decode → per-type feature norms.
-    Rows-only (decode is the deterministic fake)."""
-    media = media_table(spark, sf_dir)
-    decoded = decode_media(media, fake=True)
-    fnorm = F.sqrt(
-        F.aggregate(F.col("feature"), F.lit(0.0), lambda a, v: a + v * v)
-    )
-    return decoded.groupBy("media_type").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.avg("width"), 2).alias("avg_width"),
-        F.round(F.avg("duration_ms"), 2).alias("avg_duration_ms"),
-        F.round(F.avg(fnorm), 4).alias("avg_feature_norm"),
+        mr.alias("mean_r"),
+        mg.alias("mean_g"),
+        mb.alias("mean_b"),
+        norm.alias("feature_norm"),
     )
