@@ -279,22 +279,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly rounded everywhere; ln's last ulp is not), which is what
     lets the oracle hash-match the ranked output exactly.
 
-    Shuffle budget: ONE (doc_id, tok) term-count aggregation, then
-    document length and document frequency as windows over it (sum per
-    doc_id, count per tok) — the aggregate-then-join formulation scans
-    documents and recomputes the term counts 3× because per-branch
-    column pruning defeats exchange reuse (measured: 4 scans / 10
-    exchanges → 2 scans / 6 exchanges rewritten this way). The scalar
-    corpus size broadcasts; the final top-3 is a window over each doc's
-    terms."""
+    Shuffle budget — 3 data exchanges, each carrying the COMBINED
+    (doc_id, tok) table, never raw tokens; the other two exchanges in
+    the plan move one scalar row (corpus size + its broadcast). The
+    document length rides from the source as size(toks) — computed
+    BEFORE the explode, which deletes the per-doc window (and its
+    doc_id exchange) the previous shape paid. Shapes measured at sf0.1
+    (warm, local[32]):
+      - this one: 5 exchanges / 2 scans, 0.88 s;
+      - previous (len as a window): 6 exchanges, 0.95 s;
+      - repartition-raw-tokens-by-term (one big exchange): 4 exchanges
+        but 1.4 s — the raw-token shuffle loses map-side combine, and
+        at corpus scale it lands EVERY occurrence of a stop token in
+        one partition (T_stop rows) where this plan's df window holds
+        only its per-doc count rows (n_docs);
+      - df as groupBy+broadcast-join: 0.79 s here but 3 scans —
+        column-pruned branches defeat exchange reuse, so it rescans
+        the corpus; right only when a rescan beats a U-row shuffle
+        (it does not at 100 TB, where the df window's per-partition
+        skew cap is n_docs rows and the scan is the dominant cost).
+    """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tc = _unigram_counts(docs)
+    split_once = docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    toks = split_once.select(
+        "doc_id", F.size("toks").alias("len"), F.explode("toks").alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "len", "tok").agg(F.count(F.lit(1)).alias("c"))
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
     scored = (
-        tc.withColumn("len", F.sum("c").over(Window.partitionBy("doc_id")))
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+        tc.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         .join(F.broadcast(nd))
         .select(
             "doc_id",
