@@ -793,9 +793,10 @@ def edit_distance_pairs(
 # --- incremental dedup (new batch vs existing corpus) -------------------------
 
 
-@register(
-    "dedup_incremental_batch",
-    """
+# Shared with stream_incremental_dedup_parity (stream_parity.py): the
+# streaming foreachBatch pipeline must converge to exactly this batch
+# classification when the drop arrives as micro-batches.
+INCREMENTAL_ORACLE = """
     WITH corpus AS (
       SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400
     ),
@@ -814,8 +815,10 @@ def edit_distance_pairs(
     FROM batch b
     LEFT JOIN corpus c ON b.fp = c.fp
     JOIN in_batch_first f ON b.fp = f.fp
-    """,
-)
+"""
+
+
+@register("dedup_incremental_batch", INCREMENTAL_ORACLE)
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: classify each document of a new drop
     (doc_id >= 400 stands in for the incoming batch) as a duplicate of

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beametrics_spark.config import FilterCondition, MetricConfig, MetricDefinition
+from beametrics_spark.operators.dedup import INCREMENTAL_ORACLE
 from beametrics_spark.pipeline import build_metrics_pipeline
 from beametrics_spark.registry import register
 
@@ -438,3 +439,114 @@ def stream_multi_metric_fanout_parity(spark: SparkSession, sf_dir: str) -> DataF
         "window_start",
         F.round("value", 2).alias("value"),
     )
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession, corpus: DataFrame, stream_df: DataFrame
+) -> DataFrame:
+    """Continuous corpus intake: classify every micro-batch of incoming
+    documents as dup_of_corpus / dup_in_batch / new via foreachBatch.
+
+    Per epoch the micro-batch is joined (broadcast, stream side never
+    reshuffled) against TWO fingerprint indexes:
+      - the historical corpus index (DISTINCT md5 fingerprints — at
+        100 TB this is the persistent dedup index table, a few TB of
+        16-byte keys bucketed by fp; document bodies are never rescanned);
+      - the seen-within-this-drop index, refreshed per epoch: each
+        epoch appends its (fp, first doc_id) table, so a document whose
+        duplicate arrived in an EARLIER micro-batch classifies as
+        dup_in_batch exactly like the batch twin (dedup_incremental_batch)
+        would have classified it, regardless of how the stream chops the
+        drop into epochs.
+    Corpus-dup beats batch-dup, matching classify_incremental.
+
+    foreachBatch is the right tool (not a stateful operator): the logic
+    needs per-epoch BATCH joins against external index tables plus an
+    index append — exactly the batch-DataFrame-per-epoch contract.
+    """
+    out_dir = tempfile.mkdtemp(prefix="beametrics_incr_out_")
+    seen_dir = tempfile.mkdtemp(prefix="beametrics_incr_seen_")
+    ckpt = tempfile.mkdtemp(prefix="beametrics_incr_ckpt_")
+    corpus_fp = (
+        corpus.select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+
+    def classify_epoch(mb: DataFrame, _epoch_id: int) -> None:
+        mb_fp = mb.select("doc_id", F.md5("text").alias("fp"))
+        first_mb = mb_fp.groupBy("fp").agg(F.min("doc_id").alias("_mb_first"))
+        # empty-dir read needs the explicit schema (no footers to infer from)
+        seen = (
+            spark.read.schema("fp string, first_id long")
+            .parquet(seen_dir)
+            .groupBy("fp")
+            .agg(F.min("first_id").alias("_seen_first"))
+        )
+        eff_first = F.least(
+            F.coalesce(F.col("_seen_first"), F.col("_mb_first")), F.col("_mb_first")
+        )
+        status = (
+            F.when(F.col("_in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") > eff_first, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+        )
+        (
+            mb_fp.join(F.broadcast(corpus_fp), "fp", "left")
+            .join(F.broadcast(first_mb), "fp")
+            .join(F.broadcast(seen), "fp", "left")
+            .select("doc_id", status.alias("status"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        # refresh the drop-local index AFTER classifying (a doc is never
+        # a duplicate of itself)
+        first_mb.select(
+            "fp", F.col("_mb_first").alias("first_id")
+        ).write.mode("append").parquet(seen_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(classify_epoch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        # pin rows before the temp dirs vanish (registry callers collect later)
+        return (
+            spark.read.schema("doc_id long, status string")
+            .parquet(out_dir)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (out_dir, seen_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@register("stream_incremental_dedup_parity", INCREMENTAL_ORACLE)
+def stream_incremental_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_batch lifted to Structured Streaming: the new
+    drop (doc_id >= 400) arrives as a file-source stream and every
+    micro-batch is classified against the historical corpus index via
+    foreachBatch (see run_incremental_dedup_stream). Shares the batch
+    twin's oracle — the stream must converge to the identical
+    classification."""
+    from beametrics_spark.sources import load_table
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "documents", "beametrics_stream_incr_"
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") < 400)
+        try:
+            out = run_incremental_dedup_stream(
+                spark, corpus, stream.filter(F.col("doc_id") >= 400)
+            )
+        finally:
+            shutil.rmtree(stream_dir, ignore_errors=True)
+    return out

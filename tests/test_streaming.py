@@ -328,3 +328,66 @@ def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
         (__import__("datetime").datetime(2024, 1, 1, 0, 0), 275.0),
         (__import__("datetime").datetime(2024, 1, 1, 0, 1), 50.0),
     }
+
+
+def test_incremental_dedup_stream_multi_epoch(spark, tmp_path):
+    """The per-epoch index refresh: a document whose duplicate arrived in
+    an EARLIER micro-batch must classify dup_in_batch (not new), and a
+    corpus duplicate stays dup_of_corpus even when repeated in-stream —
+    converging to exactly what the batch twin computes on the whole drop."""
+    from beametrics_spark.operators.dedup import classify_incremental
+    from beametrics_spark.operators.stream_parity import (
+        run_incremental_dedup_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "corpus text one"), (2, "corpus text two")],
+        "doc_id long, text string",
+    )
+    # epoch 1: doc 10 (new), doc 11 (dup of corpus)
+    # epoch 2: doc 20 (dup of doc 10 — EARLIER EPOCH), doc 21 (new),
+    #          doc 22 (dup of doc 21 — same epoch), doc 23 (dup of corpus)
+    e1 = [(10, "fresh alpha"), (11, "corpus text one")]
+    e2 = [
+        (20, "fresh alpha"),
+        (21, "fresh beta"),
+        (22, "fresh beta"),
+        (23, "corpus text two"),
+    ]
+    drop_dir = tmp_path / "drop"
+    drop_dir.mkdir()
+    schema = "doc_id long, text string"
+    # two files, one per epoch via maxFilesPerTrigger=1 (file order is
+    # mtime-based; name them so epoch 1 sorts first and set mtimes apart)
+    import os
+    import time
+
+    spark.createDataFrame(e1, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(drop_dir / "e1")
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(e2, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(drop_dir / "e2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir / "*"))
+    )
+    out = run_incremental_dedup_stream(spark, corpus, stream)
+    got = {r.doc_id: r.status for r in out.collect()}
+    assert got == {
+        10: "new",
+        11: "dup_of_corpus",
+        20: "dup_in_batch",
+        21: "new",
+        22: "dup_in_batch",
+        23: "dup_of_corpus",
+    }
+    # parity with the batch twin over the same whole drop
+    whole_drop = spark.createDataFrame(e1 + e2, schema)
+    batch = {
+        r.doc_id: r.status
+        for r in classify_incremental(corpus, whole_drop).collect()
+    }
+    assert got == batch
