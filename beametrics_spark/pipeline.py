@@ -137,6 +137,7 @@ def aggregate_windows(
     window_size: int | None = None,
     window_spec: tuple[int, int | None, int | None] | None = None,
     watermark: str | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Windowed sum per (metric_id, labels_key).
 
@@ -152,6 +153,17 @@ def aggregate_windows(
     ``watermark`` (e.g. "30 seconds") is only applied to streaming frames —
     the reference has NO watermark (SURVEY.md §2.2); bounded state at scale
     requires one, so streaming callers must pass it.
+
+    ``salt_buckets`` opts into two-phase SALTED aggregation for hot label
+    sets — the reference's documented OOM scenario (SURVEY.md §4.3: one
+    ultra-hot (metric, labels) key pins a single reducer; Beam's combiner
+    lifting bounds memory but not the straggler). Phase 1 spreads each
+    (window, metric_id, labels_key) over salt_buckets reducers keyed by a
+    deterministic ts-hash; phase 2 merges partials per key — sum is
+    algebraic, so results are bit-identical to the unsalted path (pinned
+    by test_pipeline). Batch tumbling windows only: sliding/session
+    windows exist only as groupBy generators (one row → many windows),
+    and streaming two-phase aggregation would double the state stores.
     """
     if window_spec is None:
         size = normalize_window_size(
@@ -161,11 +173,34 @@ def aggregate_windows(
     src = fanned
     if watermark is not None and fanned.isStreaming:
         src = fanned.withWatermark("ts", watermark)
-    agg = src.groupBy(
-        _window_expr(window_spec).alias("window"),
-        "metric_id",
-        "labels_key",
-    ).agg(F.sum("value").alias("value"))
+    if salt_buckets:
+        from beametrics_spark.functions import salted_aggregate
+
+        size, slide, gap = window_spec
+        if (slide not in (None, size)) or gap is not None or src.isStreaming:
+            raise ValueError(
+                "salt_buckets supports batch tumbling windows only"
+            )
+        pre = src.select(
+            _window_expr(window_spec).alias("window"),
+            "metric_id",
+            "labels_key",
+            "value",
+            "ts",
+        )
+        agg = salted_aggregate(
+            pre,
+            ["window", "metric_id", "labels_key"],
+            {"value": F.sum("value")},
+            salt_buckets=salt_buckets,
+            salt_on="ts",
+        )
+    else:
+        agg = src.groupBy(
+            _window_expr(window_spec).alias("window"),
+            "metric_id",
+            "labels_key",
+        ).agg(F.sum("value").alias("value"))
     # config-side projections on aggregated rows: metric name + labels map
     # (tiny when-chains — the reference keeps configs in a Python list the
     # same way, pipeline.py:225-231)
@@ -195,6 +230,7 @@ def build_metrics_pipeline(
     window_size: int | None = None,
     watermark: str | None = None,
     resolve: FieldResolver | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Full plan: fan-out → window aggregate → formatted metric points.
 
@@ -220,7 +256,11 @@ def build_metrics_pipeline(
         fanned = fan_out(events, configs, ts_col=ts_col, resolve=resolve)
         (spec,) = specs
         return aggregate_windows(
-            fanned, configs, window_spec=spec, watermark=watermark
+            fanned,
+            configs,
+            window_spec=spec,
+            watermark=watermark,
+            salt_buckets=salt_buckets,
         )
     # Rare: heterogenous window specs → one branch per spec (each branch
     # still fans out all its configs in one scan).
@@ -240,6 +280,7 @@ def build_metrics_pipeline(
             configs,
             window_spec=spec,
             watermark=watermark,
+            salt_buckets=salt_buckets,
         )
         out = branch if out is None else out.unionByName(branch)
     return out
