@@ -132,3 +132,34 @@ def test_route_by_metric_dispatch(spark):
     route_by_metric({0: s0, 1: s1})(_points_df(spark), 0)
     assert [r["metric_name"] for r in s0.rows] == ["error_count"]
     assert [r["metric_name"] for r in s1.rows] == ["bytes_sum"]
+
+
+def test_monitoring_adapter_fake_records_and_swallows(spark):
+    """The adapter seam: GoogleCloudMonitoringSink drives any object with
+    create_time_series(req) — the recorded fake captures every request
+    and its InvalidArgument-shaped rejections are swallowed (at-least-
+    once, reference metrics_exporter.py:116-121)."""
+    from beametrics_spark.sinks import GoogleCloudMonitoringSink
+    from beametrics_spark.sinks.monitoring_adapter import RecordingFakeClient
+
+    fake = RecordingFakeClient(
+        fail_when=lambda req: "bad" in req["time_series"]["metric"]["type"]
+    )
+    sink = GoogleCloudMonitoringSink("proj", client_factory=lambda: fake)
+    df = _points_df(spark)
+    sink.write(df)
+    assert len(fake.requests) == df.count()  # every point attempted
+    types = [r["time_series"]["metric"]["type"] for r in fake.requests]
+    assert all(r["name"] == "projects/proj" for r in fake.requests)
+    assert types  # shape sanity: metric type strings present
+
+
+def test_monitoring_adapter_real_factory_gated(spark):
+    """Without the SDK installed, the real factory raises the documented
+    NotImplementedError instead of an obscure import failure."""
+    import pytest
+
+    from beametrics_spark.sinks.monitoring_adapter import real_client_factory
+
+    with pytest.raises(NotImplementedError, match="google-cloud-monitoring"):
+        real_client_factory("proj")()
