@@ -328,3 +328,56 @@ def domain_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_total", "keep_permille")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+N_SHARDS = 32
+
+
+@register(
+    "dataset_shard_assign",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % {N_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY hv % {N_SHARDS} ORDER BY hv, doc_id
+           ) AS BIGINT) AS shard_pos
+    FROM h
+    """,
+)
+def dataset_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    gets a shard (hash mod {N_SHARDS}) and a position within it (rank by
+    the same hash) — the pre-tokenization shuffle a training pipeline
+    needs so examples are decorrelated from ingest order, yet fully
+    reproducible run-to-run (hash-derived, no rand()).
+
+    The hash is md5-derived (md5_hash60, shared with the DuckDB oracle)
+    with a 'shard:' domain-separation prefix so shard assignment is
+    independent of other md5-bucketed decisions on the same doc_id
+    (dataset_split_assign, domain_rebalance_sample). At 100 TB the write
+    path is df.repartition(N_SHARDS, 'shard').sortWithinPartitions(
+    'shard_pos').write.partitionBy('shard') — the window here and that
+    repartition share the same hash partitioning, so assignment and
+    layout are one shuffle. Uniformity: 60-bit hash mod 32 is balanced
+    to ~2^-55; no shard can run hot.
+    """
+    from beametrics_spark.operators.dedup import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = md5_hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", hv.alias("hv"))
+        .withColumn("shard", F.pmod(F.col("hv"), F.lit(N_SHARDS)).cast("int"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("shard_pos"),
+        )
+        .select("doc_id", "shard", "shard_pos")
+    )

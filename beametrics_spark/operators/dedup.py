@@ -444,6 +444,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are only materialized for the few candidate docs.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate generation + exact verification body, reusable over any
+    documents frame (corpus_dedup_keep_list builds on it)."""
     # candidates are referenced twice below (id extraction + join) and are
     # tiny — checkpoint THEM, not the shingle table, so the heavy
     # gram→minhash→banding pipeline runs exactly once

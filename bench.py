@@ -62,6 +62,19 @@ BENCH_QUERIES = [
     "contamination_ngram_overlap",
     "sequence_packing",
     "multimodal_bmp_ppm_decode",
+    # round-4 additions: the remaining round-3 operator families now
+    # carry bench rows too (verdict r3 item 4)
+    "hierarchical_time_rollup",
+    "dedup_edit_distance_pairs",
+    "dedup_incremental_batch",
+    "dedup_simhash_pairs",
+    "funnel_conversion",
+    "dataset_split_assign",
+    "key_skew_profile",
+    "table_profile_orders",
+    "domain_rebalance_sample",
+    "corpus_dedup_keep_list",
+    "dataset_shard_assign",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -73,6 +86,7 @@ BENCH_QUERIES = [
 STREAMING_QUERIES = [
     "stream_equals_count_parity",
     "stream_join_click_purchase_parity",
+    "stream_incremental_dedup_parity",
 ]
 
 

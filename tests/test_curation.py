@@ -75,3 +75,50 @@ def test_sample_prunes_text_column(spark):
     df = sample_stratified_hash(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan
+
+
+def test_dedup_keep_list_resolves_exact_and_near(spark):
+    """Planted corpus: docs 0,1 byte-identical; doc 2 a near-dup (one
+    trailing token changed, jaccard 15/17 = 0.88); doc 3 unique. Exact
+    beats near in the verdict; everything resolves toward root 0."""
+    from beametrics_spark.operators.curation import dedup_keep_list
+
+    base = " ".join(f"w{i}" for i in range(20))
+    variant = " ".join(f"w{i}" for i in range(19)) + " z9"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, variant), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.decision, r.reason, r.keep_id)
+        for r in dedup_keep_list(spark, docs).collect()
+    }
+    assert got == {
+        0: ("keep", "canonical", 0),
+        1: ("drop", "exact_dup", 0),
+        2: ("drop", "near_dup", 0),
+        3: ("keep", "unique", 3),
+    }
+
+
+def test_dataset_shard_assign_shape(spark, sf_dir):
+    """Shards land in [0, N_SHARDS); positions are dense 1..n per shard;
+    assignment is deterministic across runs."""
+    from beametrics_spark.operators.curation2 import (
+        N_SHARDS,
+        dataset_shard_assign,
+    )
+
+    out = dataset_shard_assign(spark, sf_dir)
+    rows = out.collect()
+    assert {r.shard for r in rows} <= set(range(N_SHARDS))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = {(r.doc_id, r.shard, r.shard_pos) for r in rows}
+    assert again == {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in dataset_shard_assign(spark, sf_dir).collect()
+    }
