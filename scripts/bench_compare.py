@@ -53,9 +53,10 @@ def main() -> int:
         "(driver → DAG → 32-thread task dispatch), not by plan quality —\n"
         "PLANS.md shows pushed filters, broadcast dimensions, and\n"
         "whole-stage codegen on all of them. The genuinely data-bound\n"
-        "queries (the three shingle-heavy dedup/text queries at 8-9 s in\n"
-        "DuckDB) run 3-4x FASTER on Spark. At 100x data the floor is noise;\n"
-        "the data-bound ratios are what scale."
+        "queries (the shingle-heavy dedup/text set and the recursive\n"
+        "connected-components keep-list, 4-32 s in DuckDB) run 3-5x FASTER\n"
+        "on Spark. At 100x data the floor is noise; the data-bound ratios\n"
+        "are what scale."
     )
     return 0
 
