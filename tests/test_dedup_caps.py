@@ -120,8 +120,12 @@ def test_simhash_hot_bucket_dropped(spark):
 
 
 def test_caps_never_trigger_at_test_sf(spark, sf_dir):
-    # oracle parity at the shipped SFs relies on the default cap being
-    # far above any real posting list / bucket there
+    # oracle parity for the ngram/LSH paths relies on the default cap
+    # being far above any real posting list / bucket at the shipped SFs
+    # (measured sf0.1 maxima: shingle df 4, LSH bucket 4). simhash is
+    # different: its buckets DO exceed the cap at sf0.1 (~1.6k docs —
+    # degenerate banding on this vocabulary), which is why its cap is
+    # part of the operator contract and appears in the oracle SQL itself.
     from beametrics_spark.operators.dedup import shingle_table
     from beametrics_spark.sources import load_table
 
