@@ -433,3 +433,62 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.sum("c_acctbal"), 2).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "central_tendency_per_type",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(quantile_cont(value, 0.5), 6) AS median_value
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, value, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, value
+    ),
+    m AS (
+      SELECT event_type, value AS mode_value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, value ASC) AS rk
+      FROM c
+    )
+    SELECT base.event_type, base.n, base.median_value, m.mode_value
+    FROM base JOIN m ON base.event_type = m.event_type AND m.rk = 1
+    """,
+)
+def central_tendency_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + mode per event type — the central-tendency
+    aggregates the stat-showcase row lacked.
+
+    The median is EXACT (sort-based percentile(0.5), linear
+    interpolation — identical arithmetic to DuckDB's quantile_cont, vs
+    the sketch-based approx twin in value_quantiles_per_type). The mode
+    deliberately avoids both engines' built-in mode(): ties are broken
+    arbitrarily there, so it is re-expressed as count-desc/value-asc
+    ranking — deterministic, hash-matchable, and the formulation that
+    scales (a groupBy(count) + per-type top-1, no global sort). Exact
+    medians at 100 TB group sizes want the approx twin instead; this
+    entry is the ground-truth pair to it, same pattern as
+    value_quantiles_exact_per_type.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+    )
+    counts = events.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    mode = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("value").alias("mode_value"))
+    )
+    return base.join(mode, "event_type")
