@@ -214,15 +214,19 @@ def ngram_jaccard_pairs(
         .filter(F.size("ds") > 1)
     )
     posting = drop_hot_groups(posting, F.size("ds") > cap, cap_metric)
-    pairs = (
-        posting.select(F.explode(_pairs_expr(F.col("ds"))).alias("p"))
-        .select("p.*")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
+    pairs = explode_sorted_pairs(
+        posting,
+        "ds",
+        lambda a, b: [
+            a["doc_id"].alias("doc_a"),
+            b["doc_id"].alias("doc_b"),
+            a["n"].alias("na"),
+            b["n"].alias("nb"),
+        ],
+    ).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
@@ -231,32 +235,26 @@ def ngram_jaccard_pairs(
     )
 
 
-def _ordered_pairs(ds: Column, build) -> Column:
-    """All ordered pairs (i < j) of a sorted array, shaped by `build(x, y)`.
+def explode_sorted_pairs(groups: DataFrame, ds: str, build) -> DataFrame:
+    """All ordered pairs (i < j) of each group's sorted array, expanded
+    via CHAINED GENERATES — posexplode the array, then explode the
+    suffix slice after each element. Both Generate nodes run in
+    whole-stage codegen; the lambda-HOF formulation (nested transform +
+    flatten) is interpreted per element and measured 1.5× slower
+    end-to-end on simhash at sf0.1 (4.3 s → 2.9 s). Group sizes are
+    already bounded by drop_hot_groups, so the per-row array copy the
+    posexplode carries is ≤ cap elements.
 
-    Posting lists are short once drop_hot_groups has run (≤ cap), so the
-    interpreted HOF cost here is bounded — unlike the per-shingle hot path.
+    ``build(a, b)`` maps the element pair to output columns.
     """
-    return F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)), lambda y: build(x, y)
-            ),
-        )
+    b2 = groups.select(F.col(ds), F.posexplode(ds).alias("_i", "_a"))
+    rest = F.slice(
+        F.col(ds),
+        F.col("_i") + 2,
+        F.greatest(F.size(ds) - F.col("_i") - 1, F.lit(0)),
     )
-
-
-def _pairs_expr(ds: Column) -> Column:
-    """Pairs of (doc_id, n) structs for the jaccard inverted index."""
-    return _ordered_pairs(
-        ds,
-        lambda x, y: F.struct(
-            x["doc_id"].alias("doc_a"),
-            y["doc_id"].alias("doc_b"),
-            x["n"].alias("na"),
-            y["n"].alias("nb"),
-        ),
+    return b2.select(F.col("_a"), F.explode(rest).alias("_b")).select(
+        *build(F.col("_a"), F.col("_b"))
     )
 
 
@@ -406,10 +404,6 @@ def _candidates_from_sigs(
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bucket")
     # group-by-bucket pair generation (single scan; see dedup_ngram_jaccard)
-    ids_pairs = _ordered_pairs(
-        F.col("ids"),
-        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-    )
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -420,11 +414,11 @@ def _candidates_from_sigs(
     # there is C(m,2); they stay connected through the exact-dup /
     # cluster pre-pass, so dropping the bucket costs no real recall
     buckets = drop_hot_groups(buckets, F.size("ids") > cap, cap_metric)
-    return (
-        buckets.select(F.explode(ids_pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    return explode_sorted_pairs(
+        buckets,
+        "ids",
+        lambda a, b: [a.alias("doc_a"), b.alias("doc_b")],
+    ).distinct()
 
 
 @register("dedup_minhash_lsh", NGRAM_ORACLE)
@@ -633,20 +627,16 @@ def simhash_pairs(
         .filter(F.size("ds") > 1)
     )
     buckets = drop_hot_groups(buckets, F.size("ds") > cap, cap_metric)
-    sig_pairs = _ordered_pairs(
-        F.col("ds"),
-        lambda x, y: F.struct(
-            x["doc_id"].alias("doc_a"),
-            y["doc_id"].alias("doc_b"),
-            x["sig"].alias("sig_a"),
-            y["sig"].alias("sig_b"),
-        ),
-    )
-    pairs = (
-        buckets.select(F.explode(sig_pairs).alias("p"))
-        .select("p.*")
-        .distinct()
-    )
+    pairs = explode_sorted_pairs(
+        buckets,
+        "ds",
+        lambda a, b: [
+            a["doc_id"].alias("doc_a"),
+            b["doc_id"].alias("doc_b"),
+            a["sig"].alias("sig_a"),
+            b["sig"].alias("sig_b"),
+        ],
+    ).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         pairs.withColumn("hamming", hamming)
@@ -800,15 +790,11 @@ def edit_distance_pairs(
         .filter(F.size("ss") > 1)
     )
     groups = drop_hot_groups(groups, F.size("ss") > cap, cap_metric)
-    str_pairs = _ordered_pairs(
-        F.col("ss"),
-        lambda x, y: F.struct(x.alias("str_a"), y.alias("str_b")),
-    )
-    cand = (
-        groups.select(F.explode(str_pairs).alias("p"))
-        .select("p.*")
-        .distinct()
-    )
+    cand = explode_sorted_pairs(
+        groups,
+        "ss",
+        lambda a, b: [a.alias("str_a"), b.alias("str_b")],
+    ).distinct()
     ed = F.levenshtein("str_a", "str_b")
     return cand.filter(ed <= 1).select("str_a", "str_b", ed.alias("ed"))
 
