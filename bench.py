@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "domain_rebalance_sample",
     "corpus_dedup_keep_list",
     "dataset_shard_assign",
+    "central_tendency_per_type",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
