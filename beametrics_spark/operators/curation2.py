@@ -176,6 +176,14 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; the target side semi-joins on the gram string. No document
     pair is ever materialized, so cost is O(|grams|), not O(docs²) —
     the property that keeps decontamination feasible at corpus scale.
+
+    Plan-shape note: this reads the gram explosion three ways (3 scans,
+    7 exchanges — PLANS.md). The 1-scan/3-exchange alternative (flag
+    benchmark grams with a max() window over gram, aggregate per doc)
+    was measured 3× SLOWER at sf0.1 (0.54 s → 1.57 s): the window must
+    SORT the entire distinct gram table, while the semi-join hashes
+    against a broadcast benchmark set — scans are cheap, global sorts
+    are not, at every scale.
     """
     from beametrics_spark.operators.dedup import gram_rows
 
