@@ -38,18 +38,23 @@ def connected_components(pairs: DataFrame, max_iter: int = _CC_MAX_ITER) -> Data
     """(id, root) for every vertex in `pairs` (doc_a, doc_b edge list);
     root = min vertex id of the connected component.
 
-    Min-label propagation: every vertex starts as its own root, then
-    repeatedly takes the min root over itself and its neighbors until a
-    fixpoint. Converges in O(component diameter) rounds — near-dup
-    clusters are dense and shallow, so a handful of iterations.
+    Min-label propagation WITH POINTER JUMPING: each round every vertex
+    takes the min root over itself, its neighbors, and its root's root
+    (path doubling). The doubling step makes convergence O(log diameter)
+    instead of O(diameter) — a pathological chain-shaped component of
+    length 10^6 converges in ~20 rounds, where plain propagation would
+    need 10^6 and, worse, would SILENTLY return half-merged clusters at
+    the iteration cap. If the fixpoint is still not reached after
+    ``max_iter`` rounds (2^25 diameter — unreachable for real graphs),
+    this raises rather than returning wrong labels.
 
-    Scale shape: each round is one shuffle join (edges ⋈ labels on dst)
-    plus a groupBy(src) min — both hash-based, both partitioned by vertex
-    id, so AQE reuses the layout. `localCheckpoint` per round truncates
-    the lineage (iterative plans otherwise grow exponentially and
-    re-execute every prior round). Convergence is detected with a single
-    scalar aggregate (sum of roots strictly decreases while any label
-    moves) — no driver-side data collection at any point.
+    Scale shape: each round is two shuffle joins (edges ⋈ labels on dst;
+    labels ⋈ labels on root) plus a groupBy(src) min — all hash-based,
+    partitioned by vertex id. `localCheckpoint` per round truncates the
+    lineage (iterative plans otherwise grow exponentially and re-execute
+    every prior round). Convergence is detected with a single scalar
+    aggregate (sum of roots strictly decreases while any label moves) —
+    no driver-side data collection at any point.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -69,21 +74,36 @@ def connected_components(pairs: DataFrame, max_iter: int = _CC_MAX_ITER) -> Data
             .groupBy("src")
             .agg(F.min("root").alias("nroot"))
         )
+        stepped = labels.join(neigh, labels["id"] == neigh["src"], "left").select(
+            "id",
+            F.least(
+                F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))
+            ).alias("root"),
+        )
+        # pointer jumping: hop to the root's root (roots are always vertex
+        # ids present in `labels`, so the lookup join always matches)
+        jump = stepped.select(
+            F.col("id").alias("_rid"), F.col("root").alias("_rroot")
+        )
         labels = (
-            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            stepped.join(jump, stepped["root"] == jump["_rid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))
+                    F.col("root"), F.coalesce(F.col("_rroot"), F.col("root"))
                 ).alias("root"),
             )
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("root")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(component diameter > 2^{max_iter}?) — refusing to return "
+        "partially-merged clusters"
+    )
 
 
 # Oracle: DuckDB recursive CTE — transitive closure over the exact n-gram

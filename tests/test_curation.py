@@ -122,3 +122,31 @@ def test_dataset_shard_assign_shape(spark, sf_dir):
         (r.doc_id, r.shard, r.shard_pos)
         for r in dataset_shard_assign(spark, sf_dir).collect()
     }
+
+
+def test_connected_components_long_chain(spark):
+    """A 40-node path graph (diameter 39) must fully merge to root 0 —
+    the shape plain min-propagation cannot finish within the iteration
+    cap; pointer jumping converges in ~log2(40) rounds."""
+    from beametrics_spark.operators.curation import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_a long, doc_b long"
+    )
+    roots = {r.id: r.root for r in connected_components(edges).collect()}
+    assert len(roots) == 40
+    assert set(roots.values()) == {0}
+
+
+def test_connected_components_raises_instead_of_wrong_labels(spark):
+    """At an artificially tiny iteration cap the fixpoint is unreachable:
+    the contract is to RAISE, never to return half-merged clusters."""
+    import pytest
+
+    from beametrics_spark.operators.curation import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
