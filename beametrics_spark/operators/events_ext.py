@@ -125,3 +125,65 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "value_clip_rates",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(quantile_cont(value, 0.01), 6) AS p01,
+             ROUND(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.n, s.p01, s.p99,
+           CAST(SUM(CASE WHEN e.value < s.p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN e.value > s.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           ROUND(CAST(SUM(CASE WHEN e.value < s.p01 OR e.value > s.p99
+                          THEN 1 ELSE 0 END) AS DOUBLE) / s.n, 6)
+             AS clip_rate
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY s.event_type, s.n, s.p01, s.p99
+    """,
+)
+def value_clip_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-screening rates per event type: exact p01/p99 of value and
+    how many events a [p01, p99] clip would touch — the value-clipping /
+    winsorization audit a feature pipeline runs before normalization.
+
+    Deliberately percentile-based rather than z-score: exact percentiles
+    are SORT-derived and therefore bit-deterministic in both engines,
+    while mean/stddev over doubles depend on parallel summation order —
+    a |z| > 3 cutoff could flip a boundary event between engines (or
+    between partitionings). Same two-phase shape at 100 TB: a
+    |event_type|-row stats table broadcasts back onto one scan of
+    events; exact percentiles at that scale would swap in the
+    approx-sketch twin (value_quantiles_per_type's pattern).
+    """
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+    joined = events.select("event_type", "value").join(
+        F.broadcast(stats), "event_type"
+    )
+    below = (F.col("value") < F.col("p01")).cast("long")
+    above = (F.col("value") > F.col("p99")).cast("long")
+    return (
+        joined.groupBy("event_type", "n", "p01", "p99")
+        .agg(
+            F.sum(below).alias("n_below"),
+            F.sum(above).alias("n_above"),
+            F.round(
+                F.sum(below + above).cast("double") / F.col("n"), 6
+            ).alias("clip_rate"),
+        )
+        .select(
+            "event_type", "n", "p01", "p99", "n_below", "n_above", "clip_rate"
+        )
+    )

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "corpus_dedup_keep_list",
     "dataset_shard_assign",
     "central_tendency_per_type",
+    "value_clip_rates",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
