@@ -68,3 +68,49 @@ def test_ngram_jaccard_matches_python_bruteforce(spark, texts):
         for r in ngram_jaccard_pairs(df).collect()
     }
     assert got == expected
+
+
+def _python_ed1_pairs(vocab: list[str]) -> set[tuple[str, str]]:
+    import itertools
+
+    def ed(a: str, b: str) -> int:
+        # classic DP, fine at property-test sizes
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    uniq = sorted(set(v for v in vocab if v))  # engine excludes blanks
+    return {
+        (a, b)
+        for a, b in itertools.combinations(uniq, 2)
+        if ed(a, b) <= 1
+    }
+
+
+# short strings over a 3-letter alphabet maximize neighborhood collisions
+_word = st.text(alphabet="abc", min_size=0, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vocab=st.lists(_word, min_size=2, max_size=12))
+def test_edit_distance_pairs_matches_python_bruteforce(spark, vocab):
+    """SymSpell deletion-neighborhood completeness on arbitrary
+    vocabularies (duplicates, blanks, 1-char strings): every ED<=1 pair
+    must surface, and the exact-verify step must kill the superset."""
+    from beametrics_spark.operators.dedup import edit_distance_pairs
+
+    expected = _python_ed1_pairs(vocab)
+    keys = spark.createDataFrame([(v,) for v in vocab], "s string").distinct()
+    got = {
+        (r.str_a, r.str_b) for r in edit_distance_pairs(keys).collect()
+    }
+    assert got == expected
