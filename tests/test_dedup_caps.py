@@ -138,3 +138,40 @@ def test_caps_never_trigger_at_test_sf(spark, sf_dir):
         .collect()[0][0]
     )
     assert max_df < HOT_GROUP_CAP
+
+
+def test_dedup_bodies_handle_empty_input(spark):
+    """Empty partitions/days are routine at scale: every dedup body must
+    return an empty result, not crash (empty collect_list groups, empty
+    connected-components label table, empty broadcast sides)."""
+    from beametrics_spark.operators.curation import dedup_keep_list
+    from beametrics_spark.operators.dedup import (
+        classify_incremental,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_keys = spark.createDataFrame([], "s string")
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+    assert simhash_pairs(empty_docs).count() == 0
+    assert edit_distance_pairs(empty_keys).count() == 0
+    assert dedup_keep_list(spark, empty_docs).count() == 0
+    assert classify_incremental(empty_docs, empty_docs).count() == 0
+
+
+def test_dedup_handles_unicode_text(spark):
+    """Multibyte text (CJK, emoji) flows through tokenization, hashing,
+    and pair generation without mangling: identical unicode docs dedup
+    exactly and near-dup unicode docs pair up."""
+    base = "日本語 の テキスト 処理 は 楽しい です ね 🙂 終わり"
+    variant = "日本語 の テキスト 処理 は 楽しい です ね 🙂 完了"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, variant)], "doc_id long, text string"
+    )
+    out = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()}
+    assert (0, 1) in out  # identical unicode docs: jaccard 1
+    # one trailing token changed on a 10-token doc: 5/7 shared 6-gram...
+    # with width 5: shingles 6, shared 5, union 7 → 0.714 < 0.8 (absent)
+    assert (0, 2) not in out

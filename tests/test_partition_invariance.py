@@ -1,0 +1,53 @@
+"""Partition-count invariance: the driver's value-hash compares Spark
+output against DuckDB after rounding floats to 6 decimals, so any
+query whose values depend on parallel summation ORDER would flake
+between machines/partitionings — the exact failure class behind past
+hash-mismatch hunts (sessions_per_user r1, sequence_packing r3).
+
+Each risky query (double aggregation + rounding, rational TF-IDF,
+decimal-exact revenue, percentile cuts) runs under two different
+shuffle-partition settings; canonical outputs must be IDENTICAL, not
+just close.
+"""
+
+import pytest
+
+RISKY = [
+    "revenue_by_nation",          # decimal-exact by design
+    "tfidf_top_terms",            # rational IDF determinism claim
+    "text_quality_scores",        # double ratios + round
+    "sequence_packing",           # windowed cumsum buckets
+    "sessions_per_user",          # the round-1 normalization case
+    "central_tendency_per_type",  # sort-derived percentile claim
+    "value_clip_rates",           # percentile cuts + rate doubles
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    out = []
+    for row in df.collect():
+        d = row.asDict(recursive=True)
+        out.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else str(v)
+                for v in (d[c] for c in cols)
+            )
+        )
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_partition_count_invariance(spark, sf_dir, name):
+    import __spark_entry__ as entry
+
+    q = entry.queries()[name]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = _canon(q(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = _canon(q(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b
