@@ -1,0 +1,277 @@
+"""Text analysis, wave 3: model-free statistical quality scoring.
+
+Large-scale curation pipelines layer three kinds of cheap signals before
+any model-based filter: (a) a corpus unigram language-model score (the
+CCNet/RedPajama "perplexity proxy" — docs whose tokens are collectively
+rare are boilerplate, code dumps, or noise), (b) per-document token
+entropy (low entropy = templated/repetitive text, complementary to the
+top-n-gram mass signals in text2), and (c) distribution-tail trims
+(drop the shortest/longest sliver of the corpus).  This module adds all
+three plus a per-rule failure breakdown for the composite quality gate.
+
+The reference has no text analytics (SURVEY.md §2.2 — its only string
+ops are json.loads / str() / float(), `beametrics/pipeline.py:90,195,
+208`); this extends the engine's LLM-training-data surface.
+
+All pure DataFrame expressions — no Python UDFs.  Scale notes (100 TB):
+- `unigram_logprob_quality` shuffles the exploded token table once (by
+  token, to attach corpus frequencies) and once more by doc_id for the
+  per-doc average.  The vocabulary table after the first aggregation is
+  Zipf-bounded (≪ corpus size); the corpus-total row is a broadcast.
+- `token_entropy_per_doc` is ONE explode + two hash aggregations, the
+  same shape as text2's repetition signals.
+- `doc_length_outlier_flags` deliberately avoids a global sort: exact
+  percentile cutoffs are computed by one aggregate (Spark's
+  `percentile` is a partial-merge aggregate, not an ordering) and
+  broadcast back; the flagging pass is then a pushdown-friendly scan.
+- `quality_rule_breakdown` is zero-shuffle per-document work (array ops
+  on the token array, bounded by doc length) + a 4-row rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.dedup import tokens_expr
+from beametrics_spark.operators.text import STOPWORDS
+from beametrics_spark.operators.text2 import MAX_TOKENS, MIN_TOKENS, MIN_TTR
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+# distribution-tail trim fractions (doc_length_outlier_flags)
+TAIL_LO = 0.05
+TAIL_HI = 0.95
+
+# rule thresholds for the per-rule breakdown (word counts in the corpus
+# run 10-99, TTR 0.28-1.0, mean word length ~3-5 — see text2 header)
+MIN_MEAN_WLEN = 3.0
+MAX_MEAN_WLEN = 8.0
+MIN_STOPWORD_RATIO = 0.03
+
+
+_LOGPROB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+total AS (SELECT sum(c) AS n FROM vocab)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(v.c * 1.0 / total.n)), 4) AS avg_logprob
+FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+GROUP BY 1
+"""
+
+
+@register("unigram_logprob_quality", _LOGPROB_ORACLE)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM score per document: mean ln p(token) where
+    p(token) = corpus frequency.  The CCNet-style perplexity proxy —
+    no trained model needed, the corpus is its own language model.
+
+    Plan shape: explode once; aggregate the vocabulary (Zipf-bounded);
+    join frequencies back on the token key (shuffle carries (doc_id,
+    tok) only); broadcast the single-row corpus total; final per-doc
+    hash aggregate.  At 100 TB the vocab join is the only wide shuffle
+    and both sides are already token-partitioned from the aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") * F.lit(1.0) / F.col("n"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+_ENTROPY_ORACLE = r"""
+WITH uc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+  )
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+FROM uc GROUP BY 1
+"""
+
+
+@register("token_entropy_per_doc", _ENTROPY_ORACLE)
+def token_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's unigram distribution.
+
+    Low entropy flags templated/looping text that slips past length
+    filters; complements text2's top-unigram/bigram mass (entropy sees
+    the whole distribution, mass only the mode).  Single explode + two
+    hash aggregations; the entropy is computed as
+    log2(n) - sum(c*log2(c))/n so the per-doc aggregate needs no second
+    pass over token counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    uc = (
+        docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    # -Σ (c/n) log2(c/n)  ≡  log2(n) - Σ c·log2(c) / n
+    entropy = F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n
+    return uc.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(entropy, 4).alias("entropy_bits"),
+    )
+
+
+_TAIL_ORACLE = f"""
+WITH cuts AS (
+  SELECT quantile_cont(n_chars, {TAIL_LO}) AS lo,
+         quantile_cont(n_chars, {TAIL_HI}) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CASE WHEN n_chars < cuts.lo THEN 'low' ELSE 'high' END AS tail
+FROM documents, cuts
+WHERE n_chars < cuts.lo OR n_chars > cuts.hi
+"""
+
+
+@register("doc_length_outlier_flags", _TAIL_ORACLE)
+def doc_length_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents in the extreme tails of the corpus length distribution
+    (below p5 / above p95) — the standard trim before length-sensitive
+    dedup and packing stages.
+
+    Scale shape: NO global sort.  The exact interpolated percentiles
+    come from one `percentile` aggregate (partial-merge, same machinery
+    as any hash aggregate), are broadcast as a single row, and the
+    flagging pass is a plain scan whose comparison Catalyst can pipeline
+    with the parquet read.  Both engines use the same linear
+    interpolation (k = (n-1)·p over the sorted values), so the cutoffs
+    — and therefore tail membership — agree exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.agg(
+        F.percentile("n_chars", F.lit(TAIL_LO)).alias("lo"),
+        F.percentile("n_chars", F.lit(TAIL_HI)).alias("hi"),
+    )
+    flagged = docs.crossJoin(F.broadcast(cuts)).filter(
+        (F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))
+    )
+    return flagged.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("n_chars") < F.col("lo"), F.lit("low"))
+        .otherwise(F.lit("high"))
+        .alias("tail"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_BREAKDOWN_ORACLE = rf"""
+WITH sig AS (
+  SELECT len(words) AS n_words,
+         len(list_distinct(words)) * 1.0 / len(words) AS ttr,
+         list_sum(list_transform(words, w -> length(w))) * 1.0
+           / len(words) AS mean_wlen,
+         len(list_filter(words, w -> w IN ({_SW_LIST}))) * 1.0
+           / len(words) AS stop_ratio
+  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents)
+),
+flags AS (
+  SELECT CASE WHEN n_words NOT BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+              THEN 1 ELSE 0 END AS word_count,
+         CASE WHEN ttr < {MIN_TTR} THEN 1 ELSE 0 END AS type_token_ratio,
+         CASE WHEN mean_wlen NOT BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN}
+              THEN 1 ELSE 0 END AS mean_word_len,
+         CASE WHEN stop_ratio < {MIN_STOPWORD_RATIO} THEN 1 ELSE 0 END
+           AS stopword_ratio
+  FROM sig
+)
+SELECT rule, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_fail AS BIGINT) AS n_fail,
+       round(n_fail * 1.0 / n_docs, 4) AS fail_rate
+FROM (
+  SELECT 'word_count' AS rule, count(*) AS n_docs, sum(word_count) AS n_fail FROM flags
+  UNION ALL
+  SELECT 'type_token_ratio', count(*), sum(type_token_ratio) FROM flags
+  UNION ALL
+  SELECT 'mean_word_len', count(*), sum(mean_word_len) FROM flags
+  UNION ALL
+  SELECT 'stopword_ratio', count(*), sum(stopword_ratio) FROM flags
+)
+"""
+
+
+@register("quality_rule_breakdown", _BREAKDOWN_ORACLE)
+def quality_rule_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule failure counts for the composite quality gate — which
+    rule is doing the rejecting (the question you ask when a source's
+    pass rate drops; text2's pass-rate rollup only says *that* it
+    dropped).
+
+    Zero-shuffle per-document signal computation: every statistic comes
+    from array expressions over the in-row token array (size /
+    array_distinct / aggregate / filter — all codegen), so the only
+    exchange in the plan is the final 4-row rollup.  That is the right
+    trade at 100 TB: per-doc arrays are bounded by document length,
+    while the explode-then-groupBy alternative shuffles the whole token
+    table to recover statistics this query needs only per-row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = tokens_expr(F.col("text"))
+    n_words = F.size(words)
+    ttr = F.size(F.array_distinct(words)) * F.lit(1.0) / n_words
+    mean_wlen = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        * F.lit(1.0)
+        / n_words
+    )
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) * F.lit(1.0) / n_words
+    )
+
+    def fail(cond) -> F.Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+    flags = docs.select(
+        fail(~n_words.between(MIN_TOKENS, MAX_TOKENS)).alias("word_count"),
+        fail(ttr < MIN_TTR).alias("type_token_ratio"),
+        fail(~mean_wlen.between(MIN_MEAN_WLEN, MAX_MEAN_WLEN)).alias(
+            "mean_word_len"
+        ),
+        fail(stop_ratio < MIN_STOPWORD_RATIO).alias("stopword_ratio"),
+    )
+    long = flags.select(
+        F.expr(
+            "stack(4, 'word_count', word_count, 'type_token_ratio', "
+            "type_token_ratio, 'mean_word_len', mean_word_len, "
+            "'stopword_ratio', stopword_ratio) AS (rule, flag)"
+        )
+    )
+    return long.groupBy("rule").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("flag").cast("long").alias("n_fail"),
+        F.round(F.sum("flag") * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+            "fail_rate"
+        ),
+    )
