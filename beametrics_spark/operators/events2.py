@@ -1,0 +1,175 @@
+"""Event-sequence analytics, wave 2: user-journey and load-profile
+queries over the `events` table — the product-analytics counterparts of
+events_ext's funnel.
+
+- Transition matrix: Markov transition counts between consecutive
+  event types per user — the "what do users do next" query.  One
+  shuffle (partition by user for the ordered `lead`), then a 25-row
+  rollup; the per-user sort is bounded by per-user history, never
+  corpus-wide.
+- Retention cohorts: users grouped by first-activity day × days-since
+  offset — the canonical growth-analytics triangle.  Two hash
+  aggregations (per-user first day, then per-(cohort, offset) distinct
+  users); no window functions, no self-joins.
+- Interval-overlap sweep: max concurrent open intervals per event type
+  via a SWEEP LINE — each interval contributes a +1/-1 endpoint and a
+  running sum finds the peak.  This is the scale-correct formulation:
+  the naive interval self-join is O(n·k) in overlap count and explodes
+  exactly when load is interesting (heavy overlap); the sweep is
+  O(n log n) via one windowed sort, and the running sum's peak is
+  invariant to tie order among equal endpoints.
+
+The reference has none of this (SURVEY.md §2.2); extends the M7 scope
+(SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+FROM pairs
+"""
+
+
+@register("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts + probabilities between consecutive
+    event types in each user's timeline.  `lead` over (ts, event_id) —
+    the event_id tiebreak pins simultaneous-timestamp order so both
+    engines see the same successor.  The wide shuffle carries
+    (user_id, event_type, ts) only; everything after the 25-row pair
+    rollup is driver-trivial."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wf), 4).alias("p"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       date_diff('day', c.cohort_day, a.d) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN cohorts c USING (user_id)
+GROUP BY 1, date_diff('day', c.cohort_day, a.d)
+"""
+
+
+@register("user_retention_cohorts", _RETENTION_ORACLE)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: for each first-activity-day cohort, how many
+    of its users were active N days later.  Per-user first day is one
+    hash aggregate (user-keyed shuffle); the cohort join is user-keyed
+    too, so AQE can reuse the partitioning; the final distinct-count
+    groups by (cohort_day, offset) — bounded by days², tiny."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    cohorts = events.groupBy("user_id").agg(
+        F.min(day).alias("cohort_day")
+    )
+    active = events.select("user_id", day.alias("d")).distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            # ISO string, not DATE: the driver's value hasher normalizes
+            # timestamps but not bare dates — strings are engine-portable
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_SWEEP_ORACLE = """
+WITH pts AS (
+  SELECT event_type, epoch(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch(ts) + value, -1 FROM events
+),
+run AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM pts
+)
+SELECT event_type,
+       CAST(max(concurrent) AS BIGINT) AS max_concurrent,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+FROM run GROUP BY 1
+"""
+
+
+@register("event_interval_overlap_sweep", _SWEEP_ORACLE)
+def event_interval_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type, treating each event as an open
+    interval [ts, ts + value seconds] (value = duration).
+
+    Sweep-line formulation: every interval becomes a +1 endpoint at its
+    start and a -1 at its end; a running sum ordered by (time, delta)
+    — ends before starts at the same instant, so touching intervals
+    don't count as overlapping — traces the concurrency curve, and its
+    max is the answer.  One union (same scan read twice, both columnar
+    and pushdown-pruned to 3 columns), one windowed sort per type.  The
+    peak is invariant to tie order among identical (t, delta) pairs, so
+    the nondeterministic within-group order of both engines' sorts
+    cannot change the result.  The self-join alternative is O(n·k) in
+    overlap depth — the sweep is the 100 TB shape.
+    """
+    events = load_table(spark, sf_dir, "events")
+    t = F.col("ts").cast("double")
+    starts = events.select(
+        "event_type", t.alias("t"), F.lit(1).alias("delta")
+    )
+    ends = events.select(
+        "event_type", (t + F.col("value")).alias("t"), F.lit(-1).alias("delta")
+    )
+    pts = starts.unionAll(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "event_type", F.sum("delta").over(w).alias("concurrent")
+    )
+    return run.groupBy("event_type").agg(
+        F.max("concurrent").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )

@@ -127,6 +127,63 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_cardinality_estimate",
+    """
+    WITH lo AS (SELECT o_custkey AS key, COUNT(*) AS nl FROM orders GROUP BY 1),
+    ro AS (SELECT c_custkey AS key, COUNT(*) AS nr FROM customer GROUP BY 1),
+    j1 AS (
+      SELECT CAST(SUM(nl * nr) AS BIGINT) AS est_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_join_keys
+      FROM lo JOIN ro USING (key)
+    ),
+    ll AS (SELECT l_orderkey AS key, COUNT(*) AS nl FROM lineitem GROUP BY 1),
+    rl AS (SELECT o_orderkey AS key, COUNT(*) AS nr FROM orders GROUP BY 1),
+    j2 AS (
+      SELECT CAST(SUM(nl * nr) AS BIGINT) AS est_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_join_keys
+      FROM ll JOIN rl USING (key)
+    )
+    SELECT 'orders_x_customer' AS join_name, n_join_keys, est_rows FROM j1
+    UNION ALL
+    SELECT 'lineitem_x_orders', n_join_keys, est_rows FROM j2
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT executing the join: per-key
+    row counts on each side, joined on the key, Σ n_left·n_right — the
+    statistic a cost-based planner estimates from sketches, computed
+    exactly in one aggregate per side.
+
+    This is how you size a shuffle before paying for it: the per-key
+    histograms are map-side-combined (the shuffles carry (key, count)
+    partials, never rows), the count-join is between two already-reduced
+    tables, and the answer tells you whether the real join's output —
+    and any skewed key's contribution — fits the cluster BEFORE you run
+    it. Reported for the two workhorse TPC-H joins.
+    """
+
+    def est(left: DataFrame, lkey: str, right: DataFrame, rkey: str, name: str):
+        lo = left.groupBy(F.col(lkey).alias("key")).agg(
+            F.count(F.lit(1)).alias("nl")
+        )
+        ro = right.groupBy(F.col(rkey).alias("key")).agg(
+            F.count(F.lit(1)).alias("nr")
+        )
+        return lo.join(ro, "key").agg(
+            F.lit(name).alias("join_name"),
+            F.count(F.lit(1)).alias("n_join_keys"),
+            F.sum(F.col("nl") * F.col("nr")).alias("est_rows"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return est(orders, "o_custkey", customer, "c_custkey", "orders_x_customer").unionAll(
+        est(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_x_orders")
+    )
+
+
 def table_profile(
     df: DataFrame, columns: list[str], *, round_cols: dict[str, int] | None = None
 ) -> DataFrame:

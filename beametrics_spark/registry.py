@@ -40,6 +40,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.curation2  # noqa: F401
     import beametrics_spark.operators.similarity  # noqa: F401
     import beametrics_spark.operators.similarity2  # noqa: F401
+    import beametrics_spark.operators.similarity3  # noqa: F401
     import beametrics_spark.operators.ivf  # noqa: F401
     import beametrics_spark.operators.text  # noqa: F401
     import beametrics_spark.operators.text2  # noqa: F401
@@ -48,6 +49,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.stream_parity  # noqa: F401
     import beametrics_spark.operators.windows_ext  # noqa: F401
     import beametrics_spark.operators.events_ext  # noqa: F401
+    import beametrics_spark.operators.events2  # noqa: F401
     import beametrics_spark.operators.profiling  # noqa: F401
 
     return QUERIES

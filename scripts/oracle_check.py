@@ -28,7 +28,10 @@ def _norm(v):
             return "NaN"
         return round(v, 6)
     if hasattr(v, "isoformat"):
-        return v.isoformat(sep=" ").replace("+00:00", "")
+        try:
+            return v.isoformat(sep=" ").replace("+00:00", "")
+        except TypeError:  # datetime.date takes no sep kwarg
+            return v.isoformat()
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):

@@ -1,0 +1,64 @@
+"""Wave-3 embedding diagnostics: dim stats, norm outliers, kNN hub
+histogram. Value parity runs through scripts/oracle_check.py; here:
+shape, invariants, and the quadratic guard."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.similarity3 import (
+    GRAPH_K,
+    embedding_dim_stats,
+    embedding_norm_outliers,
+    knn_graph_hub_stats,
+)
+
+
+def test_dim_stats_shape_and_bounds(spark, sf_dir):
+    rows = embedding_dim_stats(spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert {r["dim"] for r in rows} == set(range(1, 65))
+    for r in rows:
+        assert r["min_x"] <= r["mean_x"] <= r["max_x"]
+        assert r["std_x"] >= 0
+
+
+def test_norm_outliers_are_actual_tails(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norms = [
+        math.sqrt(sum(x * x for x in r["v"])) for r in emb.collect()
+    ]
+    mu = sum(norms) / len(norms)
+    sd = math.sqrt(sum((x - mu) ** 2 for x in norms) / (len(norms) - 1))
+    expected = sum(1 for x in norms if abs(round((x - mu) / sd, 4)) > 2.0)
+    got = embedding_norm_outliers(spark, sf_dir).collect()
+    assert len(got) == expected
+    assert all(abs(r["z"]) > 2.0 for r in got)
+
+
+def test_hub_histogram_conserves_edges(spark, sf_dir):
+    rows = knn_graph_hub_stats(spark, sf_dir).collect()
+    n_vectors = sum(r["n_vectors"] for r in rows)
+    total_in_degree = sum(r["in_degree"] * r["n_vectors"] for r in rows)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    # every vector appears in exactly one bucket; each of the n vectors
+    # emits exactly K out-edges, so in-degrees sum to n*K
+    assert n_vectors == n
+    assert total_in_degree == n * GRAPH_K
+
+
+def test_hub_stats_guard_refuses_large_corpus(spark, sf_dir, monkeypatch):
+    import beametrics_spark.operators.similarity3 as s3
+
+    def tiny_guard(df, name, **kw):
+        kw["limit"] = 10
+        from beametrics_spark.functions import guard_quadratic
+
+        return guard_quadratic(df, name, **kw)
+
+    monkeypatch.setattr(s3, "guard_quadratic", tiny_guard)
+    with pytest.raises(ValueError, match="refusing"):
+        knn_graph_hub_stats(spark, sf_dir)
