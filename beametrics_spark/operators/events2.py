@@ -173,3 +173,128 @@ def event_interval_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("concurrent").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
     )
+
+
+_OHLC_ORACLE = """
+WITH b AS (
+  SELECT event_type, value, ts, event_id,
+         time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+         row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                            ORDER BY ts ASC, event_id ASC) AS rk_open,
+         row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rk_close
+  FROM events
+)
+SELECT event_type, bucket,
+       round(max(CASE WHEN rk_open = 1 THEN value END), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(max(CASE WHEN rk_close = 1 THEN value END), 2) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("ohlc_downsample", _OHLC_ORACLE)
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) candles per event type per 6-hour
+    bucket — the financial/telemetry downsampling aggregate.
+
+    Open/close are order statistics, not plain aggregates, so they ride
+    the same windowed sort the bucket already needs: one shuffle on
+    (event_type, bucket), row_number from both ends with an event_id
+    tiebreak (simultaneous timestamps can't flip open/close between
+    engines), then a plain hash aggregate.  No self-join, no
+    collect_list of the bucket's rows."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "6 hours").getField("start").alias("bucket")
+    b = events.select("event_type", "value", "ts", "event_id", bucket)
+    wo = Window.partitionBy("event_type", "bucket").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = b.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wo).alias("rk_open"),
+        F.row_number().over(wc).alias("rk_close"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.round(F.max(F.when(F.col("rk_open") == 1, F.col("value"))), 2).alias(
+            "open"
+        ),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(
+            F.max(F.when(F.col("rk_close") == 1, F.col("value"))), 2
+        ).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+MAD_K = 2.0  # flag days beyond K scaled-MADs from the median
+# (2.0, not the textbook 3.0: the synthetic corpus is near-uniform — max
+# robust-z ~2.7 at sf0.01 — and a gate that never fires is untested)
+
+
+_ANOMALY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med_n FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT daily.event_type, d, n, med_n, abs(n - med_n) AS ad
+  FROM daily JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad_n FROM dev GROUP BY 1
+)
+SELECT dev.event_type, CAST(d AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+       round((n - med_n) / (1.4826 * mad_n), 4) AS robust_z
+FROM dev JOIN mad USING (event_type)
+WHERE abs(round((n - med_n) / (1.4826 * mad_n), 4)) > {MAD_K}
+"""
+
+
+@register("daily_anomaly_mad", _ANOMALY_ORACLE)
+def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose per-type event count is anomalous under the robust
+    median/MAD test (|count - median| > K·1.4826·MAD) — the pipeline-
+    health alarm that, unlike mean/stddev z-scores, one bad day cannot
+    drag the baseline of.
+
+    Three tiny aggregations after the daily rollup (medians and MADs
+    are per-type over |days| values — broadcastable), and the flagging
+    compares the ROUNDED robust z in both engines so boundary
+    membership can't be flipped by fp noise.  The daily rollup itself
+    is the only corpus-wide shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med_n")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med_n"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad_n")
+    )
+    rz = F.round((F.col("n") - F.col("med_n")) / (1.4826 * F.col("mad_n")), 4)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > MAD_K)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            rz.alias("robust_z"),
+        )
+    )
