@@ -280,3 +280,116 @@ def multimodal_bmp_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         mb.alias("mean_b"),
         norm.alias("feature_norm"),
     )
+
+
+def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize REAL audio payloads: each doc_id becomes a canonical
+    RIFF/PCM16 WAV (with a decoy LIST chunk) whose samples follow the
+    shared fixture formula (audiocodec.fixture_wav_payload)."""
+    from beametrics_spark.operators.audiocodec import fixture_wav_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [fixture_wav_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["audio/wav"] * len(payloads),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_wav_frame_rms",
+    """
+    WITH n AS (SELECT doc_id, 800 + doc_id % 257 AS ns FROM documents),
+    samp AS (
+      SELECT n.doc_id, n.ns, i.i,
+             ((n.doc_id * 13 + i.i * 7) % 4096) - 2048 AS s
+      FROM n, LATERAL (SELECT unnest(generate_series(0, n.ns - 1)) AS i) i
+    ),
+    g AS (
+      SELECT doc_id, ns, sum(s * s) AS ss, max(abs(s)) AS peak
+      FROM samp GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT doc_id, i // 160 AS frame, sum(s * s) AS fss
+      FROM samp WHERE i < (ns // 160) * 160
+      GROUP BY 1, 2
+    ),
+    fmax AS (SELECT doc_id, max(fss) AS max_fss FROM fr GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(g.ns AS BIGINT) AS n_samples,
+           CAST(g.ns // 160 AS BIGINT) AS n_frames,
+           ROUND(sqrt(CAST(g.ss AS DOUBLE) / g.ns), 6) AS rms_global,
+           CAST(g.peak AS BIGINT) AS peak,
+           ROUND(sqrt(CAST(fmax.max_fss AS DOUBLE) / 160), 6) AS max_frame_rms
+    FROM g JOIN fmax USING (doc_id)
+    """,
+)
+def multimodal_wav_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-oracled: synthesized RIFF/PCM16 WAV →
+    chunk-walking header parse + int16 sample extraction (audiocodec) →
+    per-doc frame-energy statistics (global RMS, peak amplitude, max
+    20 ms-frame RMS — the voice-activity / clipping-detection
+    primitives).
+
+    DuckDB recomputes the identical samples from the fixture formula,
+    so every byte the parser touches — RIFF length check, fmt fields,
+    decoy-chunk skipping, word alignment, LE int16 layout — is verified
+    by value.  Square sums are exact int64 in both engines; the only
+    doubles are final sqrt/divide on identical integers, so round(6) is
+    formality.  Arrow-batched mapInPandas, same 100 TB shape as the
+    image path: media stays binary + metadata, compute rides columnar
+    batches, no JVM→Python row churn.
+    """
+    from beametrics_spark.operators.audiocodec import (
+        decode_wav,
+        frame_energy_stats,
+    )
+
+    media = wav_media_table(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "n_frames": [],
+                "rms_global": [],
+                "peak": [],
+                "max_frame_rms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, nf, rms, peak, mfr = frame_energy_stats(
+                    decode_wav(bytes(payload))
+                )
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["n_frames"].append(nf)
+                out["rms_global"].append(rms)
+                out["peak"].append(peak)
+                out["max_frame_rms"].append(mfr)
+            yield pd.DataFrame(out)
+
+    decoded = media.mapInPandas(
+        _stats,
+        schema=(
+            "doc_id long, n_samples long, n_frames long, "
+            "rms_global double, peak long, max_frame_rms double"
+        ),
+    )
+    return decoded.select(
+        "doc_id",
+        "n_samples",
+        "n_frames",
+        F.round("rms_global", 6).alias("rms_global"),
+        "peak",
+        F.round("max_frame_rms", 6).alias("max_frame_rms"),
+    )
