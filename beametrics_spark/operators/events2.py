@@ -200,37 +200,31 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC (open/high/low/close) candles per event type per 6-hour
     bucket — the financial/telemetry downsampling aggregate.
 
-    Open/close are order statistics, not plain aggregates, so they ride
-    the same windowed sort the bucket already needs: one shuffle on
-    (event_type, bucket), row_number from both ends with an event_id
-    tiebreak (simultaneous timestamps can't flip open/close between
-    engines), then a plain hash aggregate.  No self-join, no
-    collect_list of the bucket's rows."""
+    Open/close are order statistics, but they do NOT need a windowed
+    sort: min_by/max_by over the struct ordering key (ts, event_id)
+    turns them into ordinary partial-merge aggregates, so the whole
+    candle is ONE hash aggregate — scan → map-side partials → one
+    exchange on (event_type, bucket) → final.  The event_id tiebreak
+    pins simultaneous timestamps so open/close can't flip between
+    engines (the oracle's row_number formulation uses the same total
+    order).  The row_number alternative sorts every bucket — a per-
+    partition sort the aggregate formulation never pays at 100 TB."""
     events = load_table(spark, sf_dir, "events")
     bucket = F.window("ts", "6 hours").getField("start").alias("bucket")
     b = events.select("event_type", "value", "ts", "event_id", bucket)
-    wo = Window.partitionBy("event_type", "bucket").orderBy(
-        F.asc("ts"), F.asc("event_id")
-    )
-    wc = Window.partitionBy("event_type", "bucket").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    ranked = b.select(
-        "event_type",
-        "bucket",
-        "value",
-        F.row_number().over(wo).alias("rk_open"),
-        F.row_number().over(wc).alias("rk_close"),
-    )
-    return ranked.groupBy("event_type", "bucket").agg(
-        F.round(F.max(F.when(F.col("rk_open") == 1, F.col("value"))), 2).alias(
-            "open"
-        ),
+    return ohlc_agg(b.groupBy("event_type", "bucket"))
+
+
+def ohlc_agg(grouped):
+    """Shared OHLC aggregate body (batch + streaming parity): open/close
+    via min_by/max_by on the (ts, event_id) total order — plain
+    aggregates, streaming-legal in complete mode."""
+    order = F.struct("ts", "event_id")
+    return grouped.agg(
+        F.round(F.min_by("value", order), 2).alias("open"),
         F.round(F.max("value"), 2).alias("high"),
         F.round(F.min("value"), 2).alias("low"),
-        F.round(
-            F.max(F.when(F.col("rk_close") == 1, F.col("value"))), 2
-        ).alias("close"),
+        F.round(F.max_by("value", order), 2).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -550,3 +550,52 @@ def stream_incremental_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFra
         finally:
             shutil.rmtree(stream_dir, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_ohlc_parity",
+    """
+    WITH b AS (
+      SELECT event_type, value, ts, event_id,
+             time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+             row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                                ORDER BY ts ASC, event_id ASC) AS rk_open,
+             row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                                ORDER BY ts DESC, event_id DESC) AS rk_close
+      FROM events
+    )
+    SELECT event_type, bucket,
+           round(max(CASE WHEN rk_open = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rk_close = 1 THEN value END), 2) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohlc_downsample executed via readStream → memory sink: open/close
+    as min_by/max_by over the (ts, event_id) total order are ordinary
+    partial-merge aggregates, so the SAME candle computation is legal as
+    a streaming stateful aggregate — each micro-batch merges its
+    partials into window state, no per-bucket sort, no arrays of bucket
+    rows in state.  Shares the batch twin's row_number-formulated DuckDB
+    oracle: stream state merge must reproduce the identical order
+    statistics."""
+    from beametrics_spark.operators.events2 import ohlc_agg
+
+    path = os.path.join(sf_dir, "events.parquet")
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_ohlc_"
+        )
+        b = stream.select(
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+            F.window("ts", "6 hours").getField("start").alias("bucket"),
+        )
+        plan = ohlc_agg(b.groupBy("event_type", "bucket"))
+        out = _drain_to_table(spark, plan, "ohlc_parity", "complete", stream_dir)
+    return out.select("event_type", "bucket", "open", "high", "low", "close", "n")
