@@ -31,11 +31,11 @@ def fixture_samples(doc_id: int) -> np.ndarray:
     return (((doc_id * 13 + i * 7) % 4096) - 2048).astype(np.int16)
 
 
-def fixture_wav_payload(doc_id: int) -> bytes:
-    """Spec-correct mono PCM16 WAV with an extra LIST chunk before the
-    data chunk (forces real chunk walking in any consumer)."""
-    samples = fixture_samples(doc_id)
-    data = samples.tobytes()
+def encode_wav(samples: np.ndarray, *, decoy_chunks: list[bytes] | None = None) -> bytes:
+    """Spec-correct mono PCM16 WAV.  `decoy_chunks` (raw chunk payloads,
+    word-aligned by the encoder) are inserted between fmt and data to
+    force real chunk walking in any consumer."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
     fmt = struct.pack(
         "<4sIHHIIHH",
         b"fmt ",
@@ -47,11 +47,19 @@ def fixture_wav_payload(doc_id: int) -> bytes:
         2,  # block align
         16,  # bits per sample
     )
-    info = b"INFOfake"
-    lst = struct.pack("<4sI", b"LIST", len(info)) + info
-    dat = struct.pack("<4sI", b"data", len(data)) + data
-    body = b"WAVE" + fmt + lst + dat
+    body = b"WAVE" + fmt
+    for i, payload in enumerate(decoy_chunks or []):
+        cid = b"LIST" if i == 0 else f"ck{i:02d}".encode()[:4]
+        body += struct.pack("<4sI", cid, len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"  # word alignment pad
+    body += struct.pack("<4sI", b"data", len(data)) + data
     return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def fixture_wav_payload(doc_id: int) -> bytes:
+    """Deterministic fixture file: fixture_samples + one decoy chunk."""
+    return encode_wav(fixture_samples(doc_id), decoy_chunks=[b"INFOfake"])
 
 
 def decode_wav(payload: bytes) -> np.ndarray:

@@ -77,6 +77,29 @@ BENCH_QUERIES = [
     "dataset_shard_assign",
     "central_tendency_per_type",
     "value_clip_rates",
+    # round-4 wave 2: statistical quality scoring, embedding diagnostics,
+    # event analytics, corpus statistics, audio decode.
+    # knn_graph_hub_stats is excluded like IVF: it is a guarded O(n²)
+    # diagnostic (exact edges over a bounded sample) — timing the
+    # quadratic baseline at sf0.1 measures the guard's ceiling, not an
+    # operator a 100 TB deployment would run (that one uses LSH/IVF
+    # candidate edges).
+    "unigram_logprob_quality",
+    "token_entropy_per_doc",
+    "quality_rule_breakdown",
+    "doc_length_outlier_flags",
+    "embedding_dim_stats",
+    "embedding_norm_outliers",
+    "event_transition_matrix",
+    "user_retention_cohorts",
+    "event_interval_overlap_sweep",
+    "ohlc_downsample",
+    "daily_anomaly_mad",
+    "template_prefix_clusters",
+    "source_crossover_dup_rate",
+    "vocab_growth_curve",
+    "join_cardinality_estimate",
+    "multimodal_wav_frame_rms",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -73,3 +73,61 @@ def test_every_fixture_has_frames():
         assert nf >= 5
         assert 0 < mfr <= peak
         assert 0 < rms <= peak <= 2048
+
+
+# --- property tests -----------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=600
+    ),
+    decoys=st.lists(st.binary(min_size=0, max_size=17), max_size=3),
+)
+def test_encode_decode_round_trip_property(samples, decoys):
+    """Any sample vector survives encode→decode bit-exactly, regardless
+    of decoy chunks (including odd-length ones that force alignment
+    padding)."""
+    from beametrics_spark.operators.audiocodec import decode_wav, encode_wav
+
+    arr = np.array(samples, dtype=np.int16)
+    payload = encode_wav(arr, decoy_chunks=decoys)
+    assert np.array_equal(decode_wav(payload), arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=700
+    )
+)
+def test_frame_energy_stats_properties(samples):
+    """Invariants against a brute-force recomputation: global RMS matches
+    the direct formula; max-frame RMS never exceeds the peak and is
+    bounded below by any single frame's RMS."""
+    import math
+
+    arr = np.array(samples, dtype=np.int16)
+    n, nf, rms, peak, mfr = frame_energy_stats(arr)
+    assert n == len(samples)
+    assert nf == len(samples) // FRAME_SAMPLES
+    brute_rms = math.sqrt(sum(int(x) ** 2 for x in samples) / len(samples))
+    assert abs(rms - brute_rms) < 1e-6 * max(1.0, brute_rms)
+    assert peak == max(abs(int(x)) for x in samples)
+    if nf:
+        frames = [
+            samples[i * FRAME_SAMPLES : (i + 1) * FRAME_SAMPLES]
+            for i in range(nf)
+        ]
+        brute_mfr = max(
+            math.sqrt(sum(int(x) ** 2 for x in f) / FRAME_SAMPLES)
+            for f in frames
+        )
+        assert abs(mfr - brute_mfr) < 1e-9 * max(1.0, brute_mfr)
+        assert mfr <= peak + 1e-9
+    else:
+        assert mfr == 0.0
