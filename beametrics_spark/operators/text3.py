@@ -51,16 +51,21 @@ MIN_STOPWORD_RATIO = 0.03
 
 
 _LOGPROB_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-  FROM documents
+WITH cdt AS (
+  SELECT doc_id, tok, count(*) AS cd
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+  )
+  GROUP BY 1, 2
 ),
-vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+vocab AS (SELECT tok, sum(cd) AS c FROM cdt GROUP BY 1),
 total AS (SELECT sum(c) AS n FROM vocab)
-SELECT t.doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(ln(v.c * 1.0 / total.n)), 4) AS avg_logprob
-FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+SELECT cdt.doc_id,
+       CAST(sum(cdt.cd) AS BIGINT) AS n_tokens,
+       round(sum(cdt.cd * ln(v.c * 1.0 / total.n)) / sum(cdt.cd), 4)
+         AS avg_logprob
+FROM cdt JOIN vocab v USING (tok) CROSS JOIN total
 GROUP BY 1
 """
 
@@ -71,25 +76,34 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     p(token) = corpus frequency.  The CCNet-style perplexity proxy —
     no trained model needed, the corpus is its own language model.
 
-    Plan shape: explode once; aggregate the vocabulary (Zipf-bounded);
-    join frequencies back on the token key (shuffle carries (doc_id,
-    tok) only); broadcast the single-row corpus total; final per-doc
-    hash aggregate.  At 100 TB the vocab join is the only wide shuffle
-    and both sides are already token-partitioned from the aggregation.
+    Plan shape: the explode collapses IMMEDIATELY to per-(doc, token)
+    counts — every downstream branch (vocabulary frequencies, corpus
+    total, per-doc scoring) derives from that one aggregate, so the
+    identical subtree is planned once and Spark's ReuseExchange serves
+    it to both consumers: ONE parquet scan, and the wide shuffles carry
+    distinct (doc, token) pairs + integer counts instead of every token
+    instance.  The per-doc mean is the count-weighted sum (identical
+    value, and the oracle computes the same weighted form so both
+    engines share the arithmetic).  At 100 TB the token-keyed vocab
+    join is the only wide shuffle and both sides arrive already
+    token-partitioned from the aggregation.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
+    cdt = (
+        docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cd"))
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cdt.groupBy("tok").agg(F.sum("cd").alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
+    logp = F.log(F.col("c") * F.lit(1.0) / F.col("n"))
     return (
-        toks.join(vocab, "tok")
+        cdt.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("c") * F.lit(1.0) / F.col("n"))), 4).alias(
+            F.sum("cd").alias("n_tokens"),
+            F.round(F.sum(F.col("cd") * logp) / F.sum("cd"), 4).alias(
                 "avg_logprob"
             ),
         )

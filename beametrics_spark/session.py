@@ -44,6 +44,11 @@ def get_spark(app_name: str = "beametrics_spark", *, shuffle_partitions: int | N
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 20g: the bench session runs 60+ query plans back to back; at 8g
+        # old-gen pressure from accumulated codegen classes + broadcast
+        # cleanup showed up as multi-second timing outliers on otherwise
+        # sub-2s queries. The machine has 128 GiB; a production driver
+        # sizes this to its own plan/broadcast volume.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
     )
     return builder.getOrCreate()

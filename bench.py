@@ -112,6 +112,7 @@ STREAMING_QUERIES = [
     "stream_equals_count_parity",
     "stream_join_click_purchase_parity",
     "stream_incremental_dedup_parity",
+    "stream_ohlc_parity",
 ]
 
 
@@ -201,14 +202,22 @@ def main() -> int:
     # JVM-side, as they would on a cluster writing parquet — collect()
     # would charge Python row deserialization of 100k-row results to the
     # engine. Row counts are logged from a separate, untimed pass.
+    # Each query is timed TWICE and the MIN is reported: single-run
+    # timings on this box swing ±2-3 s on identical plans (GC pauses,
+    # JIT recompilation, codegen-cache churn across 60+ back-to-back
+    # plans) — the min is the steady-state number a dedicated cluster
+    # would see, and the one that is reproducible run to run.
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             if name not in qs:
                 continue
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.perf_counter() - t0, 3)
+            trials = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                trials.append(time.perf_counter() - t0)
+            out[name] = round(min(trials), 3)
             n = qs[name](spark, sf_dir).count()
             print(f"# {name}: {out[name]:.3f}s ({n} rows)", file=sys.stderr)
         return out
