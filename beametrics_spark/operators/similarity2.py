@@ -65,7 +65,9 @@ def embedding_centroids_per_label(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = _doubled(load_table(spark, sf_dir, "embeddings"))
     return (
         emb.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        # dim as long: DuckDB's generate_series unnest is BIGINT — keep the
+        # engines' output widths identical for the driver's schema compare
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         .agg(F.round(F.avg("x"), 6).alias("centroid"))
     )
 

@@ -61,7 +61,8 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         emb.select(F.posexplode("v").alias("pos", "x"))
-        .groupBy((F.col("pos") + 1).alias("dim"))
+        # dim as long: match DuckDB generate_series BIGINT output width
+        .groupBy((F.col("pos") + 1).cast("long").alias("dim"))
         .agg(
             F.round(F.avg("x"), 6).alias("mean_x"),
             F.round(F.stddev_samp("x"), 6).alias("std_x"),
