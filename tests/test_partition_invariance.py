@@ -20,6 +20,17 @@ RISKY = [
     "sessions_per_user",          # the round-1 normalization case
     "central_tendency_per_type",  # sort-derived percentile claim
     "value_clip_rates",           # percentile cuts + rate doubles
+    # round-4 wave 2: every entry whose values involve parallel double
+    # reduction (log sums, entropy, stddev, robust z) or percentile cuts
+    "unigram_logprob_quality",    # count-weighted ln sums
+    "token_entropy_per_doc",      # c*log2(c) sums
+    "doc_length_outlier_flags",   # exact-percentile cut membership
+    "embedding_dim_stats",        # stddev_samp merge order
+    "embedding_norm_outliers",    # rounded-z boundary membership
+    "daily_anomaly_mad",          # median/MAD cuts + robust z
+    "ohlc_downsample",            # min_by/max_by merge over struct order
+    "event_interval_overlap_sweep",  # windowed cumsum peak
+    "vocab_growth_curve",         # decile bucketing + cumsum
 ]
 
 
