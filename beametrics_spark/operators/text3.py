@@ -289,3 +289,172 @@ def quality_rule_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fail_rate"
         ),
     )
+
+
+P_COVER = 0.9  # nucleus mass for vocabulary coverage
+PMI_MIN_COUNT = 30  # bigram support floor for PMI (rare-pair noise gate)
+PMI_TOP_K = 50
+
+
+_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM freq),
+ranked AS (
+  SELECT tok, c,
+         sum(c) OVER (ORDER BY c DESC, tok ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         n
+  FROM freq, tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types_total,
+       CAST(sum(CASE WHEN cum - c < {P_COVER} * n THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_types_p90,
+       round(sum(CASE WHEN cum - c < {P_COVER} * n THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS vocab_fraction
+FROM ranked
+"""
+
+
+@register("vocab_p90_coverage", _COVERAGE_ORACLE)
+def vocab_p90_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus vocabulary size: how many types (most-frequent first)
+    cover 90% of all token occurrences — the number that sizes a
+    tokenizer vocabulary or a stop-list.  A type is IN the nucleus iff
+    the mass cumulated BEFORE it is still under the target (so the
+    boundary type that crosses the line is included, and the integer
+    comparison `cum - c < 0.9 * n` is exact in both engines — n and c
+    are integers, 0.9*n is one double multiply).
+
+    The windowed cumsum runs over the (Zipf-bounded) vocabulary table,
+    not the corpus: at 100 TB the explode collapses to type counts
+    first, and the global order-by sorts millions of types, not
+    trillions of tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.agg(F.sum("c").alias("n"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("c"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = freq.crossJoin(F.broadcast(tot)).select(
+        "c", "n", F.sum("c").over(w).alias("cum")
+    )
+    in_nucleus = F.when(
+        (F.col("cum") - F.col("c")) < P_COVER * F.col("n"), 1
+    ).otherwise(0)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types_total"),
+        F.sum(in_nucleus).cast("long").alias("n_types_p90"),
+        F.round(
+            F.sum(in_nucleus) * F.lit(1.0) / F.count(F.lit(1)), 4
+        ).alias("vocab_fraction"),
+    )
+
+
+_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+),
+n1 AS (SELECT sum(c) AS n FROM uni),
+bi AS (
+  SELECT a, b, count(*) AS cab
+  FROM (
+    SELECT toks[i] AS a, toks[i + 1] AS b
+    FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+  )
+  GROUP BY 1, 2
+),
+n2 AS (SELECT sum(cab) AS m FROM bi),
+scored AS (
+  SELECT bi.a, bi.b, bi.cab,
+         round(ln((bi.cab * 1.0 / n2.m)
+                  / ((ua.c * 1.0 / n1.n) * (ub.c * 1.0 / n1.n))), 4) AS pmi
+  FROM bi
+  JOIN uni ua ON bi.a = ua.tok
+  JOIN uni ub ON bi.b = ub.tok
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE bi.cab >= {PMI_MIN_COUNT}
+)
+SELECT a, b, CAST(cab AS BIGINT) AS cab, pmi
+FROM scored
+ORDER BY pmi DESC, a ASC, b ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
+@register("bigram_pmi_top", _PMI_ORACLE)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    ln( p(ab) / (p(a)·p(b)) ) over adjacent-token bigrams with at least
+    {MIN} occurrences — the classic phrase-mining / tokenizer-merge
+    signal (PMI-high pairs are the candidates a BPE-style merge step
+    would fuse first).
+
+    Plan: the bigram table comes from the zero-shuffle columnar gram
+    generator (arrays_zip of shifted slices — dedup.gram_rows with
+    width 2, exploded), aggregated by pair; unigram frequencies join in
+    on each side's token key; the two scalar totals broadcast.  The
+    support floor prunes BEFORE the joins, so at 100 TB the scored
+    table is the (tiny) frequent-bigram set, not the raw pair stream.
+    Final top-k is a sort of that pruned set with full tie-breaks
+    (pmi, a, b) so both engines cut the same 50 rows."""
+    from beametrics_spark.operators.dedup import gram_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").alias("n"))
+    bi = (
+        gram_rows(docs, 2)
+        .select(
+            F.split("s", " ").getItem(0).alias("a"),
+            F.split("s", " ").getItem(1).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_COUNT)
+    )
+    n2 = gram_rows(docs, 2).agg(F.count(F.lit(1)).alias("m"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("cab") * F.lit(1.0) / F.col("m"))
+            / (
+                (F.col("ca") * F.lit(1.0) / F.col("n"))
+                * (F.col("cb") * F.lit(1.0) / F.col("n"))
+            )
+        ),
+        4,
+    )
+    return (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("a", "b", "cab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(PMI_TOP_K)
+    )
+
+
+bigram_pmi_top.__doc__ = bigram_pmi_top.__doc__.replace(
+    "{MIN}", str(PMI_MIN_COUNT)
+)

@@ -112,3 +112,41 @@ def test_rule_breakdown_shape(spark, sf_dir):
         assert r["n_docs"] == n_docs
         assert 0 <= r["n_fail"] <= n_docs
         assert abs(r["fail_rate"] - round(r["n_fail"] / n_docs, 4)) < 1e-9
+
+
+def test_vocab_p90_coverage_bounds(spark, sf_dir):
+    from beametrics_spark.operators.text3 import vocab_p90_coverage
+
+    r = vocab_p90_coverage(spark, sf_dir).collect()[0]
+    assert 0 < r["n_types_p90"] <= r["n_types_total"]
+    # Zipf-ish corpus: 90% of mass needs well under 100% of types
+    assert r["vocab_fraction"] < 1.0
+    assert abs(
+        r["vocab_fraction"] - round(r["n_types_p90"] / r["n_types_total"], 4)
+    ) < 1e-9
+
+
+def test_bigram_pmi_hand_checked(spark):
+    """'x y' always adjacent and exclusive => PMI = ln(p(xy)/(p(x)p(y)))
+    with known counts."""
+    import math
+
+    import beametrics_spark.operators.text3 as t3
+
+    # 40 docs of "x y", 40 of "a b" — both pairs pass the count floor
+    docs = spark.createDataFrame(
+        [(i, "x y" if i % 2 == 0 else "a b") for i in range(80)],
+        ["doc_id", "text"],
+    )
+    orig = t3.load_table
+    try:
+        t3.load_table = lambda spark, sf_dir, name: docs
+        rows = {(r["a"], r["b"]): r for r in t3.bigram_pmi_top(spark, "x").collect()}
+    finally:
+        t3.load_table = orig
+    # unigrams: each of x,y,a,b occurs 40 times, n=160; bigrams: xy=40,
+    # ab=40, m=80 → pmi = ln((40/80)/((40/160)**2)) = ln(8)
+    assert set(rows) == {("x", "y"), ("a", "b")}
+    for r in rows.values():
+        assert r["cab"] == 40
+        assert abs(r["pmi"] - round(math.log(8), 4)) < 1e-9
