@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "vocab_growth_curve",
     "join_cardinality_estimate",
     "multimodal_wav_frame_rms",
+    "vocab_p90_coverage",
+    "bigram_pmi_top",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
