@@ -103,3 +103,43 @@ def test_anomaly_days_fire_and_are_extreme(spark, sf_dir):
     assert rows, "MAD_K chosen so the gate actually fires on the corpus"
     for r in rows:
         assert abs(r["robust_z"]) > 2.0
+
+
+# --- property test: vocab growth vs brute force -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=6),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_vocab_growth_matches_brute_force(spark, docs):
+    import beametrics_spark.operators.corpus_stats as cs
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig = cs.load_table
+    try:
+        cs.load_table = lambda spark, sf_dir, name: df
+        got = {
+            r["decile"]: (r["n_docs"], r["n_tokens"], r["vocab_size"])
+            for r in vocab_growth_curve(spark, "x").collect()
+        }
+    finally:
+        cs.load_table = orig
+    n = len(docs)
+    for d in range(1, 11):
+        # decile d covers docs with (doc_id+1)*10 <= d*n … integer rule:
+        # doc p (1-based) belongs to decile ceil(p*10/n)
+        upto = [i for i in range(n) if -(-(i + 1) * 10 // n) <= d]
+        toks = [w for i in upto for w in docs[i]]
+        types = set(toks)
+        assert got[d] == (len(upto), len(toks), len(types)), d

@@ -116,3 +116,48 @@ def test_sweep_peak_positive_everywhere(spark, sf_dir):
     for r in rows:
         assert r["max_concurrent"] >= 1
         assert r["n_intervals"] > 0
+
+
+# --- property test: sweep line vs brute force ---------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # start offset s
+            st.integers(min_value=0, max_value=20),  # duration
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_sweep_matches_brute_force(spark, intervals):
+    """The windowed-cumsum peak equals the brute-force 'max open at any
+    start point' count for arbitrary half-open intervals [s, s+d)."""
+    base = _ts("2024-01-01T00:00:00")
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 1, "t", float(d), "{}")
+        for i, (s, d) in enumerate(intervals)
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import beametrics_spark.operators.events2 as e2
+
+    orig = e2.load_table
+    try:
+        e2.load_table = lambda spark, sf_dir, name: events
+        got = event_interval_overlap_sweep(spark, "x").collect()[0]["max_concurrent"]
+    finally:
+        e2.load_table = orig
+    # brute force: concurrency only changes at starts; interval is
+    # half-open (end-before-start tie rule), so count s <= p < s+d
+    brute = max(
+        sum(1 for s, d in intervals if s <= p < s + d)
+        for p, _ in intervals
+    )
+    assert got == brute

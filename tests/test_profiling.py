@@ -44,3 +44,20 @@ def test_table_profile_orders_shape(spark, sf_dir):
     n = load_table(spark, sf_dir, "orders").count()
     assert all(r["n_rows"] == n for r in rows)
     assert all(r["n_nulls"] == 0 for r in rows)  # synthetic data is complete
+
+
+def test_table_profile_null_handling(spark):
+    """Nulls count into n_nulls, stay out of n_distinct/min/max; numeric
+    columns order numerically (the '9999' > '14999' lexical trap)."""
+    from beametrics_spark.operators.profiling import table_profile
+
+    df = spark.createDataFrame(
+        [(14999, "b"), (9999, None), (None, "a"), (9999, "c")],
+        "k int, s string",
+    )
+    rows = {r["column_name"]: r for r in table_profile(df, ["k", "s"]).collect()}
+    k, s = rows["k"], rows["s"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 1, 2)
+    assert (k["min_value"], k["max_value"]) == ("9999", "14999")
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 3)
+    assert (s["min_value"], s["max_value"]) == ("a", "c")
