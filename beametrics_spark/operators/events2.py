@@ -292,3 +292,109 @@ def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             rz.alias("robust_z"),
         )
     )
+
+
+_TREND_ORACLE = """
+WITH t0 AS (SELECT min(epoch(ts)) AS e0 FROM events),
+d AS (
+  SELECT event_type, value, (epoch(ts) - t0.e0) / 86400.0 AS day
+  FROM events, t0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, day), 4) AS slope_per_day,
+       round(regr_intercept(value, day), 4) AS intercept,
+       round(regr_r2(value, day), 6) AS r2
+FROM d GROUP BY 1
+"""
+
+
+@register("value_trend_per_type", _TREND_ORACLE)
+def value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of `value` over time per event type
+    (slope/day, intercept, R²) — the drift detector for a metric that
+    is slowly creeping.
+
+    Numerical-stability contract shared with the oracle: the regressor
+    is days-since-corpus-start, NOT raw epoch seconds — regressing on
+    ~1.7e9-scale x values cancels catastrophically and each engine
+    would cancel differently; after centering, x spans ~[0, 30] and the
+    covariance sums are well-conditioned, so round(4)/round(6) absorbs
+    the residual merge-order noise.  One broadcast scalar (corpus min)
+    + one hash aggregate — regression is an algebraic aggregate, so
+    partial-merge works like any sum."""
+    events = load_table(spark, sf_dir, "events")
+    t0 = events.agg(F.min(F.col("ts").cast("double")).alias("e0"))
+    d = events.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        "value",
+        ((F.col("ts").cast("double") - F.col("e0")) / 86400.0).alias("day"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("value", "day"), 4).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "day"), 4).alias("intercept"),
+        F.round(F.regr_r2("value", "day"), 6).alias("r2"),
+    )
+
+
+_PSI_ORACLE = """
+WITH bounds AS (
+  SELECT min(epoch(ts)) AS lo, max(epoch(ts)) AS hi FROM events
+),
+tagged AS (
+  SELECT event_type,
+         CASE WHEN epoch(ts) < (bounds.lo + bounds.hi) / 2
+              THEN 'early' ELSE 'late' END AS half
+  FROM events, bounds
+),
+cnt AS (
+  SELECT event_type,
+         sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS ce,
+         sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS cl
+  FROM tagged GROUP BY 1
+),
+tot AS (SELECT sum(ce) AS te, sum(cl) AS tl FROM cnt)
+SELECT event_type,
+       round(ce * 1.0 / te, 6) AS p_early,
+       round(cl * 1.0 / tl, 6) AS p_late,
+       round((cl * 1.0 / tl - ce * 1.0 / te)
+             * ln((cl * 1.0 / tl) / (ce * 1.0 / te)), 6) AS psi_term
+FROM cnt, tot
+"""
+
+
+@register("event_type_drift_psi", _PSI_ORACLE)
+def event_type_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index terms for the event-type distribution,
+    early half vs late half of the time range — the standard drift
+    alarm between a training snapshot and live traffic.  PSI term per
+    category = (p_late − p_early)·ln(p_late/p_early); Σ terms > 0.2 is
+    the usual 'investigate' threshold.
+
+    The midpoint split is derived from exact min/max epoch (identical
+    in both engines), counting is integer, and only the final
+    probability ratios are doubles — rounded at 6.  One scan + one hash
+    aggregate + two broadcast scalars."""
+    events = load_table(spark, sf_dir, "events")
+    t = F.col("ts").cast("double")
+    bounds = events.agg(F.min(t).alias("lo"), F.max(t).alias("hi"))
+    tagged = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(t < (F.col("lo") + F.col("hi")) / 2, F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("half"),
+    )
+    cnt = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == "early", 1).otherwise(0)).alias("ce"),
+        F.sum(F.when(F.col("half") == "late", 1).otherwise(0)).alias("cl"),
+    )
+    tot = cnt.agg(F.sum("ce").alias("te"), F.sum("cl").alias("tl"))
+    pe = F.col("ce") * F.lit(1.0) / F.col("te")
+    pl = F.col("cl") * F.lit(1.0) / F.col("tl")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.round(pe, 6).alias("p_early"),
+        F.round(pl, 6).alias("p_late"),
+        F.round((pl - pe) * F.log(pl / pe), 6).alias("psi_term"),
+    )

@@ -161,3 +161,39 @@ def test_sweep_matches_brute_force(spark, intervals):
         for p, _ in intervals
     )
     assert got == brute
+
+
+def test_trend_hand_checked(spark):
+    """Perfect line value = 2*day + 1 → slope 2/day, r2 = 1."""
+    import beametrics_spark.operators.events2 as e2
+
+    base = _ts("2024-01-01T00:00:00")
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "a", float(2 * i + 1), "{}")
+        for i in range(10)
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = e2.load_table
+    try:
+        e2.load_table = lambda spark, sf_dir, name: events
+        r = e2.value_trend_per_type(spark, "x").collect()[0]
+    finally:
+        e2.load_table = orig
+    assert r["slope_per_day"] == 2.0
+    assert r["intercept"] == 1.0
+    assert r["r2"] == 1.0
+
+
+def test_psi_terms_sum_properties(spark, sf_dir):
+    import beametrics_spark.operators.events2 as e2
+
+    rows = e2.event_type_drift_psi(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # each PSI term is non-negative by construction
+        assert r["psi_term"] >= 0
+        assert 0 < r["p_early"] < 1 and 0 < r["p_late"] < 1
+    # near-uniform synthetic traffic: total drift should be tiny
+    assert sum(r["psi_term"] for r in rows) < 0.05
