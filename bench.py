@@ -209,6 +209,10 @@ def main() -> int:
     # JIT recompilation, codegen-cache churn across 60+ back-to-back
     # plans) — the min is the steady-state number a dedicated cluster
     # would see, and the one that is reproducible run to run.
+    # Row-count logging is an extra full execution per query — debug aid
+    # only, off by default to keep the harness wall bounded.
+    log_counts = os.environ.get("SPARK_GRAFT_BENCH_COUNTS") == "1"
+
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -220,8 +224,10 @@ def main() -> int:
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 trials.append(time.perf_counter() - t0)
             out[name] = round(min(trials), 3)
-            n = qs[name](spark, sf_dir).count()
-            print(f"# {name}: {out[name]:.3f}s ({n} rows)", file=sys.stderr)
+            suffix = ""
+            if log_counts:
+                suffix = f" ({qs[name](spark, sf_dir).count()} rows)"
+            print(f"# {name}: {out[name]:.3f}s{suffix}", file=sys.stderr)
         return out
 
     timings = timed(BENCH_QUERIES)
