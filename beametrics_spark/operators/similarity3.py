@@ -192,3 +192,134 @@ knn_graph_hub_stats.__doc__ = knn_graph_hub_stats.__doc__.replace(
 embedding_norm_outliers.__doc__ = embedding_norm_outliers.__doc__.replace(
     "{Z}", str(NORM_Z_THRESH)
 )
+
+
+_QERR_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) AS s
+  FROM e
+),
+err AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(
+           v, x -> pow(x - round(127 * x / s) * s / 127, 2))) / len(v) AS mse,
+         list_max(list_transform(
+           v, x -> abs(x - round(127 * x / s) * s / 127))) AS maxerr,
+         s
+  FROM m WHERE s > 0
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(mse), 8) AS avg_mse,
+       round(max(maxerr), 6) AS max_abs_err,
+       round(avg(s / 254), 6) AS avg_err_bound
+FROM err GROUP BY 1
+"""
+
+
+@register("embedding_quantization_error", _QERR_ORACLE)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit for the int8 quantizer (similarity2):
+    dequantize q·scale/127 in place, per-vector MSE and max component
+    error, rolled up per label against the theoretical half-step bound
+    (scale/254).  This is the acceptance test a pipeline runs before
+    swapping an ANN index to quantized storage — if avg_mse approaches
+    the bound², the quantizer is behaving; above it, something (scale
+    overflow, rounding mismatch) broke.
+
+    All error terms are in-row array folds over identical doubles in
+    both engines (sequential fold order — deterministic); only the
+    per-label averages cross partitions, absorbed by round(8)/round(6).
+    Zero-scale vectors are excluded (they carry no error)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s = F.array_max(F.transform("v", F.abs))
+    m = emb.select("vec_id", "label", "v", s.alias("s")).filter(F.col("s") > 0)
+    deq_err = lambda x: x - F.round(F.lit(127) * x / F.col("s")) * F.col("s") / 127  # noqa: E731
+    mse = (
+        F.aggregate(
+            F.transform("v", lambda x: F.pow(deq_err(x), F.lit(2))),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / F.size("v")
+    )
+    maxerr = F.array_max(F.transform("v", lambda x: F.abs(deq_err(x))))
+    err = m.select(
+        "label", mse.alias("mse"), maxerr.alias("maxerr"), F.col("s")
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("mse"), 8).alias("avg_mse"),
+        F.round(F.max("maxerr"), 6).alias("max_abs_err"),
+        F.round(F.avg(F.col("s") / 254), 6).alias("avg_err_bound"),
+    )
+
+
+_WHITEN_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM e
+),
+stats AS (
+  SELECT dim, avg(x) AS mu, stddev_samp(x) AS sd FROM ex GROUP BY 1
+),
+vecs AS (
+  SELECT list(mu ORDER BY dim) AS mus, list(sd ORDER BY dim) AS sds
+  FROM stats
+)
+SELECT e.vec_id,
+       round(sqrt(list_sum(list_transform(
+         generate_series(1, len(e.v)),
+         i -> pow((e.v[i] - vecs.mus[i]) / vecs.sds[i], 2)))), 6)
+         AS whitened_norm
+FROM e, vecs
+"""
+
+
+@register("embedding_whitened_norms", _WHITEN_ORACLE)
+def embedding_whitened_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the whitening transform (subtract per-dimension mean,
+    divide per-dimension std — the calibration embedding_dim_stats
+    computes) and report each vector's whitened L2 norm.  For healthy
+    data this concentrates around sqrt(dim); vectors far above it are
+    multivariate outliers that per-dimension min/max clipping misses.
+
+    The per-dim stats aggregate once (dim-keyed partials), collapse to
+    two 64-element arrays via a sorted collect, broadcast, and the
+    transform + norm run as in-row zip folds — no second wide shuffle.
+    The stats' last-ulp cross-engine noise is diluted by the 64-term
+    sum and absorbed by round(6)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    stats = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy(F.col("pos").alias("dim"))
+        .agg(F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd"))
+    )
+    vecs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("mus"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "sd"))), lambda s: s["sd"]
+        ).alias("sds"),
+    )
+    wn = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.zip_with("mus", "sds", lambda m, s: F.struct(m.alias("m"), s.alias("s"))),
+                lambda x, ms: F.pow((x - ms["m"]) / ms["s"], F.lit(2)),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+    )
+    return emb.crossJoin(F.broadcast(vecs)).select(
+        "vec_id", F.round(wn, 6).alias("whitened_norm")
+    )

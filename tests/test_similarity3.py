@@ -62,3 +62,30 @@ def test_hub_stats_guard_refuses_large_corpus(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(s3, "guard_quadratic", tiny_guard)
     with pytest.raises(ValueError, match="refusing"):
         knn_graph_hub_stats(spark, sf_dir)
+
+
+def test_quantization_error_within_bound(spark, sf_dir):
+    from beametrics_spark.operators.similarity3 import (
+        embedding_quantization_error,
+    )
+
+    rows = embedding_quantization_error(spark, sf_dir).collect()
+    assert sum(r["n_vecs"] for r in rows) == 500
+    for r in rows:
+        # max component error can never exceed the half-step bound by
+        # more than rounding slack; MSE is below the bound squared
+        assert r["max_abs_err"] <= r["avg_err_bound"] * 2 + 1e-6
+        assert 0 < r["avg_mse"] < (r["avg_err_bound"] * 2) ** 2
+
+
+def test_whitened_norms_concentrate(spark, sf_dir):
+    import math
+
+    from beametrics_spark.operators.similarity3 import embedding_whitened_norms
+
+    rows = embedding_whitened_norms(spark, sf_dir).collect()
+    assert len(rows) == 500
+    target = math.sqrt(64)
+    mean = sum(r["whitened_norm"] for r in rows) / len(rows)
+    # whitening normalizes each dimension: mean norm ~ sqrt(dim)
+    assert abs(mean - target) < 0.15 * target
