@@ -358,8 +358,13 @@ tot AS (SELECT sum(ce) AS te, sum(cl) AS tl FROM cnt)
 SELECT event_type,
        round(ce * 1.0 / te, 6) AS p_early,
        round(cl * 1.0 / tl, 6) AS p_late,
-       round((cl * 1.0 / tl - ce * 1.0 / te)
-             * ln((cl * 1.0 / tl) / (ce * 1.0 / te)), 6) AS psi_term
+       -- a category absent from one half has unbounded PSI; emit NULL
+       -- explicitly in BOTH engines (Spark ln(0) is NULL, DuckDB -inf —
+       -- left implicit they would diverge)
+       CASE WHEN ce = 0 OR cl = 0 THEN NULL
+            ELSE round((cl * 1.0 / tl - ce * 1.0 / te)
+                       * ln((cl * 1.0 / tl) / (ce * 1.0 / te)), 6)
+       END AS psi_term
 FROM cnt, tot
 """
 
@@ -392,9 +397,12 @@ def event_type_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cnt.agg(F.sum("ce").alias("te"), F.sum("cl").alias("tl"))
     pe = F.col("ce") * F.lit(1.0) / F.col("te")
     pl = F.col("cl") * F.lit(1.0) / F.col("tl")
+    term = F.when(
+        (F.col("ce") == 0) | (F.col("cl") == 0), F.lit(None).cast("double")
+    ).otherwise(F.round((pl - pe) * F.log(pl / pe), 6))
     return cnt.crossJoin(F.broadcast(tot)).select(
         "event_type",
         F.round(pe, 6).alias("p_early"),
         F.round(pl, 6).alias("p_late"),
-        F.round((pl - pe) * F.log(pl / pe), 6).alias("psi_term"),
+        term.alias("psi_term"),
     )
