@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     "multimodal_wav_frame_rms",
     "vocab_p90_coverage",
     "bigram_pmi_top",
+    "value_trend_per_type",
+    "event_type_drift_psi",
+    "embedding_quantization_error",
+    "embedding_whitened_norms",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
