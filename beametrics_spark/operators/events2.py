@@ -252,7 +252,11 @@ mad AS (
 SELECT dev.event_type, CAST(d AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
        round((n - med_n) / (1.4826 * mad_n), 4) AS robust_z
 FROM dev JOIN mad USING (event_type)
-WHERE abs(round((n - med_n) / (1.4826 * mad_n), 4)) > {MAD_K}
+-- mad_n = 0 (over half the days share the median count) makes the z
+-- unbounded: DuckDB divides to inf, Spark to NULL — exclude explicitly
+-- in BOTH engines rather than depend on either convention
+WHERE mad_n > 0
+  AND abs(round((n - med_n) / (1.4826 * mad_n), 4)) > {MAD_K}
 """
 
 
@@ -284,7 +288,7 @@ def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     rz = F.round((F.col("n") - F.col("med_n")) / (1.4826 * F.col("mad_n")), 4)
     return (
         dev.join(F.broadcast(mad), "event_type")
-        .filter(F.abs(rz) > MAD_K)
+        .filter((F.col("mad_n") > 0) & (F.abs(rz) > MAD_K))
         .select(
             "event_type",
             F.date_format("d", "yyyy-MM-dd").alias("day"),
