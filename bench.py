@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "value_clip_rates",
     # round-4 wave 2: statistical quality scoring, embedding diagnostics,
     # event analytics, corpus statistics, audio decode.
+    # pagerank_customer_supplier is excluded: 5 power iterations each pay
+    # the local job-scheduling floor (localCheckpoint per round) — a
+    # local-mode artifact that misstates the per-iteration join+agg cost a
+    # cluster would see; its correctness is oracle-gated instead.
     # knn_graph_hub_stats is excluded like IVF: it is a guarded O(n²)
     # diagnostic (exact edges over a bounded sample) — timing the
     # quadratic baseline at sf0.1 measures the guard's ceiling, not an
