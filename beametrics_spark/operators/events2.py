@@ -410,3 +410,44 @@ def event_type_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pl, 6).alias("p_late"),
         term.alias("psi_term"),
     )
+
+
+PATH_TOP_N = 25
+
+
+_TRIGRAM_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path, count(*) AS n
+  FROM seq WHERE t3 IS NOT NULL GROUP BY 1
+)
+SELECT path, CAST(n AS BIGINT) AS n
+FROM paths ORDER BY n DESC, path ASC LIMIT {PATH_TOP_N}
+"""
+
+
+@register("event_path_trigrams", _TRIGRAM_ORACLE)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top ordered length-3 user journeys ('view > click > purchase') —
+    the order-2 Markov extension of the transition matrix, the query
+    behind every 'common paths' product-analytics report.  One
+    user-partitioned window (same shuffle the transition matrix pays;
+    the two leads share it), a 125-key rollup, and a fully tie-broken
+    top-k so both engines cut the same 25 rows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return paths.orderBy(F.desc("n"), F.asc("path")).limit(PATH_TOP_N)

@@ -282,3 +282,72 @@ def table_profile(
         _render("_min_n", F.col("_min_s")).alias("min_value"),
         _render("_max_n", F.col("_max_s")).alias("max_value"),
     )
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT 'orders.o_custkey -> customer' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN ord.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-foreign-key audit across the star schema: for each FK
+    relationship, how many child rows reference a missing parent — the
+    data-quality gate that runs before any join-dependent pipeline is
+    trusted (a silently growing orphan count means partial loads or
+    key-space drift upstream).
+
+    Each relationship is one left join against the (broadcast-sized)
+    parent key set + a null-count aggregate; the child tables are
+    scanned once per relationship with only the key column read
+    (pruning).  At 100 TB the parent key sets broadcast and the audit
+    costs one pass per child table."""
+
+    def audit(child, ckey, parent, pkey, label):
+        p = parent.select(F.col(pkey).alias("_pk")).distinct()
+        return (
+            child.select(F.col(ckey).alias("_ck"))
+            .join(F.broadcast(p), F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_pk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        audit(orders, "o_custkey", customer, "c_custkey",
+              "orders.o_custkey -> customer")
+        .unionAll(audit(lineitem, "l_orderkey", orders, "o_orderkey",
+                        "lineitem.l_orderkey -> orders"))
+        .unionAll(audit(lineitem, "l_partkey", part, "p_partkey",
+                        "lineitem.l_partkey -> part"))
+        .unionAll(audit(lineitem, "l_suppkey", supplier, "s_suppkey",
+                        "lineitem.l_suppkey -> supplier"))
+    )

@@ -197,3 +197,15 @@ def test_psi_terms_sum_properties(spark, sf_dir):
         assert 0 < r["p_early"] < 1 and 0 < r["p_late"] < 1
     # near-uniform synthetic traffic: total drift should be tiny
     assert sum(r["psi_term"] for r in rows) < 0.05
+
+
+def test_path_trigrams_consistent_with_transitions(spark, sf_dir):
+    import beametrics_spark.operators.events2 as e2
+
+    rows = e2.event_path_trigrams(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        parts = r["path"].split(" > ")
+        assert len(parts) == 3

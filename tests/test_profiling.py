@@ -61,3 +61,41 @@ def test_table_profile_null_handling(spark):
     assert (k["min_value"], k["max_value"]) == ("9999", "14999")
     assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 3)
     assert (s["min_value"], s["max_value"]) == ("a", "c")
+
+
+def test_referential_integrity_no_orphans_in_testdata(spark, sf_dir):
+    from beametrics_spark.operators.profiling import referential_integrity_audit
+
+    rows = {r["fk"]: r for r in referential_integrity_audit(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    # driver testdata is referentially clean — every FK resolves
+    for r in rows.values():
+        assert r["n_orphans"] == 0
+        assert r["n_rows"] > 0
+
+
+def test_referential_integrity_detects_planted_orphans(spark):
+    import beametrics_spark.operators.profiling as prof
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 99)], ["o_orderkey", "o_custkey"]  # 99 is orphaned
+    )
+    customer = spark.createDataFrame([(10,)], ["c_custkey"])
+    lineitem = spark.createDataFrame(
+        [(1, 5, 7), (3, 5, 7)], ["l_orderkey", "l_partkey", "l_suppkey"]
+    )  # l_orderkey=3 orphaned
+    part = spark.createDataFrame([(5,)], ["p_partkey"])
+    supplier = spark.createDataFrame([(7,)], ["s_suppkey"])
+    tables = {"orders": orders, "customer": customer, "lineitem": lineitem,
+              "part": part, "supplier": supplier}
+    orig = prof.load_table
+    try:
+        prof.load_table = lambda spark, sf_dir, name: tables[name]
+        rows = {r["fk"]: r["n_orphans"]
+                for r in prof.referential_integrity_audit(spark, "x").collect()}
+    finally:
+        prof.load_table = orig
+    assert rows["orders.o_custkey -> customer"] == 1
+    assert rows["lineitem.l_orderkey -> orders"] == 1
+    assert rows["lineitem.l_partkey -> part"] == 0
+    assert rows["lineitem.l_suppkey -> supplier"] == 0
