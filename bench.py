@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "event_type_drift_psi",
     "embedding_quantization_error",
     "embedding_whitened_norms",
+    "referential_integrity_audit",
+    "event_path_trigrams",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
