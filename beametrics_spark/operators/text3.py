@@ -329,35 +329,62 @@ def vocab_p90_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison `cum - c < 0.9 * n` is exact in both engines — n and c
     are integers, 0.9*n is one double multiply).
 
-    The windowed cumsum runs over the (Zipf-bounded) vocabulary table,
-    not the corpus: at 100 TB the explode collapses to type counts
-    first, and the global order-by sorts millions of types, not
-    trillions of tokens."""
+    Scale formulation — NO per-type window: the cumulative mass runs
+    over the frequency-of-frequencies table (one row per DISTINCT
+    count value — O(√corpus) rows by a counting argument, thousands at
+    most), and each class contributes its in-nucleus type count
+    arithmetically: within a class of `cnt` types sharing frequency
+    `c` after `m` mass, the j-th type (0-based) is in iff m + j·c < T,
+    so k = (max satisfying j) + 1, clamped to [0, cnt].  The boundary
+    j comes from an fp division FLOOR verified against the EXACT
+    integer predicate at ±1 candidates, so a last-ulp quotient cannot
+    shift the cut — the oracle's per-type window and this per-class
+    arithmetic count identical types by construction (within a class,
+    membership depends only on the type's position, not its identity).
+    The per-type window alternative sorts the whole vocabulary on one
+    partition — millions of rows at corpus scale; this sorts the tiny
+    class table."""
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tot = freq.agg(F.sum("c").alias("n"))
+    fof = freq.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = fof.agg(
+        F.sum(F.col("c") * F.col("cnt")).alias("n"),
+        F.sum("cnt").alias("v"),
+    )
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy(F.desc("c"), F.asc("tok"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    ranked = freq.crossJoin(F.broadcast(tot)).select(
-        "c", "n", F.sum("c").over(w).alias("cum")
+    ranked = fof.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "cnt",
+        "n",
+        "v",
+        (F.sum(F.col("c") * F.col("cnt")).over(w) - F.col("c") * F.col("cnt")).alias(
+            "m"
+        ),
     )
-    in_nucleus = F.when(
-        (F.col("cum") - F.col("c")) < P_COVER * F.col("n"), 1
-    ).otherwise(0)
+    T = F.lit(P_COVER) * F.col("n")
+    jc = F.floor((T - F.col("m")) / F.col("c")).cast("long")
+
+    def _ok(j):
+        return (F.col("m") + j * F.col("c")) < T
+
+    J = (
+        F.when(_ok(jc + 1), jc + 1)
+        .when(_ok(jc), jc)
+        .otherwise(jc - 1)
+    )
+    k = F.least(F.greatest(J + 1, F.lit(0).cast("long")), F.col("cnt"))
     return ranked.agg(
-        F.count(F.lit(1)).alias("n_types_total"),
-        F.sum(in_nucleus).cast("long").alias("n_types_p90"),
-        F.round(
-            F.sum(in_nucleus) * F.lit(1.0) / F.count(F.lit(1)), 4
-        ).alias("vocab_fraction"),
+        F.max("v").alias("n_types_total"),
+        F.sum(k).cast("long").alias("n_types_p90"),
+        F.round(F.sum(k) * F.lit(1.0) / F.max("v"), 4).alias("vocab_fraction"),
     )
 
 

@@ -150,3 +150,48 @@ def test_bigram_pmi_hand_checked(spark):
     for r in rows.values():
         assert r["cab"] == 40
         assert abs(r["pmi"] - round(math.log(8), 4)) < 1e-9
+
+
+# --- property test: class-arithmetic nucleus vs brute force -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["w%d" % i for i in range(12)]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=8),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_vocab_p90_matches_brute_force(spark, docs):
+    """The frequency-class arithmetic (fp-floor + exact ±1 verification)
+    counts exactly the types the per-type cumsum would."""
+    from collections import Counter
+
+    import beametrics_spark.operators.text3 as t3
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig = t3.load_table
+    try:
+        t3.load_table = lambda spark, sf_dir, name: df
+        got = t3.vocab_p90_coverage(spark, "x").collect()[0]
+    finally:
+        t3.load_table = orig
+    counts = Counter(w for ws in docs for w in ws)
+    n = sum(counts.values())
+    # brute force: types most-frequent first (any order within a class),
+    # in-nucleus iff mass before it < 0.9 * n
+    cum = 0
+    k = 0
+    for _, c in sorted(counts.items(), key=lambda t: (-t[1], t[0])):
+        if cum < t3.P_COVER * n:
+            k += 1
+        cum += c
+    assert got["n_types_total"] == len(counts)
+    assert got["n_types_p90"] == k
