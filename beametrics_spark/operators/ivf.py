@@ -114,13 +114,15 @@ def train_ivf_centroids(
     Centroids live on the driver (KB-scale); assignment and
     per-dimension means are distributed DataFrame work.
     """
-    n = corpus.count()
-    stride = max(n // cells, 1)
+    # Deterministic seed pick WITHOUT a global sort: order by a hash of
+    # the id and take the first `cells` — Spark plans orderBy+limit as
+    # TakeOrderedAndProject (per-partition top-k, merged on the driver),
+    # so seeding a petabyte corpus never shuffles it. The hash spreads
+    # seeds uniformly even when ids are clustered (the previous
+    # stride-sample ran row_number over a single-partition global sort).
     seeds = (
-        corpus.withColumn(
-            "_rn", F.row_number().over(Window.orderBy("vec_id")) - 1
-        )
-        .filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < cells))
+        corpus.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(cells)
         .select("v")
         .collect()
     )
