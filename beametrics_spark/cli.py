@@ -75,6 +75,18 @@ def build_parser() -> argparse.ArgumentParser:
         "Catalyst, prints JSON lines)",
     )
     p.add_argument(
+        "--query",
+        default=None,
+        help="run a named registry operator (see --list-queries) over "
+        "--sql-dir and print JSON rows; the same callables the driver "
+        "correctness gate checks",
+    )
+    p.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="print every registered query name (oracle-checked vs rows-only)",
+    )
+    p.add_argument(
         "--sql-dir",
         default=None,
         help="directory of <table>.parquet files for --sql (view per table)",
@@ -153,8 +165,43 @@ def run_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def run_query(args: argparse.Namespace) -> int:
+    """Registry mode: execute one named operator from the same registry
+    the driver's correctness gate checks (`__spark_entry__.queries()`),
+    printing JSON rows. `--explain` prints the formatted plan instead."""
+    from beametrics_spark.registry import load_all
+    from beametrics_spark.session import get_spark
+
+    registry = load_all()
+    if args.list_queries:
+        for name, (_fn, oracle) in sorted(registry.items()):
+            kind = "oracle" if oracle is not None else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+    if args.query not in registry:
+        raise SystemExit(
+            f"unknown query {args.query!r} — see --list-queries"
+        )
+    spark = get_spark("beametrics-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = args.sql_dir or "/root/testdata/sf0.01"
+    df = registry[args.query][0](spark, sf_dir)
+    if args.explain:
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+        return 0
+    for line in df.toJSON().toLocalIterator():
+        print(line)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.query or args.list_queries:
+        return run_query(args)
     if args.sql:
         return run_sql(args)
     validate_args(args)
