@@ -448,11 +448,7 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n1 = uni.agg(F.sum("c").alias("n"))
-    # every bigram statistic derives from ONE pair aggregate: the total
-    # m = Σcab over the unfiltered table and the support-pruned scored
-    # set share the identical subtree, so ReuseExchange plans the gram
-    # explode + aggregation once (was two full scans of the gram table)
-    bi_all = (
+    bi = (
         gram_rows(docs, 2)
         .select(
             F.split("s", " ").getItem(0).alias("a"),
@@ -460,9 +456,17 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_COUNT)
     )
-    bi = bi_all.filter(F.col("cab") >= PMI_MIN_COUNT)
-    n2 = bi_all.agg(F.sum("cab").alias("m"))
+    # the bigram total needs NO gram scan: every document contributes
+    # exactly len-1 adjacent pairs, so m = Σlen - |docs| = n1 - D —
+    # two scalars the plan already has (identical to the oracle's
+    # Σcab by construction)
+    n2 = (
+        docs.agg(F.count(F.lit(1)).alias("d"))
+        .crossJoin(F.broadcast(n1))
+        .select((F.col("n") - F.col("d")).alias("m"))
+    )
     ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
     ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
     pmi = F.round(
