@@ -8,8 +8,10 @@ cells; a query probes only the nprobe nearest cells and scores those
 candidates exactly. Cost ≈ nprobe/C of brute force, recall degrades
 gracefully with nprobe.
 
-Spark-first and fully deterministic (no RNG — seeds are strided corpus
-vectors). All heavy steps are COLUMNAR: vectors posexplode to
+Spark-first and fully deterministic (no RNG — seeds are the first
+`cells` corpus vectors under an xxhash64(vec_id) ordering, planned as
+TakeOrderedAndProject; see train_ivf_centroids). All heavy steps are
+COLUMNAR: vectors posexplode to
 (vec_id, dim, val) and dot products against a broadcast (cell, dim,
 weight) centroid table are hash aggregations. A literal expression tree
 of C×D multiply-adds (the obvious alternative) spends minutes in
@@ -147,9 +149,11 @@ def train_ivf_centroids(
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: probe the N_PROBE nearest of N_CELLS cells, exact re-rank.
 
-    Rows-only (approximate recall by design); tests/test_ivf.py asserts
-    recall vs the brute-force oracle and that the candidate set actually
-    pruned.
+    Rows-only (approximate recall by design);
+    tests/test_ivf.py::test_ivf_recall_and_pruning asserts recall ≥ 0.5
+    vs the brute-force oracle AND that the candidate set actually pruned
+    (< 90% of the corpus scored);
+    tests/test_ivf.py::test_ivf_deterministic pins run-to-run stability.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

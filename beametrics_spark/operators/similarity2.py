@@ -145,10 +145,11 @@ m AS (
 )
 SELECT vec_id,
        round(maxabs, 6) AS scale,
-       CASE WHEN maxabs = 0
-            THEN list_transform(v, x -> 0)
-            ELSE list_transform(v, x -> CAST(round(127 * x / maxabs) AS INT))
-       END AS q
+       array_to_string(
+         CASE WHEN maxabs = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(round(127 * x / maxabs) AS INT))
+         END, ',') AS q
 FROM m
 """
 
@@ -161,7 +162,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the difference between an in-memory and a spilling ANN index.
     Row-local: zero shuffles, perfectly parallel, and the dequantized
     error bound (scale/254 per component) travels with the row as
-    `scale`. Zero vectors quantize to zeros rather than NaN."""
+    `scale`. Zero vectors quantize to zeros rather than NaN.
+
+    The int8 vector is emitted as a comma-joined STRING (not ARRAY<INT>):
+    the driver's pandas-based canonicalizer cannot hash list cells
+    (r04 red row), and the CSV form is byte-identical across engines
+    (Spark int→string cast ≡ DuckDB array_to_string) while staying
+    row-local and losslessly parseable back with split(',')."""
     emb = _doubled(load_table(spark, sf_dir, "embeddings"))
     m = F.array_max(F.transform("v", F.abs))
     with_scale = emb.select("vec_id", "v", m.alias("maxabs"))
@@ -177,5 +184,5 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_scale.select(
         "vec_id",
         F.round("maxabs", 6).alias("scale"),
-        q.alias("q"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q"),
     )

@@ -48,13 +48,15 @@ def test_quantize_bounds_and_roundtrip(spark, sf_dir):
     assert len(rows) == len(emb)
     for r in rows[:50]:
         assert r["scale"] > 0
-        assert len(r["q"]) == DIM
-        assert all(-127 <= qi <= 127 for qi in r["q"])
+        # q is a comma-joined int8 string (driver-hashable; see operator docstring)
+        q = [int(x) for x in r["q"].split(",")]
+        assert len(q) == DIM
+        assert all(-127 <= qi <= 127 for qi in q)
         # the max-|x| component must quantize to ±127 exactly
-        assert max(abs(qi) for qi in r["q"]) == 127
+        assert max(abs(qi) for qi in q) == 127
         # dequantization error bounded by scale/254 per component
         v = emb[r["vec_id"]]
-        for qi, xi in zip(r["q"], v):
+        for qi, xi in zip(q, v):
             assert abs(qi * r["scale"] / 127 - xi) <= r["scale"] / 127
 
 
@@ -69,5 +71,5 @@ def test_quantize_zero_vector(spark):
     docs.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     rows = {r["vec_id"]: r for r in embedding_quantize_int8(spark, d).collect()}
     assert rows[1]["scale"] == 0.0
-    assert all(q == 0 for q in rows[1]["q"])
-    assert rows[2]["q"][0] == 127
+    assert all(int(q) == 0 for q in rows[1]["q"].split(","))
+    assert int(rows[2]["q"].split(",")[0]) == 127
