@@ -154,11 +154,7 @@ def run_sql(args: argparse.Namespace) -> int:
         register_views(spark, args.sql_dir, names)
     df = spark.sql(args.sql)
     if args.explain:
-        print(
-            df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-        )
+        df.explain(mode="formatted")
         return 0
     for line in df.toJSON().toLocalIterator():
         print(line)
@@ -182,16 +178,19 @@ def run_query(args: argparse.Namespace) -> int:
         raise SystemExit(
             f"unknown query {args.query!r} — see --list-queries"
         )
+    import os
+
+    sf_dir = args.sql_dir or os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir:
+        raise SystemExit(
+            "--query needs a table directory: pass --sql-dir or set "
+            "$SPARK_GRAFT_SF_DIR"
+        )
     spark = get_spark("beametrics-query")
     spark.sparkContext.setLogLevel("ERROR")
-    sf_dir = args.sql_dir or "/root/testdata/sf0.01"
     df = registry[args.query][0](spark, sf_dir)
     if args.explain:
-        print(
-            df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-        )
+        df.explain(mode="formatted")
         return 0
     for line in df.toJSON().toLocalIterator():
         print(line)

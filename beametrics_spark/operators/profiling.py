@@ -238,18 +238,26 @@ def table_profile(
         )
         pairs.append(
             F.struct(
-                F.lit(c).alias("cn"), _fmt(col, c).alias("v"), num.alias("vn")
+                F.lit(c).alias("cn"),
+                _fmt(col, c).alias("v"),
+                num.alias("vn"),
+                # null test on the RAW column, not the formatted string:
+                # a non-null value that formats to NULL (double NaN, a
+                # decimal(38,n) overflow through _fmt) must count as a
+                # present distinct value, not as a null.
+                col.isNull().alias("raw_null"),
             )
         )
     long = df.select(F.explode(F.array(*pairs)).alias("s")).select(
         F.col("s.cn").alias("column_name"),
         F.col("s.v").alias("v"),
         F.col("s.vn").alias("vn"),
+        F.col("s.raw_null").alias("raw_null"),
     )
-    per_val = long.groupBy("column_name", "v", "vn").agg(
+    per_val = long.groupBy("column_name", "v", "vn", "raw_null").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    nn = F.col("v").isNotNull()
+    nn = ~F.col("raw_null")
     # numeric columns order by vn (exact: every profiled value round-trips
     # double at these widths), string columns lexically by v; both via
     # PLAIN min/max so the aggregate stays hash-based.  The numeric

@@ -122,7 +122,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 scored AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          row_number() OVER (PARTITION BY a.vec_id
-                            ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                            ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
                                      b.vec_id ASC) AS rk
   FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
 ),
@@ -148,10 +148,10 @@ def knn_graph_hub_stats(
 
     Exact edges are O(n²), so the input is guarded (guard_quadratic):
     this is a diagnostic you run on a bounded sample.  At corpus scale
-    the identical rollup (groupBy dst → count, left join back for the
-    zero bucket) runs over LSH/IVF candidate edges instead — the
-    aggregation shape is the scale path, only the edge generator
-    changes.
+    the identical rollup runs over LSH/IVF candidate edges instead via
+    knn_hub_stats_over(edges, universe) below — only the edge generator
+    changes (exercised end-to-end over LSH candidates in
+    tests/test_similarity3.py::test_hub_stats_over_lsh_edges).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -165,9 +165,14 @@ def knn_graph_hub_stats(
     )
     left = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("sv"))
     right = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"))
+    # Rank on the 6-dp ROUNDED similarity in both engines (the repo's
+    # determinism contract for similarity ranking — see
+    # embedding_centroid_assign): unrounded doubles differ per engine by
+    # summation order, and a last-ulp difference on near-tied neighbors
+    # would flip edges and change the oracle-checked histogram.
     scored = (
         left.join(F.broadcast(right), F.col("src") != F.col("dst"))
-        .withColumn("sim", cosine_expr(F.col("sv"), F.col("dv")))
+        .withColumn("sim", F.round(cosine_expr(F.col("sv"), F.col("dv")), 6))
     )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     edges = (
@@ -175,8 +180,23 @@ def knn_graph_hub_stats(
         .filter(F.col("rk") <= GRAPH_K)
         .select("src", "dst")
     )
+    return knn_hub_stats_over(edges, emb)
+
+
+def knn_hub_stats_over(edges: DataFrame, universe: DataFrame) -> DataFrame:
+    """The hub-stats rollup over an ARBITRARY (src, dst) edge table —
+    the executable 100 TB path: feed it candidate edges from the LSH
+    bucket join (similarity.banded_buckets) or the IVF probe
+    (ivf.assign_cells) instead of exact O(n²) edges, and the identical
+    groupBy-dst + left-join-for-the-zero-bucket aggregation runs at
+    corpus scale (tests/test_similarity3.py::test_hub_stats_over_lsh_edges
+    wires the LSH candidate generator through this rollup).
+
+    ``universe`` supplies the vec_id population so vectors with zero
+    in-degree appear in the histogram (a pure groupBy over edges would
+    silently drop them)."""
     deg = (
-        emb.select("vec_id")
+        universe.select("vec_id")
         .join(edges, edges["dst"] == F.col("vec_id"), "left")
         .groupBy("vec_id")
         .agg(F.count("src").alias("in_degree"))

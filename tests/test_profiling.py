@@ -99,3 +99,18 @@ def test_referential_integrity_detects_planted_orphans(spark):
     assert rows["lineitem.l_orderkey -> orders"] == 1
     assert rows["lineitem.l_partkey -> part"] == 0
     assert rows["lineitem.l_suppkey -> supplier"] == 0
+
+
+def test_table_profile_nan_is_not_null(spark):
+    """A double NaN formats to NULL through the DECIMAL render but is NOT
+    a null: it must count as a present distinct value (raw-column null
+    semantics), while a real NULL counts in n_nulls only."""
+    from beametrics_spark.operators.profiling import table_profile
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,), (2.0,)], "x double"
+    )
+    row = table_profile(df, ["x"], round_cols={"x": 2}).collect()[0]
+    assert row["n_rows"] == 4
+    assert row["n_nulls"] == 1          # only the real NULL
+    assert row["n_distinct"] == 3       # 1.0, NaN, 2.0

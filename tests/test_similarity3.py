@@ -89,3 +89,53 @@ def test_whitened_norms_concentrate(spark, sf_dir):
     mean = sum(r["whitened_norm"] for r in rows) / len(rows)
     # whitening normalizes each dimension: mean norm ~ sqrt(dim)
     assert abs(mean - target) < 0.15 * target
+
+
+def test_hub_stats_over_lsh_edges(spark, sf_dir):
+    """The 100 TB path executed end-to-end: LSH bucket-join candidate
+    edges (never all-pairs) -> top-k per src -> knn_hub_stats_over.
+    The histogram must cover the whole corpus (zero bucket included)
+    and carry exactly corpus_size * GRAPH_K edges at most."""
+    from pyspark.sql import Window
+
+    from beametrics_spark.operators.dedup import cosine_expr
+    from beametrics_spark.operators.similarity import (
+        banded_buckets,
+        with_signatures,
+    )
+    from beametrics_spark.operators.similarity3 import knn_hub_stats_over
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+
+    banded = banded_buckets(with_signatures(spark, emb, 64))
+    left = banded.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("sv"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "band", "bucket"
+    )
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "sv", "dv")
+        .distinct()
+    )
+    scored = candidates.withColumn(
+        "sim", F.round(cosine_expr(F.col("sv"), F.col("dv")), 6)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GRAPH_K)
+        .select("src", "dst")
+    )
+
+    hist = knn_hub_stats_over(edges, emb).collect()
+    assert sum(r["n_vectors"] for r in hist) == n
+    total_edges = sum(r["in_degree"] * r["n_vectors"] for r in hist)
+    assert 0 < total_edges <= n * GRAPH_K
+    # candidate generation actually pruned: fewer scored pairs than n^2
+    assert candidates.count() < n * (n - 1)
