@@ -174,6 +174,64 @@ class GoogleCloudMonitoringSink:
                 raise
 
 
+class GoogleCloudMonitoringPartitionedSink:
+    """Executor-side variant of GoogleCloudMonitoringSink: writes via
+    ``batch_df.foreachPartition`` with ONE client per non-empty
+    partition — the exact analog of the reference's per-bundle client
+    in ``DoFn.setup`` (pipeline.py:218-223, metrics_exporter.py:164-165).
+
+    The driver-side sink above iterates aggregates through
+    ``toLocalIterator`` — fine at windowed-aggregate cardinality, but at
+    extreme label cardinality every point serializes through the
+    driver. Here rows never leave the executors: each partition builds
+    its requests and pushes them with a locally-constructed client, so
+    export bandwidth scales with the cluster. Same at-least-once /
+    swallow-InvalidArgument semantics as the reference
+    (metrics_exporter.py:116-121).
+
+    ``client_factory`` must be picklable (it ships to executors); it is
+    called lazily so empty partitions construct no client.
+    """
+
+    def __init__(
+        self,
+        project_id: str,
+        client_factory: Callable[[], Any] | None = None,
+    ) -> None:
+        self.project_id = project_id
+        self.client_factory = client_factory
+
+    def write(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        if self.client_factory is None:
+            raise NotImplementedError(
+                "google-cloud-monitoring client not available in this "
+                "environment; inject client_factory"
+            )
+        project_id = self.project_id
+        factory = self.client_factory
+
+        def _write_partition(rows: Iterator[Any]) -> None:
+            client = None
+            for row in rows:
+                if client is None:  # once per non-empty partition (DoFn.setup)
+                    client = factory()
+                rec = row.asDict(recursive=True)
+                req = build_time_series_request(
+                    project_id=project_id,
+                    metric_name=rec.get("metric_name", ""),
+                    value=float(rec.get("value", 0.0)),
+                    static_labels=rec.get("labels") or {},
+                )
+                try:
+                    client.create_time_series(req)
+                except Exception as exc:  # noqa: BLE001
+                    if "InvalidArgument" in type(exc).__name__:
+                        continue  # swallowed, reference metrics_exporter.py:116-119
+                    raise
+
+        batch_df.foreachPartition(_write_partition)
+
+
 class IdempotentParquetSink:
     """Exactly-once file sink for foreachBatch: each epoch writes to its
     own partition directory with overwrite, so a replayed epoch (after a
@@ -199,6 +257,7 @@ SINK_REGISTRY: dict[str, Callable[..., MetricsSink]] = {
     "json": JsonSink,
     "idempotent-parquet": IdempotentParquetSink,
     "google-cloud-monitoring": GoogleCloudMonitoringSink,
+    "google-cloud-monitoring-executor": GoogleCloudMonitoringPartitionedSink,
 }
 
 

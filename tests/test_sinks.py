@@ -163,3 +163,74 @@ def test_monitoring_adapter_real_factory_gated(spark):
 
     with pytest.raises(NotImplementedError, match="google-cloud-monitoring"):
         real_client_factory("proj")()
+
+
+def test_partitioned_monitoring_sink_one_client_per_partition(spark):
+    """Executor-side export contract: one client construction per
+    NON-EMPTY partition (the DoFn.setup analog), every aggregate row
+    exported, nothing serialized through the driver. Counters cross the
+    executor boundary via accumulators."""
+    from beametrics_spark.sinks import GoogleCloudMonitoringPartitionedSink
+
+    sc = spark.sparkContext
+    constructions = sc.accumulator(0)
+    requests = sc.accumulator(0)
+
+    class CountingClient:
+        def __init__(self):
+            constructions.add(1)
+
+        def create_time_series(self, req):
+            assert req["time_series"]["resource"]["type"] == "global"
+            assert req["name"] == "projects/test-proj"
+            requests.add(1)
+
+    df = (
+        spark.range(40)
+        .selectExpr(
+            "'m' AS metric_name",
+            "CAST(id AS DOUBLE) AS value",
+            "map('k', CAST(id AS STRING)) AS labels",
+        )
+        .repartition(4)
+    )
+    sink = GoogleCloudMonitoringPartitionedSink(
+        "test-proj", client_factory=CountingClient
+    )
+    sink.write(df)
+    assert requests.value == 40
+    assert constructions.value == 4  # one per (non-empty) partition
+
+
+def test_partitioned_monitoring_sink_swallows_invalid_argument(spark):
+    from beametrics_spark.sinks import GoogleCloudMonitoringPartitionedSink
+
+    sc = spark.sparkContext
+    ok = sc.accumulator(0)
+
+    class InvalidArgument(Exception):
+        pass
+
+    class FlakyClient:
+        def create_time_series(self, req):
+            if req["time_series"]["points"][0]["value"]["double_value"] == 1.0:
+                raise InvalidArgument("bad point")
+            ok.add(1)
+
+    df = spark.range(5).selectExpr(
+        "'m' AS metric_name", "CAST(id AS DOUBLE) AS value"
+    ).coalesce(1)
+    GoogleCloudMonitoringPartitionedSink(
+        "p", client_factory=FlakyClient
+    ).write(df)
+    assert ok.value == 4  # the InvalidArgument row skipped, rest exported
+
+
+def test_partitioned_monitoring_sink_without_client_raises(spark):
+    import pytest
+
+    from beametrics_spark.sinks import GoogleCloudMonitoringPartitionedSink
+
+    df = spark.range(1).selectExpr("'m' AS metric_name", "1.0 AS value")
+    with pytest.raises(NotImplementedError):
+        GoogleCloudMonitoringPartitionedSink("p").write(df)
