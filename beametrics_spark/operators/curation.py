@@ -33,6 +33,12 @@ from beametrics_spark.operators.dedup import (
 
 _CC_MAX_ITER = 25  # components are dup-clusters: diameter is tiny in practice
 
+# Rounds executed by the most recent connected_components call (the
+# convergence-detection round included). Bench/diagnostic introspection
+# only — lets bench.py report an iteration-normalized sec/round for the
+# iterative workloads without re-instrumenting the operator.
+LAST_CC_ROUNDS = 0
+
 
 def connected_components(pairs: DataFrame, max_iter: int = _CC_MAX_ITER) -> DataFrame:
     """(id, root) for every vertex in `pairs` (doc_a, doc_b edge list);
@@ -56,6 +62,7 @@ def connected_components(pairs: DataFrame, max_iter: int = _CC_MAX_ITER) -> Data
     aggregate (sum of roots strictly decreases while any label moves) —
     no driver-side data collection at any point.
     """
+    global LAST_CC_ROUNDS
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).localCheckpoint(eager=True)
@@ -68,7 +75,7 @@ def connected_components(pairs: DataFrame, max_iter: int = _CC_MAX_ITER) -> Data
     )
     prev_sum = labels.agg(F.sum("root")).collect()[0][0]
 
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -97,6 +104,7 @@ def connected_components(pairs: DataFrame, max_iter: int = _CC_MAX_ITER) -> Data
         )
         cur_sum = labels.agg(F.sum("root")).collect()[0][0]
         if cur_sum == prev_sum:
+            LAST_CC_ROUNDS = _round + 1
             return labels
         prev_sum = cur_sum
     raise RuntimeError(

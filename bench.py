@@ -127,6 +127,47 @@ STREAMING_QUERIES = [
     "stream_ohlc_parity",
 ]
 
+# Iterative workloads, timed with an iteration-normalized metric
+# (sec/iteration): each power/propagation round pays the local
+# job-scheduling floor once (localCheckpoint per round), so raw wall
+# time on local[32] overstates what a cluster pays per round — but the
+# per-round join+agg cost IS the number that extrapolates, so it is
+# measured rather than excluded (r04 verdict item 4). Construction is
+# INSIDE the timer: these operators execute their rounds eagerly while
+# the DataFrame is being built.
+ITERATIVE_QUERIES = ["pagerank_customer_supplier", "dedup_clusters"]
+
+
+def _iterative_bench(spark, sf_dir: str, qs) -> dict:
+    from beametrics_spark.operators import curation
+    from beametrics_spark.operators.graph import N_ITER
+
+    out: dict[str, dict] = {}
+    for name in ITERATIVE_QUERIES:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        trials = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            trials.append(time.perf_counter() - t0)
+        wall = min(trials)
+        iters = (
+            N_ITER
+            if name == "pagerank_customer_supplier"
+            else curation.LAST_CC_ROUNDS
+        )
+        out[name] = {
+            "wall_s": round(wall, 3),
+            "iters": iters,
+            "s_per_iter": round(wall / max(iters, 1), 3),
+        }
+        print(
+            f"# {name}: {wall:.3f}s / {iters} iters = "
+            f"{out[name]['s_per_iter']:.3f} s/iter",
+            file=sys.stderr,
+        )
+    return out
+
 
 def _layout_bench(spark, sf_dir: str) -> dict:
     """Physical-layout demo: the same join-aggregate over bucketed vs
@@ -242,6 +283,7 @@ def main() -> int:
 
     timings = timed(BENCH_QUERIES)
     streaming = timed(STREAMING_QUERIES)
+    iterative = _iterative_bench(spark, sf_dir, qs)
     layout = _layout_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -254,6 +296,7 @@ def main() -> int:
                 "queries": timings,
                 "streaming_parity_queries": streaming,
                 "streaming_parity_wall": round(sum(streaming.values()), 3),
+                "iterative_queries": iterative,
                 "layout": layout,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -47,6 +47,25 @@ def main() -> int:
         print(f"| {name} | {sv:.3f} |")
     print(f"| **total** | **{bench.get('streaming_parity_wall', 0):.3f}** |")
     print()
+    it_s = bench.get("iterative_queries", {})
+    it_d = duck.get("iterative_queries", {})
+    if it_s:
+        print("Iterative workloads (iteration-normalized: each Spark round is")
+        print("a join+agg with a localCheckpoint lineage cut, so sec/iter is")
+        print("the number that extrapolates to a cluster; DuckDB runs the")
+        print("equivalent unrolled/recursive CTE to the same fixpoint):\n")
+        print("| query | spark wall (s) | iters | spark s/iter | duckdb wall (s) | duck s/iter |")
+        print("|---|---|---|---|---|---|")
+        for name, row in it_s.items():
+            dv = it_d.get(name)
+            iters = max(row.get("iters", 1), 1)
+            dpi = f"{dv / iters:.3f}" if dv is not None else "—"
+            dvs = f"{dv:.3f}" if dv is not None else "—"
+            print(
+                f"| {name} | {row['wall_s']:.3f} | {row['iters']} "
+                f"| {row['s_per_iter']:.3f} | {dvs} | {dpi} |"
+            )
+        print()
     print(
         "Reading the per-query ratios: every query where DuckDB finishes in\n"
         "<0.15 s is dominated by Spark's fixed ~0.3-0.5 s job-scheduling floor\n"
