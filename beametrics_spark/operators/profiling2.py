@@ -1,0 +1,97 @@
+"""Profiling, wave 2 (round 5): shuffle-balance prediction.
+
+shuffle_partition_estimate answers "if I shuffle this table on this key
+into N partitions, how balanced do the reducers come out?" BEFORE the
+shuffle runs — the same measured-not-guessed discipline as
+key_skew_profile (which looks at single hot keys) and
+join_cardinality_estimate (which sizes join output), completing the
+pre-flight trio a 100 TB pipeline checks before committing to a plan.
+
+The reference has no profiling surface (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+N_SHUFFLE_PARTITIONS = 32
+
+
+# The partition assignment must be identical in both engines, so it uses
+# the shared md5-based 60-bit hash (dedup.md5_hash60's formula) mod N —
+# NOT Spark's Murmur3, which DuckDB cannot reproduce. The estimate's
+# purpose is distributional (balance under a uniform hash), and any
+# well-mixed hash gives the same balance statistics.
+_PARTITION_ORACLE = f"""
+WITH per_key AS (
+  SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+assigned AS (
+  SELECT key, n_rows,
+         ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+           % {N_SHUFFLE_PARTITIONS} AS partition_id
+  FROM per_key
+),
+parts AS (
+  SELECT partition_id,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         CAST(max(n_rows) AS BIGINT) AS max_key_rows
+  FROM assigned GROUP BY 1
+),
+tot AS (SELECT sum(n_rows) AS total FROM parts)
+SELECT p.partition_id, p.n_keys, p.n_rows, p.max_key_rows,
+       ROUND(p.n_rows * {N_SHUFFLE_PARTITIONS} * 1.0 / t.total, 4)
+         AS balance_ratio
+FROM parts p, tot t
+"""
+
+
+@register("shuffle_partition_estimate", _PARTITION_ORACLE)
+def shuffle_partition_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted reducer balance for hash-partitioning lineitem on
+    l_orderkey into {N} partitions: per partition, how many keys and
+    rows land there, the largest single key (the irreducible skew floor
+    — salting can split a partition but not a key), and the balance
+    ratio (1.0 = perfectly even; a partition at 5.0 holds 5× its fair
+    share and will straggle).
+
+    Cost is one per-key count aggregate (map-side combined — the
+    shuffle carries (key, count) partials, never rows) plus an
+    aggregate over the already-reduced key table: profiling a 100 TB
+    shuffle costs one narrow pass, and the answer tells you whether to
+    pre-salt BEFORE paying for the real thing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    pid = (
+        F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % N_SHUFFLE_PARTITIONS
+    )
+    parts = per_key.groupBy(pid.alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_rows"),
+        F.max("n_rows").alias("max_key_rows"),
+    )
+    tot = parts.agg(F.sum("n_rows").alias("total"))
+    return parts.crossJoin(F.broadcast(tot)).select(
+        "partition_id",
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.round(
+            F.col("n_rows") * N_SHUFFLE_PARTITIONS / F.col("total"), 4
+        ).alias("balance_ratio"),
+    )
+
+
+shuffle_partition_estimate.__doc__ = shuffle_partition_estimate.__doc__.replace(
+    "{N}", str(N_SHUFFLE_PARTITIONS)
+)

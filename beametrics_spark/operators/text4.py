@@ -1,0 +1,257 @@
+"""Text/corpus operators, wave 4 (round 5): the sampling-and-coverage
+side of training-data curation.
+
+- Containment near-dup pairs: the ASYMMETRIC overlap measure
+  (|A∩B| / min(|A|,|B|)) that catches subset duplication — a short doc
+  fully contained in a longer one scores containment 1.0 while its
+  Jaccard can be arbitrarily low. The standard complement to
+  dedup_ngram_jaccard in a dedup stack (Broder's containment).
+- Quality-decile token budget: rank the corpus by a quality signal,
+  ntile into deciles, report each decile's document and token budget —
+  the table a curriculum/mixing decision reads ("how many tokens do we
+  own above quality bar X?").
+- Domain temperature weights: the α-temperature resampling weights
+  (w_i ∝ p_i^α, α=0.7) used to flatten a domain mix without discarding
+  head domains entirely — the multilingual/multi-source sampling rule
+  from the XLM-R / mT5 lineage, computed from measured token shares.
+
+The reference has none of this (SURVEY.md §2.2 — no text surface);
+these extend text.py/text2.py/text3.py.
+
+Scale notes (100 TB):
+- containment shares the inverted-index + hot-posting-cap machinery of
+  the jaccard path (dedup.py) — one shuffle on the shingle, pairs only
+  from sub-cap posting lists, never an all-pairs join.
+- deciles need a total order ONLY over per-doc scalars (doc_id, score,
+  n_tokens) — the ntile window sorts that narrow projection, not the
+  corpus; at extreme scale swap ntile for the broadcast-cutoff
+  two-scan shape of doc_length_outlier_flags.
+- temperature weights are two nested aggregates (per-source, then one
+  broadcast scalar row) — profiling cost, not data cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.dedup import (
+    HOT_GROUP_CAP,
+    drop_hot_groups,
+    explode_sorted_pairs,
+    shingle_table,
+)
+from beametrics_spark.operators.text import STOPWORDS
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+CONTAINMENT_THRESHOLD = 0.8
+TEMP_ALPHA = 0.7
+TOKEN_BUDGET = 1_000_000  # resampling budget the expected-token column scales to
+N_DECILES = 10
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+_CONTAINMENT_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 4, 0)),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 4), ' ')
+         )) AS sh
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c * 1.0 / least(na, nb), 3) AS containment,
+       CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc
+FROM pairs WHERE c * 1.0 / least(na, nb) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("containment_dup_pairs", _CONTAINMENT_ORACLE)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs: containment = |A∩B| / min(|A|,|B|)
+    ≥ {T} on word-5-gram sets, with the smaller (contained) doc named.
+
+    Catches what symmetric Jaccard misses: a paragraph quoted inside a
+    10× longer doc has Jaccard ≈ 0.1 but containment ≈ 1.0 — the
+    dominant duplication mode in scraped corpora (boilerplate wrapping,
+    quote-and-extend). Same inverted-index shape as dedup_ngram_jaccard
+    (one shuffle on the shingle, pair counts from posting lists, hot
+    grams capped before C(m,2) expansion); only the denominator differs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    cap: int = HOT_GROUP_CAP,
+    cap_metric="containment_hot_grams",
+) -> DataFrame:
+    """Pair body, parameterized for tests (mirrors ngram_jaccard_pairs)."""
+    sh = shingle_table(docs)
+    posting = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    posting = drop_hot_groups(posting, F.size("ds") > cap, cap_metric)
+    pairs = explode_sorted_pairs(
+        posting,
+        "ds",
+        lambda a, b: [
+            a["doc_id"].alias("doc_a"),
+            b["doc_id"].alias("doc_b"),
+            a["n"].alias("na"),
+            b["n"].alias("nb"),
+        ],
+    ).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    return pairs.filter(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.round(cont, 3).alias("containment"),
+        F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("contained_doc"),
+    )
+
+
+containment_dup_pairs.__doc__ = containment_dup_pairs.__doc__.replace(
+    "{T}", str(CONTAINMENT_THRESHOLD)
+)
+
+
+_DECILE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         ROUND(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               w -> w IN ({_SW_LIST}))) * 1.0
+               / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4)
+           AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens, score,
+         ntile({N_DECILES}) OVER (ORDER BY score DESC, doc_id ASC) AS decile
+  FROM t
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+       ROUND(min(score), 4) AS min_score,
+       ROUND(max(score), 4) AS max_score
+FROM ranked GROUP BY 1
+"""
+
+
+@register("quality_decile_token_budget", _DECILE_ORACLE)
+def quality_decile_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget per quality decile: rank the corpus by a quality
+    signal (stopword ratio — the cheap fluency proxy; higher = more
+    natural-language-like here), ntile(10) on the ROUNDED score with
+    doc_id tiebreak (engine-portable total order), and report each
+    decile's document count, summed token budget, and score range —
+    the "how many tokens exist above quality bar X" table that decides
+    curriculum mixes and filtering thresholds.
+
+    The ntile window sorts only the (doc_id, n_tokens, score) scalar
+    projection — three narrow columns, never the text; at extreme
+    corpus scale the same answer comes from the broadcast-cutoff
+    two-scan shape (percentile cutoffs → scan 2 tags each doc), see
+    doc_length_outlier_flags."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    score = F.round(
+        n_stop / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    t = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), score.alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = t.withColumn("decile", F.ntile(N_DECILES).over(w))
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("token_budget"),
+        F.round(F.min("score"), 4).alias("min_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
+    )
+
+
+_TEMP_ORACLE = rf"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_tokens) AS total FROM per_src),
+p AS (
+  SELECT source, n_tokens,
+         n_tokens * 1.0 / tot.total AS p_raw
+  FROM per_src, tot
+),
+z AS (SELECT sum(pow(p_raw, {TEMP_ALPHA})) AS norm FROM p)
+SELECT p.source,
+       p.n_tokens,
+       ROUND(p.p_raw, 6) AS p_raw,
+       ROUND(pow(p.p_raw, {TEMP_ALPHA}) / z.norm, 6) AS w_temp,
+       CAST(ROUND({TOKEN_BUDGET} * pow(p.p_raw, {TEMP_ALPHA}) / z.norm, 0) AS BIGINT)
+         AS expected_tokens
+FROM p, z
+"""
+
+
+@register("domain_temperature_weights", _TEMP_ORACLE)
+def domain_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature domain resampling weights (α={A}): per source,
+    measured token share p_i, flattened weight w_i = p_i^α / Σ p_j^α,
+    and the expected token draw under a {B:,}-token budget — the
+    sampling rule that up-weights tail domains without discarding the
+    head (the multilingual-pretraining standard; α=1 keeps the natural
+    mix, α=0 is uniform).
+
+    One hash aggregate per source (map-side combined token counts),
+    one broadcast scalar row for the two normalizers — profiling cost,
+    not data cost, at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_src = docs.groupBy("source").agg(
+        F.sum(n_tokens).alias("n_tokens")
+    )
+    p_raw = F.col("n_tokens") / F.col("total")
+    stats = per_src.agg(F.sum("n_tokens").alias("total"))
+    p = per_src.crossJoin(F.broadcast(stats))
+    z = p.agg(
+        F.sum(F.pow(p_raw, F.lit(TEMP_ALPHA))).alias("norm")
+    )
+    w_temp = F.pow(p_raw, F.lit(TEMP_ALPHA)) / F.col("norm")
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(w_temp, 6).alias("w_temp"),
+        F.round(w_temp * TOKEN_BUDGET, 0).cast("long").alias("expected_tokens"),
+    )
+
+
+domain_temperature_weights.__doc__ = domain_temperature_weights.__doc__.replace(
+    "{A}", str(TEMP_ALPHA)
+).replace("{B:,}", f"{TOKEN_BUDGET:,}")

@@ -41,17 +41,21 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.similarity  # noqa: F401
     import beametrics_spark.operators.similarity2  # noqa: F401
     import beametrics_spark.operators.similarity3  # noqa: F401
+    import beametrics_spark.operators.similarity4  # noqa: F401
     import beametrics_spark.operators.ivf  # noqa: F401
     import beametrics_spark.operators.text  # noqa: F401
     import beametrics_spark.operators.text2  # noqa: F401
     import beametrics_spark.operators.text3  # noqa: F401
+    import beametrics_spark.operators.text4  # noqa: F401
     import beametrics_spark.operators.multimodal  # noqa: F401
     import beametrics_spark.operators.stream_parity  # noqa: F401
     import beametrics_spark.operators.windows_ext  # noqa: F401
     import beametrics_spark.operators.events_ext  # noqa: F401
     import beametrics_spark.operators.events2  # noqa: F401
+    import beametrics_spark.operators.events3  # noqa: F401
     import beametrics_spark.operators.corpus_stats  # noqa: F401
     import beametrics_spark.operators.graph  # noqa: F401
     import beametrics_spark.operators.profiling  # noqa: F401
+    import beametrics_spark.operators.profiling2  # noqa: F401
 
     return QUERIES

@@ -112,6 +112,16 @@ BENCH_QUERIES = [
     "embedding_whitened_norms",
     "referential_integrity_audit",
     "event_path_trigrams",
+    # round-5 wave: containment dedup, sampling/budget tables, event
+    # load-shape diagnostics, shuffle-balance estimate, cluster geometry
+    "containment_dup_pairs",
+    "quality_decile_token_budget",
+    "domain_temperature_weights",
+    "event_seasonality_profile",
+    "user_activity_power_law",
+    "session_duration_stats",
+    "shuffle_partition_estimate",
+    "centroid_separation_matrix",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -135,13 +145,26 @@ STREAMING_QUERIES = [
 # measured rather than excluded (r04 verdict item 4). Construction is
 # INSIDE the timer: these operators execute their rounds eagerly while
 # the DataFrame is being built.
-ITERATIVE_QUERIES = ["pagerank_customer_supplier", "dedup_clusters"]
+ITERATIVE_QUERIES = [
+    "pagerank_customer_supplier",
+    "dedup_clusters",
+    "embedding_pca_power_iteration",
+]
+
+
+def _iter_count(name: str) -> int:
+    from beametrics_spark.operators import curation
+    from beametrics_spark.operators.graph import N_ITER
+    from beametrics_spark.operators.similarity4 import PCA_ITERS
+
+    return {
+        "pagerank_customer_supplier": N_ITER,
+        "dedup_clusters": curation.LAST_CC_ROUNDS,
+        "embedding_pca_power_iteration": PCA_ITERS,
+    }[name]
 
 
 def _iterative_bench(spark, sf_dir: str, qs) -> dict:
-    from beametrics_spark.operators import curation
-    from beametrics_spark.operators.graph import N_ITER
-
     out: dict[str, dict] = {}
     for name in ITERATIVE_QUERIES:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -151,11 +174,7 @@ def _iterative_bench(spark, sf_dir: str, qs) -> dict:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
         wall = min(trials)
-        iters = (
-            N_ITER
-            if name == "pagerank_customer_supplier"
-            else curation.LAST_CC_ROUNDS
-        )
+        iters = _iter_count(name)
         out[name] = {
             "wall_s": round(wall, 3),
             "iters": iters,

@@ -1,0 +1,191 @@
+"""Round-5 operator wave: containment dedup, decile budgets, temperature
+weights, event seasonality/power-law/session stats, shuffle-balance
+estimate, centroid separation, PCA power iteration. Value parity runs
+through scripts/oracle_check.py; here: semantics the oracle can't see
+(asymmetric-containment behavior, cap firing, numpy cross-check of the
+power iteration) plus shape invariants."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.events3 import (
+    event_seasonality_profile,
+    session_duration_stats,
+    user_activity_power_law,
+)
+from beametrics_spark.operators.profiling2 import (
+    N_SHUFFLE_PARTITIONS,
+    shuffle_partition_estimate,
+)
+from beametrics_spark.operators.similarity4 import (
+    PCA_ITERS,
+    centroid_separation_matrix,
+    embedding_pca_power_iteration,
+)
+from beametrics_spark.operators.text4 import (
+    containment_dup_pairs,
+    containment_pairs,
+    domain_temperature_weights,
+    quality_decile_token_budget,
+)
+
+
+# --- text4 -------------------------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A 10-token doc quoted verbatim inside a 40-token doc: containment
+    1.0 (all of A's shingles appear in B) while Jaccard is far below the
+    0.8 dedup bar — the exact case this operator exists for."""
+    from beametrics_spark.operators.dedup import ngram_jaccard_pairs
+
+    inner = " ".join(f"q{i}" for i in range(10))
+    outer = " ".join(f"w{i}" for i in range(15)) + " " + inner + " " + " ".join(
+        f"z{i}" for i in range(15)
+    )
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer)], "doc_id long, text string"
+    )
+    cont = containment_pairs(docs).collect()
+    assert len(cont) == 1
+    assert cont[0].containment == 1.0
+    assert cont[0].contained_doc == 1
+    assert ngram_jaccard_pairs(docs).count() == 0  # jaccard ~ 6/36, missed
+
+
+def test_containment_hot_gram_capped_and_observed(spark):
+    docs = spark.createDataFrame(
+        [(i, "c1 c2 c3 c4 c5") for i in range(30)], "doc_id long, text string"
+    )
+    obs = Observation()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert containment_pairs(docs, cap=8, cap_metric=obs).count() == 0
+        assert obs.get["n_dropped"] == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_decile_budget_partitions_corpus(spark, sf_dir):
+    rows = quality_decile_token_budget(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert {r["decile"] for r in rows} == set(range(1, 11))
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # deciles are ordered by score descending: min_score non-increasing
+    by_decile = sorted(rows, key=lambda r: r["decile"])
+    for a, b in zip(by_decile, by_decile[1:]):
+        assert a["min_score"] >= b["max_score"] - 1e-9
+
+
+def test_temperature_weights_flatten_the_mix(spark, sf_dir):
+    rows = domain_temperature_weights(spark, sf_dir).collect()
+    assert abs(sum(r["w_temp"] for r in rows) - 1.0) < 1e-3
+    # alpha < 1 compresses ratios: max/min of w must not exceed that of p
+    ps = [r["p_raw"] for r in rows]
+    ws = [r["w_temp"] for r in rows]
+    assert max(ws) / min(ws) <= max(ps) / min(ps) + 1e-9
+
+
+# --- events3 -----------------------------------------------------------------
+
+
+def test_seasonality_ratios_average_to_one(spark, sf_dir):
+    rows = event_seasonality_profile(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["load_ratio"])
+    for ratios in by_type.values():
+        assert abs(sum(ratios) / len(ratios) - 1.0) < 0.01
+
+
+def test_power_law_buckets_cover_all_users(spark, sf_dir):
+    rows = user_activity_power_law(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert abs(sum(r["event_share"] for r in rows) - 1.0) < 0.01
+    share = rows[0]["top1pct_share"]
+    assert all(r["top1pct_share"] == share for r in rows)  # scalar repeated
+    assert 0.0 < share <= 1.0
+
+
+def test_session_stats_consistent_with_sessions_per_user(spark, sf_dir):
+    from beametrics_spark.operators.relational import sessions_per_user
+
+    stats = session_duration_stats(spark, sf_dir).collect()[0]
+    n_sessions = (
+        sessions_per_user(spark, sf_dir).agg(F.sum("n_sessions")).collect()[0][0]
+    )
+    assert stats["n_sessions"] == n_sessions
+    assert 0.0 <= stats["bounce_rate"] <= 1.0
+    assert stats["avg_duration_s"] <= stats["max_duration_s"]
+
+
+# --- profiling2 --------------------------------------------------------------
+
+
+def test_shuffle_estimate_partitions_and_balance(spark, sf_dir):
+    rows = shuffle_partition_estimate(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert all(0 <= r["partition_id"] < N_SHUFFLE_PARTITIONS for r in rows)
+    assert sum(r["n_rows"] for r in rows) == li.count()
+    mean_ratio = sum(r["balance_ratio"] for r in rows) / len(rows)
+    assert abs(mean_ratio - 1.0) < 0.05
+    for r in rows:
+        assert r["max_key_rows"] <= r["n_rows"]
+
+
+# --- similarity4 -------------------------------------------------------------
+
+
+def test_centroid_separation_shape(spark, sf_dir):
+    rows = centroid_separation_matrix(spark, sf_dir).collect()
+    labels = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == labels * (labels - 1) // 2
+    assert all(-1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_pca_matches_numpy_power_iteration(spark, sf_dir):
+    """The Spark plan must reproduce the SAME 3-step power iteration a
+    numpy reference computes from the same parquet — value check of the
+    distributed covariance + mat-vec chain, not just shape."""
+    rows = embedding_pca_power_iteration(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    x = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / x.shape[0]
+    v = np.ones(64) / math.sqrt(64)
+    for _ in range(PCA_ITERS):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    lam = float(v @ (cov @ v))
+    if v.sum() < 0:
+        v = -v
+    got = {r["dim"]: r["loading"] for r in rows}
+    assert len(got) == 64
+    for d in range(64):
+        assert abs(got[d + 1] - v[d]) < 1e-4, f"dim {d}"
+    assert abs(rows[0]["eigenvalue"] - lam) < 1e-4
+    # loadings are a unit vector
+    assert abs(sum(l * l for l in got.values()) - 1.0) < 1e-3
+
+
+def test_pca_eigenvalue_dominates_dim_variance(spark, sf_dir):
+    """The top-eigenvalue estimate must be at least the largest single
+    per-dimension variance (Rayleigh quotient of e_i is a lower bound
+    after convergence; 3 iterations from uniform start get there on
+    this spectrum)."""
+    rows = embedding_pca_power_iteration(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    x = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    max_var = float(x.var(axis=0, ddof=0).max())
+    assert rows[0]["eigenvalue"] >= max_var * 0.8
