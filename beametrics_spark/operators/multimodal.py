@@ -393,3 +393,109 @@ def multimodal_wav_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         F.round("max_frame_rms", 6).alias("max_frame_rms"),
     )
+
+
+PATCH_SCHEMA = (
+    "doc_id long, patch_row int, patch_col int, n_px long, mean_sum long"
+)
+
+PATCH_GRID = 2
+
+
+def patch_pool(media: DataFrame, grid: int = PATCH_GRID) -> DataFrame:
+    """REAL decode → grid×grid average-pool: the downsample/resize
+    primitive of an image-pipeline, as an Arrow-batched mapInPandas.
+
+    Each payload is parsed (BMP/PPM, pure numpy), the pixel plane split
+    into a grid of patches (boundary k·dim//grid, so odd dimensions give
+    the trailing patch the extra row/column), and each patch reduced to
+    an EXACT int64 channel sum — the division into a mean happens later
+    in the Spark plan from integers, so the derived double is
+    bit-identical across engines and batch shapes."""
+    import numpy as np
+
+    from beametrics_spark.operators.imagecodec import decode_image
+
+    def _pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "patch_row", "patch_col", "n_px", "mean_sum"
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_image(bytes(payload))
+                plane = px.astype(np.int64)
+                for pr in range(grid):
+                    for pc in range(grid):
+                        y0, y1 = h * pr // grid, h * (pr + 1) // grid
+                        x0, x1 = w * pc // grid, w * (pc + 1) // grid
+                        out["doc_id"].append(int(doc_id))
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["n_px"].append((y1 - y0) * (x1 - x0))
+                        out["mean_sum"].append(int(plane[y0:y1, x0:x1, :].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_pool, schema=PATCH_SCHEMA)
+
+
+@register(
+    "multimodal_image_patch_pool",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, x.x, y.y, c.c,
+             (d.doc_id*7 + x.x*3 + y.y*5 + c.c*11) % 256 AS v
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+           (SELECT unnest(generate_series(0, 2)) AS c) c
+    ),
+    patched AS (
+      -- grid=2 patch assignment: boundary at dim//2, matching the
+      -- Python pool's k*dim//grid slicing (trailing patch gets the
+      -- odd-dimension slack)
+      SELECT doc_id,
+             CASE WHEN y >= h // {PATCH_GRID} THEN 1 ELSE 0 END AS patch_row,
+             CASE WHEN x >= w // {PATCH_GRID} THEN 1 ELSE 0 END AS patch_col,
+             v
+      FROM px
+    ),
+    agg AS (
+      SELECT doc_id, patch_row, patch_col,
+             CAST(count(*) // 3 AS BIGINT) AS n_px,
+             sum(v) AS s
+      FROM patched GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(patch_row AS INT) AS patch_row,
+           CAST(patch_col AS INT) AS patch_col, n_px,
+           ROUND(CAST(s AS DOUBLE) / (n_px * 3 * 255.0), 6) AS mean_intensity
+    FROM agg
+    """,
+)
+def multimodal_image_patch_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 average-pooled patch intensities from REAL BMP/PPM decode —
+    the spatial-downsample step (resize, patch embedding input) executed
+    end-to-end: synthesized payloads → actual header+pixel parse →
+    per-patch exact int64 channel sums in the Arrow batch → mean
+    intensity derived JVM-side from the integers. DuckDB recomputes the
+    identical patches from the fixture pixel formula, so the pooling
+    geometry (integer-division patch boundaries, odd-dimension slack to
+    the trailing patch) is verified by value.
+
+    At 100 TB this is the canonical media shape: payload bytes never
+    leave the executor, the Python stage is Arrow-batched and emits
+    grid² small rows per image, and everything after is columnar."""
+    media = bmp_ppm_media_table(spark, sf_dir)
+    pooled = patch_pool(media)
+    return pooled.select(
+        "doc_id",
+        "patch_row",
+        "patch_col",
+        "n_px",
+        F.round(
+            F.col("mean_sum") / (F.col("n_px") * 3 * F.lit(255.0)), 6
+        ).alias("mean_intensity"),
+    )

@@ -599,3 +599,63 @@ def stream_ohlc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan = ohlc_agg(b.groupBy("event_type", "bucket"))
         out = _drain_to_table(spark, plan, "ohlc_parity", "complete", stream_dir)
     return out.select("event_type", "bucket", "open", "high", "low", "close", "n")
+
+
+@register(
+    "stream_funnel_parity",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+    FROM stages
+    """,
+)
+def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_conversion's per-user stage table executed as a STREAMING
+    stateful aggregate: the conditional-MIN of three stage timestamps is
+    a partial-merge aggregate, so each user's state is exactly three
+    timestamps regardless of event-history length — the bounded-state
+    property that makes the funnel streamable at all. The scalar funnel
+    readout then runs over the drained state table (Structured Streaming
+    rejects chained stateful aggregations by design; the readout is the
+    "query the state store" step — stateless arithmetic over one row per
+    user, the same rollup the batch twin performs). Shares
+    funnel_conversion's DuckDB oracle: the stream's merged state must
+    reproduce the identical first-occurrence timestamps."""
+    path = os.path.join(sf_dir, "events.parquet")
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_funnel_"
+        )
+
+        def first_ts(stage: str):
+            return F.min(F.when(F.col("event_type") == stage, F.col("ts")))
+
+        stages = stream.groupBy("user_id").agg(
+            first_ts("view").alias("t_view"),
+            first_ts("click").alias("t_click"),
+            first_ts("purchase").alias("t_purchase"),
+        )
+        state = _drain_to_table(spark, stages, "funnel_state", "complete", stream_dir)
+    saw_view = F.col("t_view").isNotNull()
+    clicked = saw_view & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return state.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(saw_view.cast("long")).alias("reached_view"),
+        F.sum(clicked.cast("long")).alias("reached_click"),
+        F.sum(purchased.cast("long")).alias("reached_purchase"),
+    )

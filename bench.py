@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "session_duration_stats",
     "shuffle_partition_estimate",
     "centroid_separation_matrix",
+    "multimodal_image_patch_pool",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -135,6 +136,7 @@ STREAMING_QUERIES = [
     "stream_join_click_purchase_parity",
     "stream_incremental_dedup_parity",
     "stream_ohlc_parity",
+    "stream_funnel_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric

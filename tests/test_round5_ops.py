@@ -189,3 +189,28 @@ def test_pca_eigenvalue_dominates_dim_variance(spark, sf_dir):
     x = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
     max_var = float(x.var(axis=0, ddof=0).max())
     assert rows[0]["eigenvalue"] >= max_var * 0.8
+
+
+# --- multimodal patch pool ---------------------------------------------------
+
+
+def test_patch_pool_odd_dimension_geometry(spark):
+    """5×3 image, 2×2 grid: integer-division boundaries give the
+    trailing patches the odd-dimension slack — n_px must be
+    {(0,0):2, (0,1):3, (1,0):4, (1,1):6} and cover every pixel."""
+    from beametrics_spark.operators.imagecodec import encode_ppm
+    from beametrics_spark.operators.multimodal import patch_pool
+
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    payload = encode_ppm(px)
+    media = spark.createDataFrame(
+        [(7, "image/ppm", bytearray(payload), len(payload))],
+        "doc_id long, media_type string, payload binary, n_bytes long",
+    )
+    rows = {(r.patch_row, r.patch_col): r for r in patch_pool(media).collect()}
+    assert {(k, rows[k].n_px) for k in rows} == {
+        ((0, 0), 2), ((0, 1), 3), ((1, 0), 4), ((1, 1), 6)
+    }
+    assert sum(r.n_px for r in rows.values()) == 15
+    # exact sums: patch (0,0) covers pixels (y=0, x=0..1), channels 0..2
+    assert rows[(0, 0)].mean_sum == int(px[0:1, 0:2, :].sum())
