@@ -47,6 +47,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.text2  # noqa: F401
     import beametrics_spark.operators.text3  # noqa: F401
     import beametrics_spark.operators.text4  # noqa: F401
+    import beametrics_spark.operators.text5  # noqa: F401
     import beametrics_spark.operators.multimodal  # noqa: F401
     import beametrics_spark.operators.stream_parity  # noqa: F401
     import beametrics_spark.operators.windows_ext  # noqa: F401

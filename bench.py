@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "shuffle_partition_estimate",
     "centroid_separation_matrix",
     "multimodal_image_patch_pool",
+    "zipf_fit_slope",
+    "ngram_novelty_curve",
+    "cross_split_contamination",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -214,3 +214,71 @@ def test_patch_pool_odd_dimension_geometry(spark):
     assert sum(r.n_px for r in rows.values()) == 15
     # exact sums: patch (0,0) covers pixels (y=0, x=0..1), channels 0..2
     assert rows[(0, 0)].mean_sum == int(px[0:1, 0:2, :].sum())
+
+
+# --- text5 -------------------------------------------------------------------
+
+
+def test_zipf_slope_is_negative_power_law(spark, sf_dir):
+    from beametrics_spark.operators.text5 import zipf_fit_slope
+
+    row = zipf_fit_slope(spark, sf_dir).collect()[0]
+    assert row["n_terms"] > 0
+    assert row["zipf_slope"] < 0  # frequency decreases with rank
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_novelty_curve_first_decile_is_all_new(spark, sf_dir):
+    from beametrics_spark.operators.text5 import ngram_novelty_curve
+
+    rows = sorted(
+        ngram_novelty_curve(spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    assert rows[0]["decile"] == 0
+    assert all(0.0 <= r["novelty_rate"] <= 1.0 for r in rows)
+    # decile 0 has never seen anything before, so most of its gram
+    # occurrences are first-sightings (within-decile repeats keep it <1)
+    assert rows[0]["novelty_rate"] > 0.5
+    # every distinct gram is counted as new exactly once, somewhere
+    from beametrics_spark.operators.dedup import gram_rows
+    from beametrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = gram_rows(docs, 5).select("s").distinct().count()
+    assert sum(r["new_grams"] for r in rows) == n_distinct
+
+
+def test_cross_split_contamination_detects_planted_leak(spark, tmp_path):
+    """Plant a verbatim 8-gram shared between a train doc and a test doc
+    (split ids chosen by the md5 rule itself) — the audit must flag
+    exactly the planted test doc."""
+    from beametrics_spark.operators.text5 import cross_split_contamination
+
+    # find ids landing in train/test under the md5 rule
+    import hashlib
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    train_id = next(i for i in range(1000) if bucket(i) < 90)
+    test_id = next(i for i in range(1000) if bucket(i) >= 95)
+    other_test = next(
+        i for i in range(test_id + 1, 2000) if bucket(i) >= 95
+    )
+    leak = "l1 l2 l3 l4 l5 l6 l7 l8"
+    rows = [
+        (train_id, "prefix " + leak + " suffix", "en", "srcA", 1),
+        (test_id, leak + " tail tail2", "en", "srcA", 1),
+        (other_test, "totally different words here with no overlap at all",
+         "en", "srcA", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in cross_split_contamination(
+        spark, str(tmp_path)
+    ).collect()}
+    assert out["srcA"]["n_test_docs"] == 2
+    assert out["srcA"]["n_contaminated"] == 1
+    assert out["srcA"]["contamination_rate"] == 0.5
