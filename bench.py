@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "zipf_fit_slope",
     "ngram_novelty_curve",
     "cross_split_contamination",
+    "supplier_cotrade_triangles",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -282,3 +282,48 @@ def test_cross_split_contamination_detects_planted_leak(spark, tmp_path):
     assert out["srcA"]["n_test_docs"] == 2
     assert out["srcA"]["n_contaminated"] == 1
     assert out["srcA"]["contamination_rate"] == 0.5
+
+
+# --- graph2 ------------------------------------------------------------------
+
+
+def test_triangle_census_on_known_graph(spark, tmp_path):
+    """Planted graph: orders realize K4 on suppliers {1,2,3,4} (4
+    triangles) plus a pendant vertex 5 attached to 1 (no new triangle).
+    The backbone keeps everything (degrees < K), so the census must
+    count exactly 4 triangles."""
+    from beametrics_spark.operators.graph2 import supplier_cotrade_triangles
+
+    rows = []
+    ok = 0
+    # each pair of {1,2,3,4} co-occurs via its own order => K4
+    for i in range(1, 5):
+        for j in range(i + 1, 5):
+            ok += 1
+            rows.append((ok, i))
+            rows.append((ok, j))
+    ok += 1
+    rows.append((ok, 1))
+    rows.append((ok, 5))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = supplier_cotrade_triangles(spark, str(tmp_path)).collect()[0]
+    assert out["n_vertices"] == 5
+    assert out["n_edges"] == 7  # 6 K4 edges + pendant
+    assert out["n_triangles"] == 4
+    # open triads: degs = 4,3,3,3,1 -> 6+3+3+3+0 = 15; clustering = 12/15
+    assert out["open_triads"] == 15
+    assert abs(out["global_clustering"] - 0.8) < 1e-9
+
+
+def test_triangle_backbone_bounds_degree(spark, sf_dir):
+    from beametrics_spark.operators.graph2 import (
+        BACKBONE_K,
+        supplier_cotrade_triangles,
+    )
+
+    out = supplier_cotrade_triangles(spark, sf_dir).collect()[0]
+    # symmetrized top-K backbone: every degree <= 2K, so edges <= V*K
+    assert out["n_edges"] <= out["n_vertices"] * BACKBONE_K
+    assert out["n_triangles"] >= 0
+    assert 0.0 <= out["global_clustering"] <= 1.0
