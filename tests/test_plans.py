@@ -182,3 +182,39 @@ def test_aqe_splits_planted_skew_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q21_one_pass_no_sort_merge_join(spark, sf_dir):
+    """The Q21 rewrite's contract: lineitem is consumed by ONE broadcast
+    join + ONE aggregate — no SortMergeJoin anywhere, orders and
+    supplier both broadcast, and only aggregate exchanges remain."""
+    from beametrics_spark.operators.relational5 import (
+        tpch_q21_suppliers_kept_waiting,
+    )
+
+    df = tpch_q21_suppliers_kept_waiting(spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert final.count("BroadcastHashJoin") == 2
+    assert final.count("FileScan parquet") == 3  # lineitem, orders, supplier
+
+
+def test_simhash_signature_packed_lanes(spark, sf_dir):
+    """The packed-lane signature aggregate: the per-doc groupBy buffer
+    carries the 20 lane sums + n, NOT 60 per-bit columns — pinned by
+    counting sum aggregates in the plan's first aggregation."""
+    from beametrics_spark.operators.dedup import (
+        _LANE_STRIDE,
+        simhash_pairs,
+    )
+    from beametrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(simhash_pairs(docs))
+    first_agg = re.search(
+        r"Functions \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert first_agg, plan
+    n_sums = first_agg.group(1).count("sum(")
+    assert n_sums <= _LANE_STRIDE, f"{n_sums} sum aggregates (packing lost?)"
