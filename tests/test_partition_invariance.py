@@ -31,6 +31,16 @@ RISKY = [
     "ohlc_downsample",            # min_by/max_by merge over struct order
     "event_interval_overlap_sweep",  # windowed cumsum peak
     "vocab_growth_curve",         # decile bucketing + cumsum
+    # round-5 wave: every new entry whose values involve parallel double
+    # reduction (regression sums, iterated mat-vecs, pow sums) or
+    # ranking on rounded doubles
+    "zipf_fit_slope",             # centered regression sums + r2
+    "embedding_pca_power_iteration",  # iterated covariance mat-vecs
+    "domain_temperature_weights", # pow(p, alpha) normalizer sum
+    "quality_decile_token_budget",  # ntile over rounded-score ordering
+    "centroid_separation_matrix",  # centroid avg merge order
+    "event_seasonality_profile",  # per-type hourly mean ratios
+    "session_duration_stats",     # avg duration doubles
 ]
 
 
