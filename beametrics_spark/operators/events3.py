@@ -236,3 +236,67 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bounce_rate"),
     )
+
+
+_FORECAST_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT cur.event_type, cur.v AS actual, prev.v AS forecast
+  FROM hourly cur
+  JOIN hourly prev
+    ON prev.event_type = cur.event_type
+   AND prev.bucket = cur.bucket - INTERVAL 24 HOUR
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_points,
+       ROUND(avg(abs(actual - forecast)), 4) AS mae,
+       ROUND(sqrt(avg((actual - forecast) * (actual - forecast))), 4) AS rmse,
+       ROUND(avg(abs(actual - forecast) / (abs(actual) + 1.0)), 4) AS smape_1
+FROM joined GROUP BY 1
+"""
+
+
+@register("seasonal_naive_forecast_error", _FORECAST_ORACLE)
+def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive baseline (forecast this hour =
+    the same hour yesterday) per event type: MAE, RMSE, and a
+    shifted MAPE over every hour that has a 24-hours-earlier
+    counterpart. This is the floor every real forecasting model must
+    beat — and the drift alarm when a previously-stable series' naive
+    error jumps.
+
+    The 24-hour lag is a SELF-JOIN on (type, bucket−24h), not a window
+    lag over row order — a gap in the series (no events that hour)
+    silently shifts a row-lag to the wrong hour, while the bucket join
+    is gap-safe by construction. The corpus reduces to hourly buckets
+    (one map-side-combined aggregate) before the join, so both join
+    sides are |types|·|hours| rows regardless of event volume."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type", F.window("ts", "1 hour").getField("start").alias("bucket")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    prev = hourly.select(
+        F.col("event_type").alias("pe"),
+        (F.col("bucket") + F.expr("INTERVAL 24 HOURS")).alias("pb"),
+        F.col("v").alias("forecast"),
+    )
+    joined = hourly.join(
+        prev,
+        (F.col("event_type") == F.col("pe")) & (F.col("bucket") == F.col("pb")),
+    ).select("event_type", F.col("v").alias("actual"), "forecast")
+    err = F.col("actual") - F.col("forecast")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.round(
+            F.avg(F.abs(err) / (F.abs(F.col("actual")) + 1.0)), 4
+        ).alias("smape_1"),
+    )

@@ -70,10 +70,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # timestamps and remain castable to numeric epoch seconds.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for name in _nanos_timestamp_columns(path):
-        # integer `div`, NOT float division: epoch-nanos (~1.7e18) exceeds
-        # double's 2^53 exact-integer range and would round the microsecond
-        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+        # Guard on the LOADED dtype: pyarrow reports Spark-written INT96
+        # timestamps as timestamp[ns] too, but Spark reads those as real
+        # TIMESTAMP — only a bigint column is actually raw epoch-nanos
+        # needing conversion. Integer `div`, NOT float division:
+        # epoch-nanos (~1.7e18) exceeds double's 2^53 exact-integer range
+        # and would round the microsecond.
+        if dtypes.get(name) == "bigint":
+            df = df.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+            )
     return df
 
 

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "ngram_novelty_curve",
     "cross_split_contamination",
     "supplier_cotrade_triangles",
+    "seasonal_naive_forecast_error",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -41,6 +41,7 @@ RISKY = [
     "centroid_separation_matrix",  # centroid avg merge order
     "event_seasonality_profile",  # per-type hourly mean ratios
     "session_duration_stats",     # avg duration doubles
+    "seasonal_naive_forecast_error",  # MAE/RMSE double reductions
 ]
 
 

@@ -327,3 +327,36 @@ def test_triangle_backbone_bounds_degree(spark, sf_dir):
     assert out["n_edges"] <= out["n_vertices"] * BACKBONE_K
     assert out["n_triangles"] >= 0
     assert 0.0 <= out["global_clustering"] <= 1.0
+
+
+def test_forecast_error_gap_safe_lag(spark, tmp_path):
+    """A series with a missing hour must still pair each hour with its
+    true 24-hours-earlier bucket (a row-order lag would slide into the
+    gap). Planted: day-1 hours 0..2 = value 10, day-2 hours {0,2} = 12
+    with hour 1 MISSING -> 2 forecast points, both |err| = 2."""
+    from datetime import datetime
+
+    from beametrics_spark.operators.events3 import (
+        seasonal_naive_forecast_error,
+    )
+
+    rows = []
+    eid = 0
+    for h in (0, 1, 2):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1, h, 30), 1, "view", 10.0, "{}"))
+    for h in (0, 2):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 2, h, 30), 1, "view", 12.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = seasonal_naive_forecast_error(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_points"] == 2
+    assert r["mae"] == 2.0
+    assert r["rmse"] == 2.0
