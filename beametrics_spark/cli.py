@@ -101,7 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def validate_args(args: argparse.Namespace) -> None:
     """Reference validation rules (main.py:104-139, metrics.py:24-32)."""
-    if args.export_type not in VALID_EXPORT_TYPES + ("console", "memory", "parquet", "json"):
+    if args.export_type not in VALID_EXPORT_TYPES + (
+        "console",
+        "memory",
+        "parquet",
+        "json",
+        "idempotent-parquet",
+        "google-cloud-monitoring-executor",
+    ):
         raise ValueError(f"Unsupported export type: {args.export_type}")
     if args.metric_type not in ("count", "sum"):
         raise ValueError(f"Unsupported metric type: {args.metric_type}")
@@ -219,9 +226,9 @@ def main(argv: list[str] | None = None) -> int:
     sinks = {}
     for i, cfg in enumerate(configs):
         kwargs = {}
-        if cfg.exporter.export_type == "google-cloud-monitoring":
+        if cfg.exporter.export_type.startswith("google-cloud-monitoring"):
             kwargs["project_id"] = cfg.exporter.project_id or ""
-        elif cfg.exporter.export_type in ("parquet", "json"):
+        elif cfg.exporter.export_type in ("parquet", "json", "idempotent-parquet"):
             kwargs["path"] = cfg.exporter.options.get("path", f"/tmp/beametrics_out_{i}")
         sinks[i] = create_sink(cfg.exporter.export_type, **kwargs)
 

@@ -110,6 +110,8 @@ class ExporterConfig:
             "memory",
             "parquet",
             "json",
+            "idempotent-parquet",
+            "google-cloud-monitoring-executor",
         ):
             raise ValueError(f"Unsupported export type: {self.export_type}")
 
@@ -137,7 +139,7 @@ class MetricConfig:
 
         Reference main.py:221-232, asserted tests/test_main.py:134-147.
         """
-        if self.exporter.export_type == "google-cloud-monitoring":
+        if self.exporter.export_type.startswith("google-cloud-monitoring"):
             return MONITORING_METRIC_PREFIX + self.metric_definition.name
         return self.metric_definition.name
 
