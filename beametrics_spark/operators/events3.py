@@ -117,41 +117,44 @@ def user_activity_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sessionization, per-user state) need salting: a top1pct_share near
     the bucket count means uniform users; near 1.0 means a handful of
     bots own the table. The corpus reduces to one row per user before
-    anything else happens — the histogram and shares aggregate the
-    already-reduced table."""
+    anything else happens; the ranking, totals, and top-share are
+    unpartitioned window expressions over that reduced table — one
+    linear chain, one scan (the crossJoin-aggregate formulation
+    re-instantiated per_user three times: 2 scans / 11 exchanges in the
+    audited plan). The global row_number over users is a single-task
+    sort of the reduced table — inherent to a corpus-wide rank; at
+    extreme user cardinality swap it for the broadcast-cutoff two-scan
+    shape (doc_length_outlier_flags)."""
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    tot = per_user.agg(
-        F.sum("n").alias("total_events"),
-        F.count(F.lit(1)).alias("total_users"),
+    all_rows = Window.partitionBy()
+    rank_w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    ranked = per_user.select(
+        "user_id",
+        "n",
+        F.sum("n").over(all_rows).alias("total_events"),
+        F.count(F.lit(1)).over(all_rows).alias("total_users"),
+        F.row_number().over(rank_w).alias("rk"),
     )
-    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
-    ranked = per_user.withColumn("rk", F.row_number().over(w)).crossJoin(
-        F.broadcast(tot)
-    )
-    topshare = ranked.agg(
+    with_top = ranked.withColumn(
+        "top_events",
         F.sum(
             F.when(
                 F.col("rk")
                 <= F.ceil(F.col("total_users") * TOP_USER_FRACTION).cast("long"),
                 F.col("n"),
             ).otherwise(F.lit(0))
-        ).alias("top_events")
+        ).over(all_rows),
     )
-    return (
-        per_user.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(topshare))
-        .groupBy(F.floor(F.log2("n")).cast("long").alias("log2_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum("n").alias("n_events"),
-            F.round(
-                F.sum("n") / F.first("total_events"), 4
-            ).alias("event_share"),
-            F.round(
-                F.first("top_events") / F.first("total_events"), 4
-            ).alias("top1pct_share"),
-        )
+    return with_top.groupBy(
+        F.floor(F.log2("n")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("n") / F.first("total_events"), 4).alias("event_share"),
+        F.round(
+            F.first("top_events") / F.first("total_events"), 4
+        ).alias("top1pct_share"),
     )
 
 

@@ -228,25 +228,31 @@ def domain_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     head (the multilingual-pretraining standard; α=1 keeps the natural
     mix, α=0 is uniform).
 
-    One hash aggregate per source (map-side combined token counts),
-    one broadcast scalar row for the two normalizers — profiling cost,
-    not data cost, at any corpus size."""
+    One hash aggregate per source (map-side combined token counts);
+    the two normalizers are unpartitioned window sums over the
+    ALREADY-REDUCED per-source table (|sources| rows — a single-task
+    window over a handful of rows, not the corpus), which keeps the
+    whole query one linear chain: the crossJoin-aggregate formulation
+    re-instantiated the per-source subtree three times (8 exchanges in
+    the audited plan vs 3 here)."""
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     per_src = docs.groupBy("source").agg(
         F.sum(n_tokens).alias("n_tokens")
     )
-    p_raw = F.col("n_tokens") / F.col("total")
-    stats = per_src.agg(F.sum("n_tokens").alias("total"))
-    p = per_src.crossJoin(F.broadcast(stats))
-    z = p.agg(
-        F.sum(F.pow(p_raw, F.lit(TEMP_ALPHA))).alias("norm")
-    )
-    w_temp = F.pow(p_raw, F.lit(TEMP_ALPHA)) / F.col("norm")
-    return p.crossJoin(F.broadcast(z)).select(
+    all_rows = Window.partitionBy()
+    p = per_src.select(
         "source",
         "n_tokens",
-        F.round(p_raw, 6).alias("p_raw"),
+        (F.col("n_tokens") / F.sum("n_tokens").over(all_rows)).alias("p_raw"),
+    )
+    w_temp = F.pow(F.col("p_raw"), F.lit(TEMP_ALPHA)) / F.sum(
+        F.pow(F.col("p_raw"), F.lit(TEMP_ALPHA))
+    ).over(all_rows)
+    return p.select(
+        "source",
+        "n_tokens",
+        F.round("p_raw", 6).alias("p_raw"),
         F.round(w_temp, 6).alias("w_temp"),
         F.round(w_temp * TOKEN_BUDGET, 0).cast("long").alias("expected_tokens"),
     )
