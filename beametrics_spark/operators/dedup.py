@@ -94,8 +94,13 @@ def shingles_expr(text: Column, width: int = SHINGLE_WIDTH) -> Column:
     )
 
 
-def gram_rows(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
-    """(doc_id, s): word-n-gram occurrences per doc — WITH duplicates.
+def gram_rows(
+    docs: DataFrame, width: int = SHINGLE_WIDTH, *, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, s [, *keep]): word-n-gram occurrences per doc — WITH
+    duplicates. ``keep`` names extra columns of ``docs`` to carry
+    through the expansion (so callers needing per-gram metadata don't
+    re-scan the source to join it back on).
 
     ZERO-SHUFFLE columnar formulation: arrays_zip of `width` shifted
     slices of the token array, exploded, concat_ws'd. arrays_zip/slice/
@@ -106,7 +111,7 @@ def gram_rows(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
     (measured 2.5× slower end-to-end at sf0.1).
     """
     d = (
-        docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+        docs.select("doc_id", *keep, tokens_expr(F.col("text")).alias("toks"))
         .withColumn("n", F.size("toks"))
         .filter(F.col("n") >= width)  # slice length must stay positive
     )
@@ -114,9 +119,10 @@ def gram_rows(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
     zipped = F.arrays_zip(
         *[F.slice("toks", i + 1, gram_len).alias(f"t{i}") for i in range(width)]
     )
-    return d.select("doc_id", F.explode(zipped).alias("g")).select(
+    return d.select("doc_id", *keep, F.explode(zipped).alias("g")).select(
         "doc_id",
         F.concat_ws(" ", *[F.col("g")[f"t{i}"] for i in range(width)]).alias("s"),
+        *keep,
     )
 
 

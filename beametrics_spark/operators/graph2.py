@@ -125,9 +125,18 @@ def supplier_cotrade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BACKBONE_K)
         .select("src", "dst")
     )
-    edges = picks.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    edges = (
+        picks.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        # the backbone is ≤ |V|·K rows (KB-to-MB at any corpus size) and
+        # every downstream leg (both wedge sides, the closing semi-join,
+        # the degree rollup) consumes it — localCheckpoint materializes
+        # it once instead of re-planning the co-occurrence join per leg
+        # (plan audit: 21 exchanges with 7 ReusedExchange before, 6 after)
+        .localCheckpoint(eager=True)
+    )
     e1 = edges
     e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     wedges = e1.join(e2, e1["b"] == e2["b2"]).select("a", "b", "c")

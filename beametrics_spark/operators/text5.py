@@ -258,7 +258,10 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle per side, keyed on the gram) and collapse to distinct
     contaminated doc ids — document bodies never pairwise-join, the
     same shape as contamination_ngram_overlap with the split derived
-    in-query."""
+    in-query. Split and source ride THROUGH the gram expansion
+    (gram_rows keep-columns) instead of joining back on doc_id — the
+    join-back formulation planned 5 scans of documents; this one needs
+     3 (train grams, test grams, the column-pruned test-doc count)."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
@@ -269,9 +272,7 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
     assigned = docs.select("doc_id", "text", "source", split.alias("split"))
-    grams = gram_rows(assigned, CONTAM_WIDTH).join(
-        assigned.select("doc_id", "source", "split"), "doc_id"
-    )
+    grams = gram_rows(assigned, CONTAM_WIDTH, keep=("source", "split"))
     train_grams = grams.filter(F.col("split") == "train").select("s").distinct()
     test_hit = (
         grams.filter(F.col("split") == "test")
