@@ -81,17 +81,59 @@ def test_q19_single_pass_broadcast(spark, sf_dir):
 
 
 def test_q21_only_late_supplier(spark, sf_dir):
-    """Semi + anti joins appear; counts are positive when rows exist."""
+    """The conditional-min/max rewrite must agree row-for-row with an
+    independently-built semi+anti formulation (the original correlated
+    EXISTS shape), and keep the top-100 ordering contract."""
+    from pyspark.sql import functions as F
+
+    from beametrics_spark.sources import load_table
+
     df = tpch_q21_suppliers_kept_waiting(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
     rows = df.collect()
     assert len(rows) <= 100
     for r in rows:
         assert r["numwait"] > 0
     waits = [r["numwait"] for r in rows]
     assert waits == sorted(waits, reverse=True)
+
+    # reference formulation: correlated semi ("some other supplier") +
+    # anti ("no other late supplier") joins at lineitem grain
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1, l2, l3 = late.alias("l1"), li.select("l_orderkey", "l_suppkey").alias("l2"), late.alias("l3")
+    only_late = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    expected = {
+        (r["s_name"], r["numwait"])
+        for r in only_late.join(
+            F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+        .collect()
+    }
+    assert {(r["s_name"], r["numwait"]) for r in rows} == expected
 
 
 def test_q22_anti_join_no_orders(spark, sf_dir):
