@@ -1,0 +1,262 @@
+"""Pattern mining & detection (round 5c): market-basket lift, RFM
+segmentation, CUSUM drift alarms.
+
+- Market basket: part pairs that co-occur in orders far more often than
+  chance (lift = P(a,b)/P(a)P(b) with a support floor) — the
+  association-rule workhorse. Pair expansion is bounded per order by
+  the basket size (TPC-H ≤ 7 lines), never corpus-quadratic.
+- RFM: the standard customer-value segmentation — recency, frequency,
+  monetary quartiles from the orders table, rolled up per segment.
+- CUSUM: per event type, the one-sided cumulative-sum drift statistic
+  over the daily mean series. The textbook recursion
+  S_t = max(0, S_{t-1} + x_t − k) is NOT window-expressible directly,
+  but algebraically S_t = C_t − min(C_0..C_t) where C is the running
+  sum of (x − k) — two window passes, no recursion, no UDF. Days where
+  S crosses the alarm threshold are flagged.
+
+The reference has none of this (SURVEY.md §2.2).
+
+Scale notes (100 TB): basket pairs shuffle on the order key with
+bounded fan-out then aggregate per pair (map-side combined); RFM
+reduces orders to one row per customer before any window; CUSUM
+reduces events to |types|×|days| rows first — the window sorts only
+that reduced series, partitioned by type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+BASKET_MIN_SUPPORT = 3  # a pair must co-occur in >= this many orders
+BASKET_TOP = 20
+CUSUM_K_SIGMA = 0.5  # slack per step, in units of the series std
+CUSUM_H_SIGMA = 3.0  # alarm threshold, in units of the series std
+
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.n_ab,
+         ROUND(p.n_ab * 1.0 / n.n_orders, 6) AS support,
+         ROUND((p.n_ab * 1.0 * n.n_orders) / (ia.n_a * ib.n_a), 4) AS lift
+  FROM pairs p
+  JOIN item ia ON ia.l_partkey = p.part_a
+  JOIN item ib ON ib.l_partkey = p.part_b
+  CROSS JOIN n
+)
+SELECT part_a, part_b, n_ab, support, lift
+FROM scored
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP}
+"""
+
+
+@register("basket_part_pair_lift", _BASKET_ORACLE)
+def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{T} part pairs by lift (observed co-occurrence over the
+    independence expectation), support-floored at {S} shared orders —
+    the association rule that drives recommendations and bundle
+    detection. Lift ≫ 1 with real support = genuinely bought together;
+    the support floor kills the noise pairs that dominate raw lift.
+
+    Pair expansion is per-basket C(k,2) with k = parts per order
+    (bounded small), shuffled on the order key; the per-pair and
+    per-item counts are map-side-combined aggregates, and the top-{T}
+    is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = baskets.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_a").alias("na"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_a").alias("nb"))
+    scored = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.lit(n_orders), 6).alias("support"),
+            F.round(
+                (F.col("n_ab") * F.lit(float(n_orders)))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(BASKET_TOP)
+
+
+basket_part_pair_lift.__doc__ = basket_part_pair_lift.__doc__.replace(
+    "{T}", str(BASKET_TOP)
+).replace("{S}", str(BASKET_MIN_SUPPORT))
+
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(o_totalprice) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_quartile,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_quartile,
+         frequency, monetary
+  FROM per_cust
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       ROUND(avg(frequency), 4) AS avg_frequency,
+       CAST(ROUND(avg(monetary), 2) AS DOUBLE) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register("rfm_customer_segments", _RFM_ORACLE)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer scored into recency / frequency /
+    monetary quartiles (quartile 1 = most recent / most frequent /
+    highest spend; ntile over a deterministic customer-id tiebreak),
+    rolled up to segment cells with size and averages — the standard
+    customer-value map (1,1,1 = champions; 4,4,4 = lost).
+
+    Orders reduce to one row per customer first (map-side-combined
+    max/count/sum); the three ntile windows sort only that reduced
+    table. At extreme customer cardinality the quartile cuts come from
+    the broadcast-percentile two-scan shape instead of a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+        F.round(F.avg("monetary"), 2).cast("double").alias("avg_monetary"),
+    )
+
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day,
+         (d.x - s.mu) / s.sd - {CUSUM_K_SIGMA} AS step
+  FROM daily d JOIN stats s USING (event_type)
+),
+cum AS (
+  SELECT event_type, day,
+         sum(step) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM dev
+),
+cusum AS (
+  SELECT event_type, day,
+         c - least(min(c) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING), 0) AS s_pos
+  FROM cum
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(max(s_pos), 4) AS max_cusum,
+       CAST(sum(CASE WHEN s_pos > {CUSUM_H_SIGMA} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_days
+FROM cusum GROUP BY 1
+"""
+
+
+@register("value_cusum_drift", _CUSUM_ORACLE)
+def value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event type over the daily
+    mean series (standardized, slack k={K}σ, alarm h={H}σ): the change
+    detector that catches slow upward drifts a fixed threshold misses.
+
+    The textbook recursion S_t = max(0, S_(t-1) + x_t − k) is not a
+    window function, but algebraically S_t = C_t − min(0, min C_0..t)
+    with C the running sum of standardized steps — so the whole
+    detector is two window passes over the per-(type, day) reduced
+    series. Events reduce to |types|×|days| rows before any sort."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        ((F.col("x") - F.col("mu")) / F.col("sd") - CUSUM_K_SIGMA).alias("step"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.withColumn("c", F.sum("step").over(wrun))
+    s_pos = F.col("c") - F.least(F.min("c").over(wrun), F.lit(0.0))
+    cusum = cum.withColumn("s_pos", s_pos)
+    return cusum.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max("s_pos"), 4).alias("max_cusum"),
+        F.sum(
+            F.when(F.col("s_pos") > CUSUM_H_SIGMA, 1).otherwise(0)
+        ).cast("long").alias("n_alarm_days"),
+    )
+
+
+value_cusum_drift.__doc__ = value_cusum_drift.__doc__.replace(
+    "{K}", str(CUSUM_K_SIGMA)
+).replace("{H}", str(CUSUM_H_SIGMA))

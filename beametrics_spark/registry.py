@@ -57,6 +57,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.corpus_stats  # noqa: F401
     import beametrics_spark.operators.graph  # noqa: F401
     import beametrics_spark.operators.graph2  # noqa: F401
+    import beametrics_spark.operators.mining  # noqa: F401
     import beametrics_spark.operators.profiling  # noqa: F401
     import beametrics_spark.operators.profiling2  # noqa: F401
 

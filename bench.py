@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "cross_split_contamination",
     "supplier_cotrade_triangles",
     "seasonal_naive_forecast_error",
+    "basket_part_pair_lift",
+    "rfm_customer_segments",
+    "value_cusum_drift",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -42,6 +42,8 @@ RISKY = [
     "event_seasonality_profile",  # per-type hourly mean ratios
     "session_duration_stats",     # avg duration doubles
     "seasonal_naive_forecast_error",  # MAE/RMSE double reductions
+    "value_cusum_drift",          # running-sum windows over std-normalized steps
+    "rfm_customer_segments",      # ntile cuts + avg doubles
 ]
 
 

@@ -360,3 +360,85 @@ def test_forecast_error_gap_safe_lag(spark, tmp_path):
     assert r["n_points"] == 2
     assert r["mae"] == 2.0
     assert r["rmse"] == 2.0
+
+
+# --- mining ------------------------------------------------------------------
+
+
+def test_cusum_matches_direct_recursion(spark, sf_dir):
+    """The window-algebra CUSUM (C_t - min(0, running-min C)) must equal
+    the textbook recursion S_t = max(0, S_{t-1} + step) computed
+    directly in Python over the same daily series."""
+    from beametrics_spark.operators.mining import (
+        CUSUM_H_SIGMA,
+        CUSUM_K_SIGMA,
+        value_cusum_drift,
+    )
+
+    out = {r["event_type"]: r for r in value_cusum_drift(spark, sf_dir).collect()}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    import collections
+    import statistics
+
+    daily = collections.defaultdict(list)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())].append(r["value"])
+    series = collections.defaultdict(dict)
+    for (t, d), vals in daily.items():
+        series[t][d] = sum(vals) / len(vals)
+    for t, by_day in series.items():
+        xs = [by_day[d] for d in sorted(by_day)]
+        mu = sum(xs) / len(xs)
+        sd = statistics.stdev(xs)
+        s = 0.0
+        max_s = 0.0
+        alarms = 0
+        for x in xs:
+            s = max(0.0, s + (x - mu) / sd - CUSUM_K_SIGMA)
+            max_s = max(max_s, s)
+            if s > CUSUM_H_SIGMA:
+                alarms += 1
+        assert out[t]["n_days"] == len(xs)
+        assert abs(out[t]["max_cusum"] - max_s) < 1e-3, t
+        assert out[t]["n_alarm_days"] == alarms, t
+
+
+def test_basket_lift_on_planted_bundle(spark, tmp_path):
+    """Parts 1+2 always co-occur (8 orders); parts 3..10 are scattered.
+    The bundle must rank first with lift = n_orders/ (8*8) * 8... i.e.
+    lift = N * n_ab / (n_a * n_b) = 16*8/64 = 2.0."""
+    from beametrics_spark.operators.mining import basket_part_pair_lift
+
+    rows = []
+    for ok in range(1, 9):  # bundle orders
+        rows += [(ok, 1), (ok, 2)]
+    for ok in range(9, 17):  # filler orders with rotating parts
+        rows += [(ok, 3 + ok % 4), (ok, 7 + ok % 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = basket_part_pair_lift(spark, str(tmp_path)).collect()
+    top = out[0]
+    assert (top["part_a"], top["part_b"]) == (1, 2)
+    assert top["n_ab"] == 8
+    assert abs(top["lift"] - 2.0) < 1e-9
+
+
+def test_rfm_segments_cover_customers(spark, sf_dir):
+    from beametrics_spark.operators.mining import rfm_customer_segments
+
+    rows = rfm_customer_segments(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_quartile"] <= 4
+        assert 1 <= r["f_quartile"] <= 4
+        assert 1 <= r["m_quartile"] <= 4
+    # frequency quartile 1 must out-frequent quartile 4 on average
+    f1 = [r for r in rows if r["f_quartile"] == 1]
+    f4 = [r for r in rows if r["f_quartile"] == 4]
+    avg = lambda rs: sum(r["avg_frequency"] * r["n_customers"] for r in rs) / sum(
+        r["n_customers"] for r in rs
+    )
+    assert avg(f1) > avg(f4)
