@@ -106,6 +106,8 @@ def validate_args(args: argparse.Namespace) -> None:
         "memory",
         "parquet",
         "json",
+        "csv",
+        "orc",
         "idempotent-parquet",
         "google-cloud-monitoring-executor",
     ):
@@ -228,7 +230,9 @@ def main(argv: list[str] | None = None) -> int:
         kwargs = {}
         if cfg.exporter.export_type.startswith("google-cloud-monitoring"):
             kwargs["project_id"] = cfg.exporter.project_id or ""
-        elif cfg.exporter.export_type in ("parquet", "json", "idempotent-parquet"):
+        elif cfg.exporter.export_type in (
+            "parquet", "json", "csv", "orc", "idempotent-parquet"
+        ):
             kwargs["path"] = cfg.exporter.options.get("path", f"/tmp/beametrics_out_{i}")
         sinks[i] = create_sink(cfg.exporter.export_type, **kwargs)
 

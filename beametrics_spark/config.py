@@ -110,6 +110,8 @@ class ExporterConfig:
             "memory",
             "parquet",
             "json",
+            "csv",
+            "orc",
             "idempotent-parquet",
             "google-cloud-monitoring-executor",
         ):

@@ -29,6 +29,7 @@ import time
 from typing import Any, Callable, Iterator, Protocol
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class MetricsSink(Protocol):
@@ -92,6 +93,32 @@ class JsonSink:
 
     def write(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         batch_df.write.mode(self.mode).json(self.path)
+
+
+class CsvSink:
+    def __init__(self, path: str, mode: str = "append", header: bool = True) -> None:
+        self.path = path
+        self.mode = mode
+        self.header = header
+
+    def write(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        # MAP columns are not CSV-encodable: render labels as JSON text
+        cols = [
+            F.to_json(F.col(name)).alias(name) if dtype.startswith("map") else F.col(name)
+            for name, dtype in batch_df.dtypes
+        ]
+        batch_df.select(*cols).write.mode(self.mode).option(
+            "header", str(self.header).lower()
+        ).csv(self.path)
+
+
+class OrcSink:
+    def __init__(self, path: str, mode: str = "append") -> None:
+        self.path = path
+        self.mode = mode
+
+    def write(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        batch_df.write.mode(self.mode).orc(self.path)
 
 
 def minute_aligned_interval(now: float | None = None) -> tuple[int, int]:
@@ -255,6 +282,8 @@ SINK_REGISTRY: dict[str, Callable[..., MetricsSink]] = {
     "memory": MemorySink,
     "parquet": ParquetSink,
     "json": JsonSink,
+    "csv": CsvSink,
+    "orc": OrcSink,
     "idempotent-parquet": IdempotentParquetSink,
     "google-cloud-monitoring": GoogleCloudMonitoringSink,
     "google-cloud-monitoring-executor": GoogleCloudMonitoringPartitionedSink,

@@ -234,3 +234,28 @@ def test_partitioned_monitoring_sink_without_client_raises(spark):
     df = spark.range(1).selectExpr("'m' AS metric_name", "1.0 AS value")
     with pytest.raises(NotImplementedError):
         GoogleCloudMonitoringPartitionedSink("p").write(df)
+
+
+def test_csv_and_orc_sinks_roundtrip(spark, tmp_path):
+    """CSV (with MAP labels rendered as JSON text) and ORC sinks write
+    batches a reader can load back."""
+    from beametrics_spark.sinks import create_sink
+
+    df = spark.range(5).selectExpr(
+        "'m' AS metric_name",
+        "CAST(id AS DOUBLE) AS value",
+        "map('k', CAST(id AS STRING)) AS labels",
+    )
+    csv_path = str(tmp_path / "csv_out")
+    orc_path = str(tmp_path / "orc_out")
+    create_sink("csv", path=csv_path).write(df)
+    create_sink("orc", path=orc_path).write(df)
+
+    back_csv = spark.read.option("header", "true").csv(csv_path)
+    assert back_csv.count() == 5
+    assert set(back_csv.columns) == {"metric_name", "value", "labels"}
+    assert back_csv.filter("labels LIKE '{\"k\":%'").count() == 5
+
+    back_orc = spark.read.orc(orc_path)
+    assert back_orc.count() == 5
+    assert dict(back_orc.dtypes)["labels"].startswith("map")
