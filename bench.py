@@ -296,7 +296,9 @@ def main() -> int:
     # Queries that materialize work EAGERLY at plan-construction time
     # (localCheckpoint of an intermediate): their construction must sit
     # inside the timer or the bench would hide that work entirely.
-    construction_timed = {"supplier_cotrade_triangles"}
+    # (none in the current batch set; the iterative section handles the
+    # checkpoint-per-round operators)
+    construction_timed: set[str] = set()
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
