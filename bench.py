@@ -300,12 +300,12 @@ def main() -> int:
     # checkpoint-per-round operators)
     construction_timed: set[str] = set()
 
-    def timed(names: list[str]) -> dict[str, float]:
+    def timed(names: list[str], *, rebuild: bool = False) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             if name not in qs:
                 continue
-            if name in construction_timed:
+            if rebuild or name in construction_timed:
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 trials = []
                 for _ in range(2):
@@ -339,7 +339,11 @@ def main() -> int:
         return out
 
     timings = timed(BENCH_QUERIES)
-    streaming = timed(STREAMING_QUERIES)
+    # Streaming-parity entries run the WHOLE micro-batch harness during
+    # plan construction (readStream → drain → memory sink), so they must
+    # rebuild inside the timer — plan-reuse timing would clock only the
+    # final batch aggregate over the already-drained sink.
+    streaming = timed(STREAMING_QUERIES, rebuild=True)
     iterative = _iterative_bench(spark, sf_dir, qs)
     layout = _layout_bench(spark, sf_dir)
 
