@@ -260,3 +260,148 @@ def value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 value_cusum_drift.__doc__ = value_cusum_drift.__doc__.replace(
     "{K}", str(CUSUM_K_SIGMA)
 ).replace("{H}", str(CUSUM_H_SIGMA))
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         sum(revenue) OVER () AS total_rev
+  FROM rev
+),
+classed AS (
+  SELECT l_partkey, revenue,
+         CASE WHEN (cum_rev - revenue) / total_rev < 0.80 THEN 'A'
+              WHEN (cum_rev - revenue) / total_rev < 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(sum(revenue), 2) AS DOUBLE) AS class_revenue,
+       ROUND(sum(revenue) / any_value(t.total), 4) AS revenue_share
+FROM classed, (SELECT sum(revenue) AS total FROM rev) t
+GROUP BY 1
+"""
+
+
+@register("part_revenue_abc_classes", _PARETO_ORACLE)
+def part_revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by discounted
+    revenue, classed A (first 80% of cumulative revenue), B (next 15%),
+    C (tail) — class membership decided by the cumulative share BEFORE
+    each part (so the part that crosses a boundary belongs to the
+    class it starts in, the standard convention), rolled up to class
+    size / revenue / share.
+
+    Revenue reduces to one DECIMAL row per part (exact arithmetic —
+    no float summation-order noise in the ranking) before the single
+    cumulative window; the window sorts only |parts| rows. At extreme
+    part cardinality the cutoffs come from the broadcast-percentile
+    two-scan shape instead of the global cumsum sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    all_rows = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        (F.sum("revenue").over(w) - F.col("revenue")).alias("cum_before"),
+        F.sum("revenue").over(all_rows).alias("total_rev"),
+    )
+    share_before = F.col("cum_before") / F.col("total_rev")
+    classed = ranked.select(
+        "revenue",
+        "total_rev",
+        F.when(share_before < 0.80, "A")
+        .when(share_before < 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("revenue"), 2).cast("double").alias("class_revenue"),
+        # decimal/decimal division stays DECIMAL in Spark; the oracle's
+        # share is DOUBLE — align the output types for the value hash
+        F.round(F.sum("revenue") / F.first("total_rev"), 4)
+        .cast("double")
+        .alias("revenue_share"),
+    )
+
+
+_BACKLOG_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey, o.o_orderdate AS open_day,
+         max(l.l_shipdate) AS close_day
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+deltas AS (
+  SELECT CAST(date_trunc('month', open_day) AS DATE) AS month, 1 AS d FROM spans
+  UNION ALL
+  SELECT CAST(date_trunc('month', close_day) AS DATE) AS month, -1 FROM spans
+),
+monthly AS (
+  SELECT month, CAST(sum(d) AS BIGINT) AS net_change
+  FROM deltas GROUP BY 1
+)
+SELECT month, net_change,
+       CAST(sum(net_change) OVER (ORDER BY month
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_backlog
+FROM monthly
+"""
+
+
+@register("order_backlog_sweep", _BACKLOG_ORACLE)
+def order_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by sweep line: each order
+    contributes +1 at its order month and −1 at its last-shipment
+    month; the running sum of net monthly changes IS the number of
+    in-flight orders — O(n log n) where a per-month interval
+    containment join is O(months × orders). Same sweep discipline as
+    event_interval_overlap_sweep, on the fulfillment domain: the curve
+    capacity planning reads (a rising backlog = fulfillment falling
+    behind intake).
+
+    Orders reduce to one (open, close) span each (a map-side-combined
+    max over their lineitems), spans to ±1 deltas, deltas to
+    |months| rows before the single tiny cumulative window."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_day"))
+    )
+    deltas = spans.select(
+        F.trunc("o_orderdate", "month").alias("month"), F.lit(1).alias("d")
+    ).unionAll(
+        spans.select(
+            F.trunc("close_day", "month").alias("month"), F.lit(-1).alias("d")
+        )
+    )
+    monthly = deltas.groupBy("month").agg(F.sum("d").cast("long").alias("net_change"))
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        "month",
+        "net_change",
+        F.sum("net_change").over(w).cast("long").alias("open_backlog"),
+    )

@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "basket_part_pair_lift",
     "rfm_customer_segments",
     "value_cusum_drift",
+    "part_revenue_abc_classes",
+    "order_backlog_sweep",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

