@@ -73,21 +73,33 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection. Lift ≫ 1 with real support = genuinely bought together;
     the support floor kills the noise pairs that dominate raw lift.
 
-    Pair expansion is per-basket C(k,2) with k = parts per order
-    (bounded small), shuffled on the order key; the per-pair and
-    per-item counts are map-side-combined aggregates, and the top-{T}
-    is TakeOrderedAndProject."""
+    One shuffle keyed on the order collects each basket as a sorted
+    part array (collect_set dedups in the aggregation buffer — no
+    separate distinct pass); pairs explode in place with per-basket
+    C(k,2) fan-out (k bounded small), and the per-pair / per-item
+    counts are map-side-combined aggregates. The per-item count table
+    (|parts| rows, KB–MB at any corpus size relative to the pair
+    table) broadcasts into the lift join, and the basket total rides
+    along as a broadcast scalar — no driver-side count action, no
+    shuffle joins. The top-{T} is TakeOrderedAndProject."""
+    from beametrics_spark.operators.dedup import explode_sorted_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.select("l_orderkey").distinct().count()
-    item = baskets.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("n_a")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    n_df = per_order.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        per_order.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        explode_sorted_pairs(
+            per_order.filter(F.size("parts") > 1),
+            "parts",
+            lambda a, b: [a.alias("part_a"), b.alias("part_b")],
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
@@ -95,15 +107,16 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.select(F.col("pk").alias("part_a"), F.col("n_a").alias("na"))
     ib = item.select(F.col("pk").alias("part_b"), F.col("n_a").alias("nb"))
     scored = (
-        pairs.join(ia, "part_a")
-        .join(ib, "part_b")
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n_df))
         .select(
             "part_a",
             "part_b",
             "n_ab",
-            F.round(F.col("n_ab") / F.lit(n_orders), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
             F.round(
-                (F.col("n_ab") * F.lit(float(n_orders)))
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
                 / (F.col("na") * F.col("nb")),
                 4,
             ).alias("lift"),
