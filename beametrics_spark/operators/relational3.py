@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from beametrics_spark.functions import cents, e4_dollars
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table, register_views
 
@@ -242,8 +243,10 @@ def moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering peers, so results are deterministic under timestamp ties
     (unlike ROWS). Ordering key is epoch seconds — Spark's rangeBetween
     needs a numeric ordering expression. The sum accumulates as exact
-    decimal so it is order-of-summation independent (a double sum rounds
-    differently per engine at half-cent boundaries)."""
+    integer cents (functions.cents) so it is order-of-summation
+    independent (a double sum rounds differently per engine at
+    half-cent boundaries) at long speed rather than Decimal-buffer
+    speed — the window adds one long per row instead of a BigDecimal."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -253,10 +256,11 @@ def moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("sum_90d"),
+        # ndigits=2 is the identity on cent-scaled values: the oracle
+        # casts the exact decimal sum straight to double
+        e4_dollars(F.sum(cents(F.col("o_totalprice"))).over(w) * 100).alias(
+            "sum_90d"
+        ),
         F.count(F.lit(1)).over(w).alias("n_90d"),
     )
 

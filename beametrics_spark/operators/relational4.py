@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from beametrics_spark.functions import cents, discounted_e4, e4_dollars
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
@@ -182,9 +183,11 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned item reporting): revenue lost to returns per
     customer in one quarter, top-20. The returnflag filter prunes lineitem
     at the scan; nation broadcasts; top-20 is TakeOrderedAndProject with a
-    custkey tie-break so the cut is deterministic. Revenue accumulates as
-    exact decimal: a double sum is order-of-summation dependent and flips
-    the 2-decimal rounding at half-cent boundaries between engines."""
+    custkey tie-break so the cut is deterministic. Revenue accumulates
+    exactly in scaled-long units (functions.discounted_e4): a double sum
+    is order-of-summation dependent and flips the 2-decimal rounding at
+    half-cent boundaries between engines, and the decimal formulation
+    pays a ~5x per-row aggregation-buffer tax."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -198,15 +201,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+            e4_dollars(
+                F.sum(discounted_e4(F.col("l_extendedprice"), F.col("l_discount")))
+            ).alias("revenue"),
             F.round(F.avg("c_acctbal"), 2).alias("c_acctbal"),
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -354,15 +351,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            e4_dollars(
+                F.sum(discounted_e4(F.col("l_extendedprice"), F.col("l_discount")))
+            ).alias("revenue")
         )
     )
 
@@ -399,8 +390,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (part filtered to one type, supplier, both nation roles,
     region) broadcasts; lineitem⋈orders⋈customer carry the shuffles. The
     share is a conditional-sum ratio computed in the same aggregation
-    pass. Decimal accumulation keeps the ratio bit-stable for the oracle
-    (the division result rounds to 6 places from exact operands)."""
+    pass. Exact scaled-long accumulation (functions.discounted_e4) keeps
+    the ratio bit-stable for the oracle (the division rounds to 6 places
+    from exact operands) without the per-row Decimal buffer tax."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     orders = load_table(spark, sf_dir, "orders")
@@ -414,9 +406,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = nation.select(
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(5,2)")
-    )
+    rev = discounted_e4(F.col("l_extendedprice"), F.col("l_discount"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -435,7 +425,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(
-                        F.lit(0).cast("decimal(18,2)")
+                        F.lit(0).cast("bigint")
                     )
                 )
                 / F.sum("rev"),

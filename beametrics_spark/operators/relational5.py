@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from beametrics_spark.functions import cents, discounted_e4, e4_dollars
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
@@ -147,17 +148,18 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     its MAX). The revenue aggregate is built once per run; its max is a
     one-row broadcast joined back as an equality filter, so ties all
     surface (the TPC-H-specified behavior, unlike ORDER BY ... LIMIT 1).
-    Revenue accumulates in decimal so the max-equality comparison is
-    exact — a double sum could make Spark and the oracle disagree on
-    which supplier is "the" max at half-ulp boundaries."""
+    Revenue accumulates as an exact scaled long
+    (functions.discounted_e4) so the max-equality comparison is exact —
+    a double sum could make Spark and the oracle disagree on which
+    supplier is "the" max at half-ulp boundaries — without the per-row
+    Decimal aggregation-buffer tax."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
+            discounted_e4(F.col("l_extendedprice"), F.col("l_discount"))
         ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
@@ -170,7 +172,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_revenue").cast("double").alias("total_revenue"),
+            # ndigits=4 is the identity on 1e-4-scaled values: the oracle
+            # casts the exact decimal straight to double without rounding
+            e4_dollars(F.col("total_revenue"), 4).alias("total_revenue"),
         )
     )
 
@@ -276,15 +280,9 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & clause)
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+            e4_dollars(
+                F.sum(discounted_e4(F.col("l_extendedprice"), F.col("l_discount")))
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -413,13 +411,13 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     nations = [1, 3, 5, 7]
     cust = load_table(spark, sf_dir, "customer")
     target = cust.filter(F.col("c_nationkey").isin(nations))
-    # "above average" without dividing: bal > s/n ⟺ bal·n > s, with the sum
-    # accumulated in DECIMAL — exact in both engines regardless of partial-
-    # aggregation order, so a balance within a ulp of the mean can't flip
-    # in/out between Spark and DuckDB (Q15 uses the same trick for its
-    # max-equality comparison).
+    # "above average" without dividing: bal > s/n ⟺ bal·n > s, with the
+    # sum accumulated as exact integer cents — exact in both engines
+    # regardless of partial-aggregation order, so a balance within a ulp
+    # of the mean can't flip in/out between Spark and DuckDB (Q15 uses
+    # the same trick for its max-equality comparison).
     stats = target.filter(F.col("c_acctbal") > 0.0).agg(
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        F.sum(cents(F.col("c_acctbal"))).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
     orders = (
@@ -429,7 +427,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
     wealthy = (
         target.join(F.broadcast(stats))
-        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("n") > F.col("s"))
+        .filter(cents(F.col("c_acctbal")) * F.col("n") > F.col("s"))
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
     return (

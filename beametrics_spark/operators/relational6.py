@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from beametrics_spark.functions import cents, discounted_e4, e4_dollars
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
@@ -151,6 +152,11 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_supplycost (no partsupp table) is stood in by 10% of retail price.
     The measure mixes columns from three tables, so it's computed per-row
     in codegen after the joins; only (nation, year) partial sums shuffle.
+    Profit accumulates exactly in scaled-long 1e-4-dollar units
+    (functions.cents/discounted_e4): both terms have at most 4 decimal
+    digits (2-dp price x 2-dp discount; 2-dp retail x integral quantity
+    x 0.10), so long arithmetic is exact and skips the Decimal
+    aggregation-buffer tax.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
@@ -164,15 +170,16 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
     )
-    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(5,2)")
-    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
-        "decimal(9,2)"
-    ) * F.lit(0.10).cast("decimal(3,2)")
+    # supplycost term in 1e-4 dollars: cents(retail) * qty * 0.10 * 100
+    profit_e4 = discounted_e4(
+        F.col("l_extendedprice"), F.col("l_discount")
+    ) - cents(F.col("p_retailprice")) * F.round("l_quantity").cast(
+        "bigint"
+    ) * F.lit(10)
     return joined.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("bigint").alias("o_year"),
-    ).agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    ).agg(e4_dollars(F.sum(profit_e4)).alias("profit"))
 
 
 @register(
@@ -197,11 +204,12 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: parts whose flow value through nations {1,3,5} exceeds
     0.1% of the total.
 
-    The HAVING-vs-global-scalar compare uses `value * 1000 > total` in
-    exact decimal — no division, so a part sitting within a ulp of the
-    threshold can't flip between engines. The scalar total is a one-row
-    cross join (broadcast NestedLoop) over the per-part aggregate, which
-    is |part|-sized, not |lineitem|-sized.
+    The HAVING-vs-global-scalar compare uses `value * 1000 > total` on
+    exact scaled longs (cents x integral quantity) — no division, so a
+    part sitting within a ulp of the threshold can't flip between
+    engines, and no per-row Decimal buffer. The scalar total is a
+    one-row cross join (broadcast NestedLoop) over the per-part
+    aggregate, which is |part|-sized, not |lineitem|-sized.
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").filter(
@@ -212,8 +220,8 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_quantity").cast("decimal(9,2)")
+                cents(F.col("l_extendedprice"))
+                * F.round("l_quantity").cast("bigint")
             ).alias("value")
         )
     )
@@ -221,7 +229,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.join(F.broadcast(total))
         .filter(F.col("value") * 1000 > F.col("total"))
-        .select("p_partkey", F.round("value", 2).cast("double").alias("value"))
+        .select(
+            "p_partkey",
+            e4_dollars(F.col("value") * 100).alias("value"),
+        )
     )
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from beametrics_spark.config import FilterCondition, MetricConfig, MetricDefinition
 from beametrics_spark.pipeline import build_metrics_pipeline
+from beametrics_spark.functions import cents, e4_dollars
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
@@ -271,9 +272,10 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the difference between one raw scan feeding a
     |minutes|-row cascade and three raw scans: the hourly and daily
     shuffles move thousands of pre-aggregated rows, not billions of
-    events. count re-sums and decimal sums re-sum exactly, so the
-    cascade is bit-identical to direct aggregation at every level (the
-    oracle computes the same chain). Spark reuses the minutely
+    events. count re-sums and exact integer-cent sums (functions.cents)
+    re-sum exactly, so the cascade is bit-identical to direct
+    aggregation at every level (the oracle computes the same chain in
+    decimal). Spark reuses the minutely
     aggregate for both coarser levels within one plan.
     """
     events = load_table(spark, sf_dir, "events")
@@ -281,7 +283,7 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("minute", F.col("ts")).alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        F.sum(cents(F.col("value"))).alias("total_value"),
     )
     hourly = minutely.groupBy(
         F.date_trunc("hour", F.col("bucket")).alias("bucket")
@@ -301,7 +303,7 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("resolution"),
             "bucket",
             F.col("n_events").cast("bigint").alias("n_events"),
-            F.round("total_value", 2).cast("double").alias("total_value"),
+            e4_dollars(F.col("total_value") * 100).alias("total_value"),
         )
 
     return fmt(hourly, "hour").unionAll(fmt(daily, "day"))
