@@ -1,0 +1,182 @@
+"""Event analytics, wave 4 (round 5): multi-touch attribution and the
+watermark lateness audit.
+
+- Multi-touch attribution: every click within the hour before a
+  purchase (same user) shares the purchase's value equally — the
+  linear-attribution model that replaces last-touch when several
+  touches contribute. The join is the scalable range-join shape: an
+  equi-key (user) carries the partitioning, the time range is a
+  residual predicate (same pattern as range_join_purchases_after_order,
+  relational3.py).
+- Watermark lateness audit: BEFORE deploying a streaming job you pick
+  its watermark delay from data, not folklore. The audit replays the
+  stream in (simulated) arrival order, tracks the running max event
+  time (exactly the quantity Spark's watermark derives from), and
+  counts per type how many events a 60 s / 180 s watermark would have
+  dropped, plus the max observed disorder (the simulated jitter bounds
+  disorder below 300 s, so both buckets are exercisable).
+
+The reference has no attribution/lateness surface (SURVEY.md §2.2).
+
+Scale notes (100 TB): attribution shuffles both sides on user_id
+(AQE-salted if one user is hot), per-purchase touch counts come from a
+window bounded by the touch fan-out; the lateness audit's global
+arrival sort is the honest cost of auditing ONE totally-ordered replay
+log — on a real multi-partition source, arrival order is only
+per-partition, and the identical running-max window runs partitioned
+by source partition with no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+ATTRIBUTION_WINDOW_S = 3600
+
+_ATTRIBUTION_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+touched AS (
+  SELECT p.event_id, p.value, c.ts AS click_ts,
+         count(*) OVER (PARTITION BY p.event_id) AS n_touch
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL '{ATTRIBUTION_WINDOW_S} seconds'
+   AND c.ts < p.ts
+)
+SELECT CAST(date_part('hour', click_ts) AS BIGINT) AS click_hour,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       ROUND(SUM(1.0 / n_touch), 4) AS credits,
+       ROUND(SUM(value / n_touch), 2) AS attributed_value
+FROM touched GROUP BY 1
+"""
+
+
+@register("multi_touch_attribution", _ATTRIBUTION_ORACLE)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally over the user's clicks in the preceding hour; rolled up per
+    click hour-of-day (credits = fractional conversions, attributed
+    value = revenue credited to that hour).
+
+    The purchase-click join is equi-keyed on user_id with the time
+    range as a residual predicate — a hash join that partitions like
+    any other user-keyed join; the per-purchase touch count is a
+    window over the purchase key, bounded by the touch fan-out."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    touched = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (
+            F.col("click_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")
+        )
+        & (F.col("click_ts") < F.col("p_ts")),
+    ).withColumn("n_touch", F.count(F.lit(1)).over(Window.partitionBy("p_id")))
+    return touched.groupBy(
+        F.hour("click_ts").cast("bigint").alias("click_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum(F.lit(1.0) / F.col("n_touch")), 4).alias("credits"),
+        F.round(F.sum(F.col("p_value") / F.col("n_touch")), 2).alias(
+            "attributed_value"
+        ),
+    )
+
+
+# Deterministic simulated arrival disorder: the synthetic events table is
+# perfectly time-ordered by event_id, so a lateness audit over it would be
+# vacuous. Each event's ARRIVAL time is its event time plus a pseudo-random
+# integer jitter of 0-299 s derived from event_id with pure int64 arithmetic
+# (identical in both engines — no engine hash functions involved).
+_JITTER_SQL = "(event_id * 37 + 11) % 300"
+
+_LATENESS_ORACLE = f"""
+WITH arr AS (
+  SELECT event_type, ts, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + ({_JITTER_SQL}) * 1000000 AS arrival_us,
+         event_id
+  FROM events
+),
+tracked AS (
+  SELECT event_type, ts_us,
+         max(ts_us) OVER (ORDER BY arrival_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS hwm_us
+  FROM arr
+),
+d AS (
+  SELECT event_type,
+         GREATEST(COALESCE(hwm_us - ts_us, 0), 0) / 1000000.0 AS delay_s
+  FROM tracked
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN delay_s > 60 THEN 1 ELSE 0 END) AS BIGINT) AS late_60s,
+       CAST(SUM(CASE WHEN delay_s > 180 THEN 1 ELSE 0 END) AS BIGINT) AS late_180s,
+       ROUND(MAX(delay_s), 3) AS max_delay_s
+FROM d GROUP BY 1
+"""
+
+
+@register("watermark_lateness_audit", _LATENESS_ORACLE)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late does this stream actually run? Replays events in
+    (simulated) arrival order, tracks the running max event time — the
+    exact quantity a Spark watermark trails — and reports, per type,
+    how many events a 60 s and a 180 s watermark would have dropped and
+    the worst observed disorder. Run this BEFORE picking
+    withWatermark's delay; pipeline.py defaults to 60 s (SURVEY §7.3).
+
+    The global arrival sort is the audit's honest cost for ONE
+    totally-ordered replay log; per-partition arrival logs (the real
+    multi-source case) partition the window by source with no global
+    sort."""
+    events = load_table(spark, sf_dir, "events")
+    arr = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        (
+            F.unix_micros("ts")
+            + ((F.col("event_id") * 37 + 11) % 300) * F.lit(1_000_000)
+        ).alias("arrival_us"),
+        "event_id",
+    )
+    w = (
+        Window.orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    delay_s = (
+        F.greatest(
+            F.coalesce(F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0)),
+            F.lit(0),
+        )
+        / 1_000_000.0
+    )
+    return (
+        arr.withColumn("delay_s", delay_s)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("delay_s") > 60, 1).otherwise(0)).alias("late_60s"),
+            F.sum(F.when(F.col("delay_s") > 180, 1).otherwise(0)).alias(
+                "late_180s"
+            ),
+            F.round(F.max("delay_s"), 3).alias("max_delay_s"),
+        )
+    )

@@ -38,6 +38,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.dedup  # noqa: F401
     import beametrics_spark.operators.curation  # noqa: F401
     import beametrics_spark.operators.curation2  # noqa: F401
+    import beametrics_spark.operators.curation3  # noqa: F401
     import beametrics_spark.operators.similarity  # noqa: F401
     import beametrics_spark.operators.similarity2  # noqa: F401
     import beametrics_spark.operators.similarity3  # noqa: F401
@@ -48,12 +49,14 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.text3  # noqa: F401
     import beametrics_spark.operators.text4  # noqa: F401
     import beametrics_spark.operators.text5  # noqa: F401
+    import beametrics_spark.operators.text6  # noqa: F401
     import beametrics_spark.operators.multimodal  # noqa: F401
     import beametrics_spark.operators.stream_parity  # noqa: F401
     import beametrics_spark.operators.windows_ext  # noqa: F401
     import beametrics_spark.operators.events_ext  # noqa: F401
     import beametrics_spark.operators.events2  # noqa: F401
     import beametrics_spark.operators.events3  # noqa: F401
+    import beametrics_spark.operators.events4  # noqa: F401
     import beametrics_spark.operators.corpus_stats  # noqa: F401
     import beametrics_spark.operators.graph  # noqa: F401
     import beametrics_spark.operators.graph2  # noqa: F401

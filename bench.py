@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "value_cusum_drift",
     "part_revenue_abc_classes",
     "order_backlog_sweep",
+    # round-5 wave e: snapshot reconciliation (CDC), attribution,
+    # lateness audit, BPE merge scan
+    "snapshot_diff_documents",
+    "multi_touch_attribution",
+    "watermark_lateness_audit",
+    "bpe_merge_candidates",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -1,0 +1,205 @@
+"""Round-5 wave e: snapshot diff (CDC), multi-touch attribution,
+watermark lateness audit, BPE merge candidates. Value parity vs DuckDB
+runs through scripts/oracle_check.py; here: semantics on planted inputs
+where the expected answer is hand-computable (status assignment, credit
+splitting, boundary exclusions, lateness arithmetic, tie-breaks)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.curation3 import snapshot_diff
+from beametrics_spark.operators.events4 import (
+    multi_touch_attribution,
+    watermark_lateness_audit,
+)
+from beametrics_spark.operators.text6 import bpe_merge_candidates
+
+
+# --- snapshot diff -----------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "s1", "fp1"),  # unchanged
+            (2, "s1", "fp2"),  # changed in new
+            (3, "s2", "fp3"),  # removed
+        ],
+        "doc_id long, source string, fp string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "s1", "fp1"),
+            (2, "s1", "fp2b"),
+            (4, "s2", "fp4"),  # added
+        ],
+        "doc_id long, source string, fp string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_source_prefers_new_side(spark):
+    """A doc that moved source between snapshots reports the NEW source
+    (the coalesce order b, a) — downstream routing follows where the doc
+    lives now."""
+    old = spark.createDataFrame(
+        [(1, "old_src", "fp1")], "doc_id long, source string, fp string"
+    )
+    new = spark.createDataFrame(
+        [(1, "new_src", "fp1")], "doc_id long, source string, fp string"
+    )
+    row = snapshot_diff(old, new).collect()[0]
+    assert row.source == "new_src"
+    assert row.status == "unchanged"
+
+
+# --- planted-events fixture --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_events_dir(spark, tmp_path_factory):
+    """A tiny events table with hand-placed purchases/clicks:
+
+    user 1: purchase @1000s (value 10.0); clicks @400s and @700s — both
+            inside the 3600 s window -> 2 touches, 0.5 credit each.
+    user 2: purchase @2000s (value 8.0); click @2000s (AT the purchase,
+            excluded: the window is half-open [ts-3600, ts)) and click
+            @2000s-3601 (outside) -> zero touches, purchase unattributed.
+    user 3: click @500s with no purchase -> never joined.
+    """
+    rows = [
+        (0, 400.0, 1, "click", 1.0),
+        (1, 700.0, 1, "click", 1.0),
+        (2, 1000.0, 1, "purchase", 10.0),
+        (3, 2000.0 - 3601.0, 2, "click", 1.0),
+        (4, 2000.0, 2, "click", 1.0),
+        (5, 2000.0, 2, "purchase", 8.0),
+        (6, 500.0, 3, "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    d = str(tmp_path_factory.mktemp("planted_sf"))
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+# --- multi-touch attribution -------------------------------------------------
+
+
+def test_attribution_splits_credit_equally(spark, planted_events_dir):
+    rows = multi_touch_attribution(spark, planted_events_dir).collect()
+    # both clicks are in hour 0 (ts 400 s / 700 s into the epoch)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.click_hour == 0
+    assert r.n_touches == 2
+    assert r.credits == pytest.approx(1.0)  # 0.5 + 0.5: one purchase
+    assert r.attributed_value == pytest.approx(10.0)  # 5.0 + 5.0
+
+
+def test_attribution_window_is_half_open(spark, planted_events_dir):
+    """User 2's clicks (one AT the purchase timestamp, one 1 s before the
+    window opens) must contribute nothing."""
+    total = (
+        multi_touch_attribution(spark, planted_events_dir)
+        .agg(F.sum("attributed_value").alias("v"))
+        .collect()[0]
+        .v
+    )
+    assert total == pytest.approx(10.0)  # only user 1's purchase
+
+
+# --- watermark lateness audit ------------------------------------------------
+
+
+def test_lateness_audit_counts_disorder(spark, tmp_path):
+    """Three events, hand-jittered with jitter(id) = (id*37 + 11) % 300:
+    id 0 -> 11 s, id 4 -> 159 s, id 7 -> 270 s. Event 0 (ts 1000)
+    arrives first at 1011; event 4 (ts 900) arrives at 1059 with the
+    high-water mark at 1000 -> 100 s late (60 s bucket only); event 7
+    (ts 800) arrives at 1070 -> 200 s late (both buckets)."""
+    rows = [
+        (0, 1000.0, "error"),
+        (4, 900.0, "error"),  # hwm 1000, delay 100 s
+        (7, 800.0, "error"),  # hwm 1000, delay 200 s
+    ]
+    df = spark.createDataFrame(rows, "event_id long, sec double, event_type string").select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    out = {r.event_type: r for r in watermark_lateness_audit(spark, d).collect()}
+    r = out["error"]
+    assert r.n_events == 3
+    assert r.late_60s == 2
+    assert r.late_180s == 1
+    assert r.max_delay_s == pytest.approx(200.0)
+
+
+def test_lateness_audit_in_order_stream_is_clean(spark, tmp_path):
+    """A stream whose event times rise faster than the jitter can reorder
+    (1 h apart vs <=300 s jitter) reports zero late events."""
+    rows = [(i, 3600.0 * i, "click") for i in range(5)]
+    df = spark.createDataFrame(rows, "event_id long, sec double, event_type string").select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    r = watermark_lateness_audit(spark, d).collect()[0]
+    assert (r.late_60s, r.late_180s, r.max_delay_s) == (0, 0, 0.0)
+
+
+# --- BPE merge candidates ----------------------------------------------------
+
+
+def test_bpe_counts_adjacent_pairs_and_breaks_ties(spark, tmp_path):
+    """'a b' occurs 3x, 'b a' 2x (adjacency inside one doc crosses the
+    repeated word), 'b c'/'c a' once each; ties order lexicographically."""
+    docs = [
+        (1, "a b a b a b"),   # a-b x3, b-a x2
+        (2, "b c"),          # b-c
+        (3, "c a"),          # c-a
+        (4, "solo"),         # no pairs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    got = [(r.tok_a, r.tok_b, r.n_pairs) for r in bpe_merge_candidates(spark, d).collect()]
+    assert got == [("a", "b", 3), ("b", "a", 2), ("b", "c", 1), ("c", "a", 1)]
+
+
+def test_bpe_tokenization_lowercases_and_splits_nonalpha(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "Hello, WORLD! hello world")], "doc_id long, text string"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {(r.tok_a, r.tok_b): r.n_pairs for r in bpe_merge_candidates(spark, d).collect()}
+    assert got == {("hello", "world"): 2, ("world", "hello"): 1}
