@@ -136,15 +136,24 @@ def supplier_cotrade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the backbone is ≤ |V|·K rows (KB-to-MB at any corpus size) and
     # every downstream leg (both wedge sides, the closing semi-join, the
-    # degree rollup) consumes it; the legs' identical subtrees collapse
-    # through ReusedExchange within one execution, so no eager
-    # checkpoint is needed (an explicit localCheckpoint measured SLOWER
-    # end-to-end — its disk write costs more than the reuse saves here;
-    # on a long-lived cluster session, cache()/checkpoint the backbone
-    # when several DIFFERENT motif queries share it)
-    edges = picks.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    # degree rollup, the edge count) consumes it — FOUR consumers.
+    # ReusedExchange only collapses the subtree up to the distinct's
+    # exchange; each leg still re-runs the final aggregate + projection
+    # and its own downstream shuffle. An eager localCheckpoint of the
+    # tiny edge set materializes it once and feeds all four legs
+    # (measured 2.2 s -> 1.8 s rebuilt-per-trial at sf0.1; the earlier
+    # round-5 measurement that favored no-checkpoint predates the
+    # one-groupBy pair-explosion rewrite that made the upstream cheap
+    # enough to flip the write-vs-reuse tradeoff). bench.py times this
+    # query construction-inclusive, since the checkpoint executes
+    # eagerly at plan-build time.
+    edges = (
+        picks.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     e1 = edges
     e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     wedges = e1.join(e2, e1["b"] == e2["b2"]).select("a", "b", "c")

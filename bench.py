@@ -304,9 +304,7 @@ def main() -> int:
     # Queries that materialize work EAGERLY at plan-construction time
     # (localCheckpoint of an intermediate): their construction must sit
     # inside the timer or the bench would hide that work entirely.
-    # (none in the current batch set; the iterative section handles the
-    # checkpoint-per-round operators)
-    construction_timed: set[str] = set()
+    construction_timed: set[str] = {"supplier_cotrade_triangles"}
 
     def timed(names: list[str], *, rebuild: bool = False) -> dict[str, float]:
         out: dict[str, float] = {}
