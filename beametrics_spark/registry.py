@@ -44,6 +44,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.similarity3  # noqa: F401
     import beametrics_spark.operators.similarity4  # noqa: F401
     import beametrics_spark.operators.ivf  # noqa: F401
+    import beametrics_spark.operators.pq  # noqa: F401
     import beametrics_spark.operators.text  # noqa: F401
     import beametrics_spark.operators.text2  # noqa: F401
     import beametrics_spark.operators.text3  # noqa: F401

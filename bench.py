@@ -44,10 +44,11 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_cosine_topk_bruteforce",
-    # ann_cosine_topk_ivf is excluded: it trains the coarse quantizer on
-    # every call (an index-BUILD cost, amortized once at 100 TB, not a
-    # per-query cost) — timing it per-query misstates the steady state.
-    # scripts/ann_sweep.py benchmarks the ANN variants separately.
+    # ann_cosine_topk_ivf / ann_cosine_topk_pq are excluded: both train
+    # their quantizer/codebooks on every call (an index-BUILD cost,
+    # amortized once at 100 TB, not a per-query cost) — timing them
+    # per-query misstates the steady state. scripts/ann_sweep.py
+    # benchmarks the ANN variants separately.
     "timeseries_gap_fill",
     "text_token_stats",
     "text_quality_scores",
