@@ -141,6 +141,34 @@ def train_pq_codebooks(
     return codebooks, width
 
 
+def adc_query_table(
+    spark: SparkSession,
+    queries: DataFrame,
+    codebooks: dict[tuple[int, int], list[float]],
+    width: int,
+) -> DataFrame:
+    """(query_id, qv) -> the per-query ADC lookup table: dot(q_sub,
+    codeword) for every (sub, code) — Q*M*K rows, computed with the same
+    broadcast-join + hash-agg shape as encoding. KB-scale: broadcast it
+    into whatever code scan consumes it (the full scan in
+    ann_cosine_topk_pq, or an IVF-candidate slice for the IVF-PQ
+    composition — tests/test_pq.py::test_pq_scores_ivf_candidates)."""
+    weights, _ = _codebook_df(spark, codebooks)
+    qsub = queries.select(
+        "query_id", F.posexplode("qv").alias("dim", "val")
+    ).select(
+        "query_id",
+        (F.col("dim") / width).cast("int").alias("sub"),
+        (F.col("dim") % width).alias("dimpos"),
+        "val",
+    )
+    return (
+        qsub.join(F.broadcast(weights), ["sub", "dimpos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("qdot"))
+    )
+
+
 @register("ann_cosine_topk_pq", None)
 def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN top-k: encode the corpus as M={M} codes from
@@ -164,24 +192,7 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codebooks, width = train_pq_codebooks(spark, corpus)
     codes = assign_codes(spark, corpus, codebooks, width)
-
-    # per-query ADC lookup table: dot(q_sub, codeword) for every
-    # (sub, code) — Q*M*K rows, computed with the same broadcast-join +
-    # hash-agg shape as encoding, then broadcast into the code scan
-    weights, _ = _codebook_df(spark, codebooks)
-    qsub = queries.select(
-        "query_id", F.posexplode("qv").alias("dim", "val")
-    ).select(
-        "query_id",
-        (F.col("dim") / width).cast("int").alias("sub"),
-        (F.col("dim") % width).alias("dimpos"),
-        "val",
-    )
-    qtable = (
-        qsub.join(F.broadcast(weights), ["sub", "dimpos"])
-        .groupBy("query_id", "sub", "code")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("qdot"))
-    )
+    qtable = adc_query_table(spark, queries, codebooks, width)
 
     # ADC scan: every corpus CODE row joins its M lookup entries; the
     # approximate score is the sum of M table values — no vector math

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "multi_touch_attribution",
     "watermark_lateness_audit",
     "bpe_merge_candidates",
+    "incremental_aggregate_merge",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

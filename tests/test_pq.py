@@ -105,6 +105,71 @@ def test_pq_exact_on_codewords(spark):
     assert len(by_pattern) == 4
 
 
+def test_pq_scores_ivf_candidates(spark, sf_dir):
+    """The executable IVF-PQ composition (the 100 TB path): IVF probing
+    picks candidate (query, vector) pairs, PQ codes score ONLY those
+    candidates via ADC lookups, exact re-rank on the winners. Asserts
+    the candidate slice genuinely pruned the scan and the composed
+    top-k still overlaps the brute-force truth."""
+    from pyspark.sql import Window
+
+    from beametrics_spark.operators.ivf import (
+        assign_cells,
+        probe_cells,
+        train_ivf_centroids,
+    )
+    from beametrics_spark.operators.pq import adc_query_table
+    from beametrics_spark.operators.similarity import TOP_K
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    centroids = train_ivf_centroids(spark, corpus)
+    probed = probe_cells(
+        spark,
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
+        centroids,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    assigned = assign_cells(spark, corpus, centroids)
+    pairs = probed.join(assigned, "cell").select("query_id", "vec_id")
+
+    n_pairs = pairs.count()
+    n_full = queries.count() * corpus.count()
+    assert n_pairs < n_full, "IVF probing did not prune the ADC scan"
+
+    codebooks, width = train_pq_codebooks(spark, corpus)
+    codes = assign_codes(spark, corpus, codebooks, width)
+    qtable = adc_query_table(spark, queries, codebooks, width)
+    approx = (
+        pairs.join(codes, "vec_id")
+        .join(F.broadcast(qtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdot").alias("approx_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("vec_id")
+    )
+    topk = (
+        approx.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in topk.collect()}
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    # composed recall is bounded by ivf-candidate recall x adc ranking
+    # quality; even without the exact re-rank the floor holds
+    assert recall >= 0.3, f"IVF-PQ composed recall {recall:.2f}"
+
+
 def test_pq_deterministic(spark, sf_dir):
     a = sorted(
         (r["query_id"], r["vec_id"], r["rk"])

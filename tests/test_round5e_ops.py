@@ -170,6 +170,34 @@ def test_lateness_audit_in_order_stream_is_clean(spark, tmp_path):
     assert (r.late_60s, r.late_180s, r.max_delay_s) == (0, 0, 0.0)
 
 
+# --- incremental aggregate merge ---------------------------------------------
+
+
+def test_incremental_merge_equals_direct(spark, planted_events_dir):
+    """Merged base+delta partials must equal the direct one-pass
+    aggregate on the same data — checked Spark-vs-Spark here (the
+    registry oracle proves it Spark-vs-DuckDB)."""
+    from beametrics_spark.operators.events4 import incremental_aggregate_merge
+    from beametrics_spark.sources import load_table
+
+    merged = {
+        (r.event_type, r.bucket): (r.n_events, r.total_value, r.max_value)
+        for r in incremental_aggregate_merge(spark, planted_events_dir).collect()
+    }
+    direct = {
+        (r.event_type, r.bucket): (r.n_events, r.total_value, r.max_value)
+        for r in load_table(spark, planted_events_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).cast("double").alias("total_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
 # --- BPE merge candidates ----------------------------------------------------
 
 
