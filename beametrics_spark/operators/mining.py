@@ -86,6 +86,13 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beametrics_spark.operators.dedup import explode_sorted_pairs
 
     li = load_table(spark, sf_dir, "lineitem")
+    # three consumers (basket count, item counts, pair explosion) read
+    # the per-order baskets: the pair and item branches share the
+    # collect_set exchange through ReusedExchange (each re-runs only the
+    # final merge), and the count branch column-prunes to a plain
+    # count over its own cheap scan. An eager localCheckpoint of the
+    # basket table was measured SLOWER (1.39 s vs 1.27 s at sf0.1) —
+    # the materialization write costs more than the re-merges it saves.
     per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
