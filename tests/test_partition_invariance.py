@@ -44,6 +44,12 @@ RISKY = [
     "seasonal_naive_forecast_error",  # MAE/RMSE double reductions
     "value_cusum_drift",          # running-sum windows over std-normalized steps
     "rfm_customer_segments",      # ntile cuts + avg doubles
+    # round-5 wave e: credit-split double sums, global running-max
+    # window over the arrival order, merged partials vs direct
+    "multi_touch_attribution",    # sum(1/n) + sum(value/n) doubles
+    "watermark_lateness_audit",   # global-order running max + delay sums
+    "incremental_aggregate_merge",  # partial-merge must not see order
+    "basket_part_pair_lift",      # lift ranking on rounded doubles
 ]
 
 

@@ -218,3 +218,58 @@ def test_simhash_signature_packed_lanes(spark, sf_dir):
     assert first_agg, plan
     n_sums = first_agg.group(1).count("sum(")
     assert n_sums <= _LANE_STRIDE, f"{n_sums} sum aggregates (packing lost?)"
+
+
+def test_bpe_single_scan_no_positional_join(spark, sf_dir):
+    """bpe_merge_candidates builds adjacent pairs from per-row slice+zip
+    — ONE documents scan, no join of any kind (the oracle's positional
+    self-join is exactly the shape this plan must avoid), and the
+    top-K is TakeOrderedAndProject, not a global sort."""
+    from beametrics_spark.operators.text6 import bpe_merge_candidates
+
+    df = bpe_merge_candidates(spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "Join" not in final, final[:2000]
+    assert "TakeOrderedAndProject" in final
+    assert final.count("Exchange hashpartitioning") == 1  # the pair count
+
+
+def test_attribution_equi_hash_join_not_nested_loop(spark, sf_dir):
+    """The attribution range join must hash-partition on the user
+    equi-key with the time range as a residual predicate — never a
+    BroadcastNestedLoopJoin (the shape a pure interval join degrades
+    to, quadratic at scale)."""
+    from beametrics_spark.operators.events4 import multi_touch_attribution
+
+    df = multi_touch_attribution(spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in final, final[:2000]
+    assert ("SortMergeJoin" in final) or ("ShuffledHashJoin" in final) or (
+        "BroadcastHashJoin" in final
+    )
+
+
+def test_snapshot_diff_shuffles_digests_not_bodies(spark, sf_dir):
+    """The CDC reconciliation computes md5 fingerprints BELOW the
+    full-outer join's exchanges: the text column must not appear in any
+    exchange's input schema — only (doc_id, source, fp) digests move."""
+    from beametrics_spark.operators.curation3 import snapshot_diff_documents
+
+    df = snapshot_diff_documents(spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_incremental_merge_two_partial_aggregates(spark, sf_dir):
+    """Base and delta each aggregate map-side (partial_count) before the
+    merge — the partials shuffle, never the events."""
+    from beametrics_spark.operators.events4 import incremental_aggregate_merge
+
+    plan = formatted_plan(incremental_aggregate_merge(spark, sf_dir))
+    assert plan.count("partial_count") >= 2, plan[:3000]
