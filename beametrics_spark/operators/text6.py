@@ -82,3 +82,70 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 bpe_merge_candidates.__doc__ = bpe_merge_candidates.__doc__.replace(
     "{K}", str(BPE_TOP)
 )
+
+
+CHUNK_SIZE = 128
+CHUNK_OVERLAP = 32
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, text, len(text) AS n,
+         CASE WHEN len(text) <= {CHUNK_SIZE} THEN 1
+              ELSE CAST(ceil((len(text) - {CHUNK_SIZE}) * 1.0 / {_STRIDE})
+                        AS BIGINT) + 1 END AS n_chunks
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, text, n,
+         unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM sized
+)
+SELECT doc_id, i AS chunk_id, i * {_STRIDE} + 1 AS start1,
+       LEAST({CHUNK_SIZE}, n - i * {_STRIDE}) AS chunk_chars,
+       md5(substr(text, i * {_STRIDE} + 1, {CHUNK_SIZE})) AS chunk_md5
+FROM exploded
+"""
+
+
+@register("doc_chunking_plan", _CHUNK_ORACLE)
+def doc_chunking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RAG-style chunking: {S}-char windows with {O}-char
+    overlap (stride {T}), one row per chunk with its 1-based offset,
+    length, and an md5 of the chunk TEXT — so the oracle verifies the
+    actual chunk contents, not just the arithmetic. The last chunk is
+    the only short one; a document at most {S} chars is one chunk.
+
+    Chunk starts come from a per-row sequence + transform (codegen, no
+    join against a numbers table — the oracle's generate_series lateral
+    is exactly the shape this avoids); substrings slice at the explode
+    site so full texts never shuffle. At 100 TB chunking is
+    embarrassingly parallel: zero exchanges in this plan until a
+    downstream consumer aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    length = F.length("text")
+    n_chunks = F.when(length <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.ceil((length - CHUNK_SIZE) / F.lit(_STRIDE)).cast("long") + 1
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        length.alias("n"),
+        F.explode(starts).alias("i"),
+    )
+    start1 = F.col("i").cast("long") * _STRIDE + 1
+    return chunks.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        start1.alias("start1"),
+        F.least(F.lit(CHUNK_SIZE), F.col("n") - start1 + 1).alias("chunk_chars"),
+        F.md5(
+            F.substring(F.col("text"), F.col("i") * _STRIDE + 1, CHUNK_SIZE)
+        ).alias("chunk_md5"),
+    )
+
+
+doc_chunking_plan.__doc__ = doc_chunking_plan.__doc__.replace(
+    "{S}", str(CHUNK_SIZE)
+).replace("{O}", str(CHUNK_OVERLAP)).replace("{T}", str(_STRIDE))

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "watermark_lateness_audit",
     "bpe_merge_candidates",
     "incremental_aggregate_merge",
+    "doc_chunking_plan",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -231,3 +231,42 @@ def test_bpe_tokenization_lowercases_and_splits_nonalpha(spark, tmp_path):
     df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
     got = {(r.tok_a, r.tok_b): r.n_pairs for r in bpe_merge_candidates(spark, d).collect()}
     assert got == {("hello", "world"): 2, ("world", "hello"): 1}
+
+
+# --- doc chunking ------------------------------------------------------------
+
+
+def test_chunking_offsets_and_content(spark, tmp_path):
+    """300-char doc -> 3 chunks at offsets 1/97/193 with lengths
+    128/128/108; 50-char doc -> 1 chunk; chunk hashes match the md5 of
+    the exact substrings (content-verified, not just arithmetic)."""
+    import hashlib
+
+    from beametrics_spark.operators.text6 import doc_chunking_plan
+
+    long_text = "".join(chr(ord("a") + (i % 26)) for i in range(300))
+    short_text = "x" * 50
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], "doc_id long, text string"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {
+        (r.doc_id, r.chunk_id): (r.start1, r.chunk_chars, r.chunk_md5)
+        for r in doc_chunking_plan(spark, d).collect()
+    }
+    assert len(rows) == 4
+    for cid, (start1, n) in enumerate([(1, 128), (97, 128), (193, 108)]):
+        got = rows[(1, cid)]
+        want_md5 = hashlib.md5(
+            long_text[start1 - 1 : start1 - 1 + 128].encode()
+        ).hexdigest()
+        assert got == (start1, n, want_md5), (cid, got)
+    assert rows[(2, 0)] == (
+        1,
+        50,
+        hashlib.md5(short_text.encode()).hexdigest(),
+    )
