@@ -99,6 +99,34 @@ def run(spark, sf_dir, bands, bits, radius):
     )
 
 
+def run_pq(spark, sf_dir):
+    """PQ-ADC recall vs brute force, plus the code-vs-vector scan-size
+    ratio (PQ's win is BYTES scanned, not rows pruned — every code row
+    is still scored, at M small ints instead of D doubles)."""
+    from beametrics_spark.operators.pq import (
+        K_CODEWORDS,
+        M_SUBSPACES,
+        ann_cosine_topk_pq,
+    )
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_cosine_topk_pq(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    compression = dim * 8 / M_SUBSPACES  # doubles scanned -> 1-byte codes
+    print(
+        f"PQ {M_SUBSPACES}x{K_CODEWORDS}: "
+        f"recall {len(exact & approx) / len(exact):.3f} @ 1.000 scan "
+        f"({compression:.0f}x smaller rows)"
+    )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("ann-sweep")
@@ -111,6 +139,7 @@ def main():
         (4, 16, 2),
     ]:
         run(spark, sf_dir, bands, bits, radius)
+    run_pq(spark, sf_dir)
 
 
 if __name__ == "__main__":
