@@ -1,0 +1,210 @@
+"""One more decade: sf0.1 -> sf1-equivalent scale probe.
+
+The three-SF sweep (scripts/scaling_check.py) tops out at sf0.1, where
+Spark's fixed local scheduling floor still dominates most queries and
+growth factors under-state the data exponent. This probe materializes a
+10x replica of the sf0.1 fact tables (key-offset copies; dimension
+tables stay fixed, as TPC-H dims grow sub-linearly) into a temp dir and
+times the data-bound headline queries at both scales with the bench
+protocol (plan built once, min of 2 noop-sink executions after a
+warm-up run) — the decade where data, not the floor, sets the time.
+
+Replica semantics, chosen so operator work scales honestly:
+- lineitem/orders: orderkeys offset per replica (10x orders, 10x
+  lineitem; the orders⋈lineitem join key space grows 10x; custkey/
+  partkey/suppkey reuse the fixed dimensions, so per-dim-key fan-in
+  grows 10x — the realistic direction: facts outgrow dims).
+- events: event_id/user-space offset per replica, timestamps kept —
+  10x densser windows, the realistic rate-growth direction.
+- documents: doc_id offset AND a per-replica suffix token appended to
+  the text, so replicas are near-duplicates of each other (high but
+  not degenerate dup structure: shingle posting lists deepen 10x
+  without every pair collapsing to exact-equal).
+
+Usage: python scripts/scale_probe.py [out_markdown_append]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+PROBE_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "corpus_duplicate_ngram_fraction",
+    "contamination_ngram_overlap",
+    "tfidf_top_terms",
+    "quality_repetition_signals",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "tpch_q9_product_type_profit",
+    "basket_part_pair_lift",
+    "supplier_cotrade_triangles",
+    "multi_touch_attribution",
+    "snapshot_diff_documents",
+    "incremental_aggregate_merge",
+    "bpe_merge_candidates",
+    "doc_chunking_plan",
+]
+
+# quadratic-guard / hot-cap knobs stay at their shipped values: the probe
+# must show the SHIPPED operators surviving the decade, not a tuned fork.
+
+
+def build_sf1(spark, out_dir: str) -> None:
+    from beametrics_spark.sources import load_table
+
+    li = load_table(spark, SRC, "lineitem")
+    orders = load_table(spark, SRC, "orders")
+    events = load_table(spark, SRC, "events")
+    docs = load_table(spark, SRC, "documents")
+    emb = load_table(spark, SRC, "embeddings")
+
+    max_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    max_eid = events.agg(F.max("event_id")).first()[0] + 1
+    max_did = docs.agg(F.max("doc_id")).first()[0] + 1
+    max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    def replicate(df, exprs_fn):
+        parts = [df.select(*exprs_fn(i)) for i in range(REPLICAS)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    replicate(
+        li,
+        lambda i: [
+            (F.col("l_orderkey") + i * max_ok).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    replicate(
+        orders,
+        lambda i: [
+            (F.col("o_orderkey") + i * max_ok).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    replicate(
+        events,
+        lambda i: [
+            (F.col("event_id") + i * max_eid).alias("event_id"),
+            *[c for c in events.columns if c != "event_id"],
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    replicate(
+        docs,
+        lambda i: [
+            (F.col("doc_id") + i * max_did).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" probe{i}")).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    replicate(
+        emb,
+        lambda i: [
+            (F.col("vec_id") + i * max_vid).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    # dimensions copied as-is (fixed across the decade)
+    for t in ("customer", "supplier", "part", "nation", "region"):
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+
+
+# entries that materialize eagerly at construction (localCheckpoint)
+# must rebuild per trial — same honesty rule as bench.py's
+# construction_timed set
+CONSTRUCTION_TIMED = {
+    "supplier_cotrade_triangles",
+    "dedup_minhash_lsh",
+    "corpus_dedup_keep_list",
+}
+
+
+def timed(qs, spark, name, sf_dir) -> float:
+    if name in CONSTRUCTION_TIMED:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        trials = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            trials.append(time.perf_counter() - t0)
+        return min(trials)
+    df = qs[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        trials.append(time.perf_counter() - t0)
+    return min(trials)
+
+
+def main() -> int:
+    from beametrics_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    out_dir = tempfile.mkdtemp(prefix="beametrics_sf1_")
+    try:
+        t0 = time.perf_counter()
+        build_sf1(spark, out_dir)
+        print(f"# sf1 build: {time.perf_counter() - t0:.1f}s -> {out_dir}", file=sys.stderr)
+
+        # construction-timed entries (eager localCheckpoint) are timed
+        # rebuilt-per-trial at BOTH scales, matching bench.py
+        rows = []
+        for name in PROBE_QUERIES:
+            t_small = timed(qs, spark, name, SRC)
+            t_big = timed(qs, spark, name, out_dir)
+            rows.append((name, t_small, t_big, t_big / max(t_small, 1e-9)))
+            print(
+                f"# {name}: sf0.1 {t_small:.3f}s  sf1 {t_big:.3f}s  "
+                f"x{t_big / max(t_small, 1e-9):.1f}",
+                file=sys.stderr,
+            )
+
+        print("\n## One more decade — sf0.1 → sf1 probe (scripts/scale_probe.py)\n")
+        print(
+            "10× key-offset replicas of the sf0.1 FACT tables (dims fixed —\n"
+            "facts outgrow dims; documents get a per-replica suffix so the\n"
+            "corpus is near-duplicated, not degenerate). This is the decade\n"
+            "where data, not the local scheduling floor, sets the time: a\n"
+            "linear operator costs ≤10×, and the gram-heavy operators whose\n"
+            "posting lists deepen 10× may exceed it only through their\n"
+            "CAPPED candidate stages. Timed with the bench protocol on the\n"
+            "same session.\n"
+        )
+        print("| query | sf0.1 (s) | sf1 (s) | growth (10× data) |")
+        print("|---|---|---|---|")
+        for name, a, b, g in rows:
+            print(f"| {name} | {a:.3f} | {b:.3f} | {g:.1f}x |")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
