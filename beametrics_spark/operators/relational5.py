@@ -37,7 +37,7 @@ Scale notes (100 TB stance):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from beametrics_spark.functions import cents, discounted_e4, e4_dollars
@@ -497,3 +497,67 @@ def central_tendency_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("value").alias("mode_value"))
     )
     return base.join(mode, "event_type")
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH ordered AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM lineitem
+),
+hit AS (
+  SELECT l_returnflag, l_extendedprice, tot_w,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cum_w ASC, l_extendedprice ASC) AS rk
+  FROM ordered WHERE cum_w * 2 >= tot_w
+)
+SELECT l_returnflag,
+       ROUND(l_extendedprice, 2) AS weighted_median_price,
+       CAST(ROUND(tot_w, 2) AS DOUBLE) AS total_weight
+FROM hit WHERE rk = 1
+"""
+
+
+@register("weighted_median_price_per_flag", _WEIGHTED_MEDIAN_ORACLE)
+def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag: the price
+    at which half the total shipped quantity is cheaper — the
+    fair-aggregation statistic plain median misses when row weights
+    differ (a 50-unit line should pull the median 50x harder than a
+    1-unit line). Lower weighted median: one cumulative-weight window
+    over a (price, orderkey, linenumber) total order (deterministic
+    under price ties), first row whose cumulative weight reaches half
+    the partition total.
+
+    The per-flag window sorts within |flags| hash partitions — exact by
+    construction. At extreme per-group cardinality the same statistic
+    comes from the two-scan broadcast-percentile shape (bin by
+    approximate quantiles, then sort only the straddling bin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    ordered = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cum_w"),
+        F.sum("l_quantity").over(w_tot).alias("tot_w"),
+    ).filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+    w_pick = Window.partitionBy("l_returnflag").orderBy(
+        F.asc("cum_w"), F.asc("l_extendedprice")
+    )
+    return (
+        ordered.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.round("l_extendedprice", 2).alias("weighted_median_price"),
+            F.round("tot_w", 2).cast("double").alias("total_weight"),
+        )
+    )

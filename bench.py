@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "bpe_merge_candidates",
     "incremental_aggregate_merge",
     "doc_chunking_plan",
+    "weighted_median_price_per_flag",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

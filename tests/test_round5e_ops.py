@@ -270,3 +270,43 @@ def test_chunking_offsets_and_content(spark, tmp_path):
         50,
         hashlib.md5(short_text.encode()).hexdigest(),
     )
+
+
+# --- weighted median ---------------------------------------------------------
+
+
+def test_weighted_median_pulls_to_heavy_rows(spark, tmp_path):
+    """Prices 10/20/30 with weights 1/8/1 -> weighted median 20 (the
+    8-unit row dominates); equal-split weights 5/5 over prices 10/20 ->
+    10 (lower-median convention: cum*2 >= total hits at the first row)."""
+    from beametrics_spark.operators.relational5 import (
+        weighted_median_price_per_flag,
+    )
+
+    rows = [
+        # (orderkey, linenumber, qty, price, flag)
+        (1, 1, 1.0, 10.0, "X"),
+        (1, 2, 8.0, 20.0, "X"),
+        (1, 3, 1.0, 30.0, "X"),
+        (2, 1, 5.0, 10.0, "Y"),
+        (2, 2, 5.0, 20.0, "Y"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_returnflag string",
+    ).select(
+        "l_orderkey", F.lit(1).cast("long").alias("l_partkey"),
+        F.lit(1).cast("long").alias("l_suppkey"), "l_linenumber",
+        "l_quantity", "l_extendedprice", F.lit(0.0).alias("l_discount"),
+        F.lit(0.0).alias("l_tax"), "l_returnflag",
+        F.lit("O").alias("l_linestatus"),
+        F.lit("2024-01-01").cast("timestamp").alias("l_shipdate"),
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
+    got = {
+        r.l_returnflag: (r.weighted_median_price, r.total_weight)
+        for r in weighted_median_price_per_flag(spark, d).collect()
+    }
+    assert got == {"X": (20.0, 10.0), "Y": (10.0, 10.0)}
