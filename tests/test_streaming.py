@@ -391,3 +391,73 @@ def test_incremental_dedup_stream_multi_epoch(spark, tmp_path):
         for r in classify_incremental(corpus, whole_drop).collect()
     }
     assert got == batch
+
+
+def test_append_mode_watermark_drops_late_events(spark, tmp_path):
+    """The watermark CONTRACT, exercised end-to-end: in append mode a
+    window emits exactly once after the watermark passes its end, and
+    an event arriving after that — inside the already-finalized window
+    — is DROPPED (the single-batch complete-mode parity runs can never
+    show this). Three micro-batches via maxFilesPerTrigger=1:
+
+      b1: two events in W0=[00:00,00:01) + one in W1=[00:01,00:02)
+          (max event time 00:01:40)
+      b2: one far-future event (10:00:00) -> watermark jumps past W0/W1,
+          both finalize and append-emit with b1's counts
+      b3: a LATE event back in W0 -> must contribute nothing (W0 already
+          emitted; no second W0 row, count stays 2)
+    """
+    import os
+    import time as _time
+
+    src = tmp_path / "late"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for ts, sev, b in rows:
+                f.write(json.dumps({"ts": ts, "severity": sev, "bytes": b}) + "\n")
+        _time.sleep(1.1)  # file order is mtime-based
+
+    write_file("b1.json", [
+        ("2024-01-01T00:00:05", "ERROR", 1),
+        ("2024-01-01T00:00:25", "ERROR", 1),
+        ("2024-01-01T00:01:40", "ERROR", 1),
+    ])
+    write_file("b2.json", [("2024-01-01T10:00:00", "ERROR", 1)])
+    write_file("b3.json", [("2024-01-01T00:00:55", "ERROR", 1)])  # LATE
+
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="err_count", type="count"),
+        filter_conditions=[FilterCondition("severity", "ERROR", "equals")],
+    )
+    stream_df = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sink = MemorySink()
+    q = run_metrics_stream(
+        stream_df,
+        [cfg],
+        {0: sink},
+        window_size=60,
+        watermark="10 seconds",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import datetime
+
+    w0 = datetime.datetime(2024, 1, 1, 0, 0)
+    w1 = datetime.datetime(2024, 1, 1, 0, 1)
+    emitted = [(r["window_start"], r["value"]) for r in sink.rows]
+    # W0 emitted exactly once, with b1's two events — the late b3 event
+    # contributed nothing
+    assert emitted.count((w0, 2.0)) == 1
+    assert sum(1 for ws, _ in emitted if ws == w0) == 1
+    assert (w1, 1.0) in emitted
