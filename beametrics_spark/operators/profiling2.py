@@ -12,7 +12,7 @@ The reference has no profiling surface (SURVEY.md §2.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from beametrics_spark.registry import register
@@ -95,3 +95,98 @@ def shuffle_partition_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 shuffle_partition_estimate.__doc__ = shuffle_partition_estimate.__doc__.replace(
     "{N}", str(N_SHUFFLE_PARTITIONS)
 )
+
+
+N_HIST_BUCKETS = 10
+
+_EQUI_DEPTH_ORACLE = f"""
+WITH bucketed AS (
+  SELECT o_totalprice,
+         ntile({N_HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+           AS bucket
+  FROM orders
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM bucketed GROUP BY 1
+"""
+
+
+@register("equi_depth_histogram_totalprice", _EQUI_DEPTH_ORACLE)
+def equi_depth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order totalprice: {N}
+    buckets of equal row count with their value boundaries — the
+    cost-based-optimizer statistic that survives skew where equi-WIDTH
+    histograms collapse (one hot value inflates a single band's count;
+    equal-depth boundaries move instead). Companions to
+    join_cardinality_estimate and key_skew_profile as the planner-stats
+    family.
+
+    One ntile window over an (o_totalprice, o_orderkey) total order
+    (deterministic under price ties), then a tiny hash aggregate. At
+    extreme cardinality the boundaries come from approx_percentile on a
+    single pass and only counts are re-checked — the two-scan
+    broadcast-percentile shape used across this repo."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(N_HIST_BUCKETS).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+equi_depth_histogram_totalprice.__doc__ = (
+    equi_depth_histogram_totalprice.__doc__.replace("{N}", str(N_HIST_BUCKETS))
+)
+
+
+_SHIP_LAG_ORACLE = """
+WITH lags AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       ROUND(quantile_cont(lag_days, 0.5), 4) AS p50_days,
+       ROUND(quantile_cont(lag_days, 0.9), 4) AS p90_days,
+       ROUND(quantile_cont(lag_days, 0.99), 4) AS p99_days
+FROM lags GROUP BY 1
+"""
+
+
+@register("shipping_lag_quantiles", _SHIP_LAG_ORACLE)
+def shipping_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag SLA percentiles (p50/p90/p99 days) per order
+    priority — the fulfillment latency distribution, exact. Spark's
+    sort-based percentile() and DuckDB's quantile_cont share the same
+    linear-interpolation definition, so the values hash-match (the
+    pattern proven by central_tendency_per_type).
+
+    The lineitem⋈orders join shuffles on the order key; exact
+    percentile sorts within |priorities| groups. At extreme group
+    cardinality the approx_percentile single-pass sketch replaces the
+    sort (value_quantiles_per_type is that twin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr("percentile(lag_days, 0.5)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(lag_days, 0.9)"), 4).alias("p90_days"),
+            F.round(F.expr("percentile(lag_days, 0.99)"), 4).alias("p99_days"),
+        )
+    )

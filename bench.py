@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "incremental_aggregate_merge",
     "doc_chunking_plan",
     "weighted_median_price_per_flag",
+    "equi_depth_histogram_totalprice",
+    "shipping_lag_quantiles",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

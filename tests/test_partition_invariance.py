@@ -50,6 +50,9 @@ RISKY = [
     "watermark_lateness_audit",   # global-order running max + delay sums
     "incremental_aggregate_merge",  # partial-merge must not see order
     "basket_part_pair_lift",      # lift ranking on rounded doubles
+    "weighted_median_price_per_flag",  # cumulative-weight window cut
+    "equi_depth_histogram_totalprice",  # ntile over a global total order
+    "shipping_lag_quantiles",     # sort-based exact percentiles
 ]
 
 
