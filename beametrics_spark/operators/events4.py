@@ -54,12 +54,19 @@ touched AS (
     ON c.user_id = p.user_id
    AND c.ts >= p.ts - INTERVAL '{ATTRIBUTION_WINDOW_S} seconds'
    AND c.ts < p.ts
+),
+grouped AS (
+  SELECT CAST(date_part('hour', click_ts) AS BIGINT) AS click_hour,
+         n_touch,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM touched GROUP BY 1, 2
 )
-SELECT CAST(date_part('hour', click_ts) AS BIGINT) AS click_hour,
-       CAST(count(*) AS BIGINT) AS n_touches,
-       ROUND(SUM(1.0 / n_touch), 4) AS credits,
-       ROUND(SUM(value / n_touch), 2) AS attributed_value
-FROM touched GROUP BY 1
+SELECT click_hour,
+       CAST(SUM(cnt) AS BIGINT) AS n_touches,
+       ROUND(SUM(cnt * 1.0 / n_touch), 4) AS credits,
+       ROUND(SUM(v_cents / (100.0 * n_touch)), 2) AS attributed_value
+FROM grouped GROUP BY 1
 """
 
 
@@ -73,7 +80,14 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The purchase-click join is equi-keyed on user_id with the time
     range as a residual predicate — a hash join that partitions like
     any other user-keyed join; the per-purchase touch count is a
-    window over the purchase key, bounded by the touch fan-out."""
+    window over the purchase key, bounded by the touch fan-out.
+
+    Determinism: the millions-of-terms float reductions SUM(1/n) and
+    SUM(value/n) would be summation-order dependent across engines, so
+    both engines first reduce to EXACT integers per (hour, n_touch)
+    cell — touch count and cents (functions.cents) — and only then run
+    float division/summation over that tiny grouped table: dozens of
+    identical terms on both sides instead of order-sensitive millions."""
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
@@ -93,14 +107,18 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & (F.col("click_ts") < F.col("p_ts")),
     ).withColumn("n_touch", F.count(F.lit(1)).over(Window.partitionBy("p_id")))
-    return touched.groupBy(
-        F.hour("click_ts").cast("bigint").alias("click_hour")
+    grouped = touched.groupBy(
+        F.hour("click_ts").cast("bigint").alias("click_hour"), "n_touch"
     ).agg(
-        F.count(F.lit(1)).alias("n_touches"),
-        F.round(F.sum(F.lit(1.0) / F.col("n_touch")), 4).alias("credits"),
-        F.round(F.sum(F.col("p_value") / F.col("n_touch")), 2).alias(
-            "attributed_value"
-        ),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(cents(F.col("p_value"))).alias("v_cents"),
+    )
+    return grouped.groupBy("click_hour").agg(
+        F.sum("cnt").alias("n_touches"),
+        F.round(F.sum(F.col("cnt") / F.col("n_touch")), 4).alias("credits"),
+        F.round(
+            F.sum(F.col("v_cents") / (F.lit(100.0) * F.col("n_touch"))), 2
+        ).alias("attributed_value"),
     )
 
 

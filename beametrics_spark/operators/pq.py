@@ -110,6 +110,12 @@ def train_pq_codebooks(
     subspace width). Codebooks live on the driver (M*K*width floats —
     KB); assignment and mean updates are distributed."""
     dim = len(corpus.select("v").first()["v"])
+    if m <= 0 or dim < m or dim % m != 0:
+        raise ValueError(
+            f"PQ needs the vector dimension divisible by the subspace "
+            f"count: dim={dim}, m={m} — trailing dimensions would be "
+            f"silently dropped from every encoding and score otherwise"
+        )
     width = dim // m
     seeds = (
         corpus.orderBy(F.xxhash64("vec_id"), "vec_id").limit(k).select("v").collect()
@@ -154,14 +160,13 @@ def adc_query_table(
     ann_cosine_topk_pq, or an IVF-candidate slice for the IVF-PQ
     composition — tests/test_pq.py::test_pq_scores_ivf_candidates)."""
     weights, _ = _codebook_df(spark, codebooks)
-    qsub = queries.select(
-        "query_id", F.posexplode("qv").alias("dim", "val")
-    ).select(
-        "query_id",
-        (F.col("dim") / width).cast("int").alias("sub"),
-        (F.col("dim") % width).alias("dimpos"),
-        "val",
-    )
+    # the same subspace split as the corpus side — through the SAME
+    # helper, so corpus and query sides can never disagree on subspace
+    # assignment
+    qsub = _sub_dims(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
+        width,
+    ).withColumnRenamed("vec_id", "query_id")
     return (
         qsub.join(F.broadcast(weights), ["sub", "dimpos"])
         .groupBy("query_id", "sub", "code")

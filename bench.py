@@ -175,6 +175,22 @@ ITERATIVE_QUERIES = [
     "embedding_pca_power_iteration",
 ]
 
+# Queries that materialize work EAGERLY at plan-construction time
+# (localCheckpoint of an intermediate): their construction must sit
+# inside the timer or the bench would hide that work entirely — worse,
+# plan-reuse timing of these is EVICTION-DEPENDENT (the checkpointed
+# blocks live in the block manager; under the memory pressure of a
+# 90-query run they evict and silently recompute inside the timer, so
+# the number flaps between ~0.1s and the full cost run to run).
+# Rebuilding per trial is the honest, stable protocol for them.
+# Module-level so scripts/scale_probe.py times the SAME set the same
+# way (scaling_check.py already imports ITERATIVE_QUERIES from here).
+CONSTRUCTION_TIMED = {
+    "supplier_cotrade_triangles",   # backbone edge checkpoint
+    "dedup_minhash_lsh",            # candidate-set checkpoint
+    "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
+}
+
 
 def _iter_count(name: str) -> int:
     from beametrics_spark.operators import curation
@@ -307,20 +323,7 @@ def main() -> int:
     # only, off by default to keep the harness wall bounded.
     log_counts = os.environ.get("SPARK_GRAFT_BENCH_COUNTS") == "1"
 
-    # Queries that materialize work EAGERLY at plan-construction time
-    # (localCheckpoint of an intermediate): their construction must sit
-    # inside the timer or the bench would hide that work entirely —
-    # worse, plan-reuse timing of these is EVICTION-DEPENDENT (the
-    # checkpointed blocks live in the block manager; under the memory
-    # pressure of a 90-query run they evict and silently recompute
-    # inside the timer, so the number flaps between ~0.1s and the full
-    # cost run to run). Rebuilding per trial is the honest, stable
-    # protocol for them.
-    construction_timed: set[str] = {
-        "supplier_cotrade_triangles",   # backbone edge checkpoint
-        "dedup_minhash_lsh",            # candidate-set checkpoint
-        "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
-    }
+    construction_timed = CONSTRUCTION_TIMED
 
     def timed(names: list[str], *, rebuild: bool = False) -> dict[str, float]:
         out: dict[str, float] = {}

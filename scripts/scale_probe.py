@@ -14,8 +14,12 @@ Replica semantics, chosen so operator work scales honestly:
   lineitem; the orders⋈lineitem join key space grows 10x; custkey/
   partkey/suppkey reuse the fixed dimensions, so per-dim-key fan-in
   grows 10x — the realistic direction: facts outgrow dims).
-- events: event_id/user-space offset per replica, timestamps kept —
-  10x densser windows, the realistic rate-growth direction.
+- events: only event_id offsets; users AND timestamps are kept, so the
+  same user base emits 10x denser traffic — the realistic rate-growth
+  direction, and deliberately HARSHER than linear for the per-user
+  range joins: multi_touch_attribution's purchasexclick pairs grow
+  ~100x on this "10x" (10x purchases x 10x clicks in each window),
+  so its growth row overstates a pure 10x scale-up.
 - documents: doc_id offset AND a per-replica suffix token appended to
   the text, so replicas are near-duplicates of each other (high but
   not degenerate dup structure: shingle posting lists deepen 10x
@@ -129,13 +133,9 @@ def build_sf1(spark, out_dir: str) -> None:
 
 
 # entries that materialize eagerly at construction (localCheckpoint)
-# must rebuild per trial — same honesty rule as bench.py's
-# construction_timed set
-CONSTRUCTION_TIMED = {
-    "supplier_cotrade_triangles",
-    "dedup_minhash_lsh",
-    "corpus_dedup_keep_list",
-}
+# must rebuild per trial — the SAME set bench.py uses, imported so the
+# two protocols cannot drift
+from bench import CONSTRUCTION_TIMED  # noqa: E402
 
 
 def timed(qs, spark, name, sf_dir) -> float:
@@ -190,9 +190,12 @@ def main() -> int:
         print(
             "10× key-offset replicas of the sf0.1 FACT tables (dims fixed —\n"
             "facts outgrow dims; documents get a per-replica suffix so the\n"
-            "corpus is near-duplicated, not degenerate). This is the decade\n"
-            "where data, not the local scheduling floor, sets the time: a\n"
-            "linear operator costs ≤10×, and the gram-heavy operators whose\n"
+            "corpus is near-duplicated, not degenerate; events keep their\n"
+            "users and timestamps, so per-user traffic densifies 10× and\n"
+            "the attribution range join faces ~100× pair growth — harsher\n"
+            "than a pure 10× scale-up). This is the decade where data, not\n"
+            "the local scheduling floor, sets the time: a linear operator\n"
+            "costs ≤10×, and the gram-heavy operators whose\n"
             "posting lists deepen 10× may exceed it only through their\n"
             "CAPPED candidate stages. Timed with the bench protocol on the\n"
             "same session.\n"
