@@ -273,3 +273,50 @@ def test_incremental_merge_two_partial_aggregates(spark, sf_dir):
 
     plan = formatted_plan(incremental_aggregate_merge(spark, sf_dir))
     assert plan.count("partial_count") >= 2, plan[:3000]
+
+
+def test_runtime_bloom_filter_injects_under_scale_thresholds(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the AQE feature that matters
+    at 100 TB: when the fact-side scan is large and the dim side is
+    selective, Spark builds a bloom filter from the dim's join keys and
+    pushes might_contain() into the fact scan's filter, dropping
+    non-joining rows BEFORE the shuffle. The 10 GB application-side
+    default means it never fires at local SF, so this test lowers the
+    thresholds to pin the exact plan shape a production-scale run gets
+    for free (the engine keeps the defaults — no local-only tuning
+    ships in session.py)."""
+    from beametrics_spark.sources import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        j.collect()
+        plan = plan_of(j)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
