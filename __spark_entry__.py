@@ -124,6 +124,27 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "user_retention_cohorts", "value_clip_rates",
         "value_trend_per_type", "vocab_growth_curve",
         "vocab_p90_coverage", "lang_id_heuristic", "ann_cosine_topk_lsh",
+        # --- round 5 (CORRECTNESS_r05.json): 48 green rows appended via
+        # scripts/update_certified.py; the two rows-only entries that
+        # RECORDED their no_oracle row (ann_cosine_topk_ivf,
+        # ann_cosine_topk_pq) are included per the round-4 precedent —
+        # the driver's weaker check has run for them.
+        "basket_part_pair_lift", "bpe_merge_candidates",
+        "centroid_separation_matrix", "containment_dup_pairs",
+        "cross_split_contamination", "doc_chunking_plan",
+        "domain_temperature_weights", "embedding_pca_power_iteration",
+        "embedding_quantize_int8", "equi_depth_histogram_totalprice",
+        "event_seasonality_profile", "incremental_aggregate_merge",
+        "multi_touch_attribution", "multimodal_image_patch_pool",
+        "ngram_novelty_curve", "order_backlog_sweep",
+        "part_revenue_abc_classes", "quality_decile_token_budget",
+        "rfm_customer_segments", "seasonal_naive_forecast_error",
+        "session_duration_stats", "shipping_lag_quantiles",
+        "shuffle_partition_estimate", "snapshot_diff_documents",
+        "stream_funnel_parity", "supplier_cotrade_triangles",
+        "user_activity_power_law", "value_cusum_drift",
+        "watermark_lateness_audit", "weighted_median_price_per_flag",
+        "zipf_fit_slope", "ann_cosine_topk_ivf", "ann_cosine_topk_pq",
     }
 )
 
@@ -151,6 +172,18 @@ _FAMILY_PRIORITY = {
 }
 
 
+def _round_index() -> int:
+    """Deterministic round counter: the number of driver CORRECTNESS
+    artifacts already on disk. Used ONLY to rotate which certified
+    queries re-enter the driver's bounded prefix this round (VERDICT r5
+    process caveat: certifications from rounds 1-4 were never re-verified
+    by the driver once certified — only by the local gate)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ M7 set).
 
@@ -159,19 +192,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extends cumulative certification instead of re-checking the same
     prefix every round; within the uncertified block, oracle-checkable
     entries precede rows-only ones, families per _FAMILY_PRIORITY.
+
+    The CERTIFIED block is rotated by a deterministic per-round offset
+    (43 names per round, coprime with any plausible registry size), so
+    every certified query cycles back through the driver's ~50-query
+    prefix about once every 4 rounds instead of riding a stale row
+    forever — re-certification by the DRIVER, not just the local gate.
     """
     from beametrics_spark.registry import load_all
 
     items = list(load_all().items())
+    certified_sorted = sorted(n for n, _ in items if n in DRIVER_CERTIFIED)
+    rot = {}
+    if certified_sorted:
+        off = (_round_index() * 43) % len(certified_sorted)
+        rot = {
+            name: i
+            for i, name in enumerate(
+                certified_sorted[off:] + certified_sorted[:off]
+            )
+        }
 
     def rank(kv):
         name, (fn, oracle) = kv
         family = fn.__module__.rsplit(".", 1)[-1]
-        return (
-            name in DRIVER_CERTIFIED,
-            oracle is None,
-            _FAMILY_PRIORITY.get(family, 99),
-        )
+        if name in DRIVER_CERTIFIED:
+            # rotation order dominates inside the certified block
+            return (1, 0, rot.get(name, 0), 0)
+        return (0, oracle is None, _FAMILY_PRIORITY.get(family, 99), 0)
 
     items.sort(key=rank)  # stable: registry order within each group
     return {name: _wrap(fn) for name, (fn, _oracle) in items}
