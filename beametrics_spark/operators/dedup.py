@@ -171,10 +171,16 @@ WITH d AS (
   FROM documents
 ),
 ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
+-- mirror of the Spark side's HOT_GROUP_CAP: posting lists larger than
+-- the cap are dropped BEFORE pair expansion in both engines, so the
+-- check stays exact even at an SF where some shingle's document
+-- frequency exceeds the cap (ADVICE r5)
+cold AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {HOT_GROUP_CAP}),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cold ON cold.s = a.s
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, ROUND(c * 1.0 / (na + nb - c), 3) AS jaccard

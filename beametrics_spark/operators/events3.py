@@ -160,12 +160,12 @@ def user_activity_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_STATS_ORACLE = f"""
 WITH seq AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN prev_ts IS NULL
                OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_S}000000
               THEN 1 ELSE 0 END AS new_session
@@ -173,7 +173,7 @@ marked AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 ),
@@ -215,9 +215,12 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
+    # event_id tiebreak matches the boundary-flag window above: without
+    # it, a row tied on ts with a session-start row has engine-arbitrary
+    # placement relative to the boundary (ADVICE r5)
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     numbered = marked.withColumn("session_id", F.sum("new_session").over(wrun))
