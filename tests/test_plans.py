@@ -320,3 +320,36 @@ def test_runtime_bloom_filter_injects_under_scale_thresholds(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_weighted_median_sorts_only_straddling_bin(spark, sf_dir):
+    """weighted_median_price_per_flag must NOT run its exact
+    cumulative-weight window over the full lineitem table partitioned by
+    the 3-value return flag (VERDICT r5 #1: three reducers each sorting
+    ~2B rows at 100 TB). The two-scan plan sorts only the straddling
+    quantile bin: the single (price, orderkey, linenumber) Sort consumes
+    the output of the broadcast bin-range join, visible as a
+    BroadcastHashJoin/BroadcastNestedLoopJoin with price-bound
+    conditions BELOW the Sort in the plan tree."""
+    from beametrics_spark.operators.relational5 import (
+        weighted_median_price_per_flag,
+    )
+
+    df = weighted_median_price_per_flag(spark, sf_dir)
+    df.collect()  # let AQE finalize the join strategy
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    lines = plan.splitlines()
+    sort_idx = [
+        i
+        for i, line in enumerate(lines)
+        if "Sort [" in line
+        and "l_extendedprice" in line
+        and "l_orderkey" in line
+        and "l_linenumber" in line
+    ]
+    assert len(sort_idx) == 1, "\n".join(lines)
+    below = "\n".join(lines[sort_idx[0] :])
+    assert "Join" in below and "l_extendedprice" in below.split("Join", 1)[1], (
+        "exact sort must consume the broadcast bin-range join output:\n"
+        + "\n".join(lines)
+    )
