@@ -353,3 +353,22 @@ def test_weighted_median_sorts_only_straddling_bin(spark, sf_dir):
         "exact sort must consume the broadcast bin-range join output:\n"
         + "\n".join(lines)
     )
+
+
+def test_watermark_audit_partitions_arrival_sort_by_source(spark, sf_dir):
+    """watermark_lateness_audit's default plan must partition the
+    running-max window by the simulated source key — per-source arrival
+    logs are the real multi-source deployment shape — so no single task
+    sorts the whole events table (VERDICT r5 #3). The global replay
+    stays available behind global_replay=True."""
+    from beametrics_spark.operators.events4 import watermark_lateness_audit
+
+    plan = plan_of(watermark_lateness_audit(spark, sf_dir))
+    assert "hashpartitioning(source_id" in plan, plan
+    # no empty-partition (global) window sort over arrival order
+    for line in plan.splitlines():
+        if "Window" in line and "arrival_us" in line:
+            assert "source_id" in line, line
+
+    gplan = plan_of(watermark_lateness_audit(spark, sf_dir, global_replay=True))
+    assert "hashpartitioning(source_id" not in gplan
