@@ -202,3 +202,126 @@ def salted_join(
     )
     joined = salted_left.join(replicated_right, [on, "_salt"], how)
     return joined.drop("_salt")
+
+
+# --- broadcast-cutoff exact ranking (the global-sort replacement) -------------
+# A global ntile/row_number window is a single-task sort of its input —
+# fine over a reduced table of thousands of rows, a straggler over a
+# reduced table of billions (one row per customer/user at 100 TB). The
+# two-scan shape below finds the EXACT rows sitting at any set of rank
+# positions with no global sort: bin by the primary key's value range
+# (width_bucket — pure codegen), count per bin, locate each target
+# position's straddling bin on the tiny bin table, then rank ONLY the
+# straddling bins. The boundary rows broadcast as one row; assignment
+# is then a scan-local struct comparison (Catalyst orders structs
+# lexicographically). Flag-gated callers: rfm_customer_segments,
+# user_activity_power_law (VERDICT r5 #8).
+
+
+def order_boundary_rows(
+    df: DataFrame,
+    keys: Sequence[Column],
+    targets: Sequence[tuple[int, "callable"]],
+    *,
+    bins: int = 64,
+) -> DataFrame:
+    """Exact key tuples at given 1-based rank positions of the total
+    order defined by ``keys`` — without a global single-task sort.
+
+    ``keys``: numeric Column expressions, all ranked ASCENDING (negate a
+    column to rank it descending); the combination must be unique (give
+    a unique id as the last key). ``targets``: (label, fn) pairs where
+    ``fn(n)`` maps the total row count Column to the wanted position.
+
+    Returns a ONE-ROW DataFrame with ``_n`` (total rows) and ``_bnds``:
+    array<struct<_label:int, _key:struct<k0..>>> sorted by label.
+    Broadcast it and compare key structs with ``cutoff_tile_expr`` /
+    ``key_struct``.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    key = F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)])
+    base = df.select(key.alias("_key"), keys[0].cast("double").alias("_k0"))
+    bounds = base.agg(F.min("_k0").alias("_lo"), F.max("_k0").alias("_hi"))
+    wb = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.width_bucket(F.col("_k0"), F.col("_lo"), F.col("_hi"), F.lit(bins)),
+    ).otherwise(F.lit(1))
+    binned = base.crossJoin(F.broadcast(bounds)).select("_key", wb.alias("_bin"))
+    binc = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_cnt"))
+    # tiny table: <= bins+1 rows — the unpartitioned windows are safe
+    wcum = (
+        Window.orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binc.select(
+        "_bin",
+        "_cnt",
+        F.sum("_cnt").over(wcum).alias("_cum"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("_n"),
+    )
+    picks = []
+    for label, fn in targets:
+        pos = fn(F.col("_n")).cast("long")
+        picks.append(
+            cum.filter(
+                (F.col("_cum") >= pos) & (F.col("_cum") - F.col("_cnt") < pos)
+            ).select(
+                F.lit(int(label)).alias("_label"),
+                "_bin",
+                (pos - (F.col("_cum") - F.col("_cnt"))).alias("_local"),
+                "_n",
+            )
+        )
+    tgt = reduce(DataFrame.unionAll, picks)
+    hit = binned.join(F.broadcast(tgt.select("_bin").distinct()), "_bin")
+    ranked = hit.withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("_bin").orderBy("_key")),
+    )
+    bnd = ranked.alias("r").join(
+        F.broadcast(tgt).alias("t"),
+        (F.col("r._bin") == F.col("t._bin")) & (F.col("r._rk") == F.col("t._local")),
+    )
+    return bnd.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t._label"), F.col("r._key")))
+        ).alias("_bnds"),
+        F.first(F.col("t._n")).alias("_n"),
+    )
+
+
+def key_struct(keys: Sequence[Column]) -> Column:
+    """The row-side key tuple matching order_boundary_rows' boundaries."""
+    return F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)])
+
+
+def cutoff_tile_expr(key: Column, bnds: Column) -> Column:
+    """tile = 1 + #boundaries strictly below this row's key tuple.
+
+    With boundaries at ntile end positions (``ntile_targets``) this
+    reproduces ntile() exactly for unique key tuples; the fold runs over
+    n_tiles-1 elements per row — constant work, scan-local."""
+    return (
+        F.lit(1)
+        + F.aggregate(
+            bnds,
+            F.lit(0),
+            lambda acc, b: acc + F.when(key > b["_key"], 1).otherwise(0),
+        )
+    ).cast("int")
+
+
+def ntile_targets(n_tiles: int) -> list:
+    """Boundary positions equal to ntile()'s tile END rows: tile q ends
+    at q*floor(n/t) + min(q, n mod t) — the first n mod t tiles are one
+    longer, exactly Spark's and DuckDB's ntile split."""
+
+    def end_of(q: int):
+        return lambda n: q * F.floor(n / n_tiles).cast("long") + F.least(
+            F.lit(q).cast("long"), (n % n_tiles).cast("long")
+        )
+
+    return [(q, end_of(q)) for q in range(1, n_tiles)]

@@ -106,7 +106,9 @@ GROUP BY 1
 
 
 @register("user_activity_power_law", _POWER_LAW_ORACLE)
-def user_activity_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_activity_power_law(
+    spark: SparkSession, sf_dir: str, *, use_cutoff_rank: bool = False
+) -> DataFrame:
     """Heavy-tail profile of the user dimension: log2 buckets of
     events-per-user (bucket k = users with 2^k..2^(k+1)-1 events), each
     bucket's share of total traffic, and the share carried by the top
@@ -121,12 +123,59 @@ def user_activity_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window expressions over that reduced table — one
     linear chain, one scan (the crossJoin-aggregate formulation
     re-instantiated per_user three times: 2 scans / 11 exchanges in the
-    audited plan). The global row_number over users is a single-task
-    sort of the reduced table — inherent to a corpus-wide rank; at
-    extreme user cardinality swap it for the broadcast-cutoff two-scan
-    shape (doc_length_outlier_flags)."""
+    audited plan). The default global row_number over users is a
+    single-task sort of the reduced table — fine at thousands-to-
+    millions of users; ``use_cutoff_rank=True`` switches to the
+    broadcast-cutoff two-scan shape (functions.order_boundary_rows):
+    the exact top-1% boundary user is found with no global sort and
+    membership becomes a scan-local struct comparison — bit-identical
+    output (pinned by
+    tests/test_functions.py::test_power_law_cutoff_path_matches_rank)."""
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    if use_cutoff_rank:
+        from beametrics_spark.functions import (
+            key_struct,
+            order_boundary_rows,
+        )
+
+        per_user = per_user.localCheckpoint()
+        keys = [-F.col("n"), F.col("user_id")]
+        bnd = order_boundary_rows(
+            per_user,
+            keys,
+            [(1, lambda n: F.ceil(n * TOP_USER_FRACTION))],
+        )
+        joined = per_user.crossJoin(F.broadcast(bnd))
+        is_top = ~(key_struct(keys) > F.element_at("_bnds", 1)["_key"])
+        stats = joined.agg(
+            F.sum("n").alias("total_events"),
+            F.count(F.lit(1)).alias("total_users"),
+            F.sum(F.when(is_top, F.col("n")).otherwise(F.lit(0))).alias(
+                "top_events"
+            ),
+        )
+        return (
+            per_user.groupBy(
+                F.floor(F.log2("n")).cast("long").alias("log2_bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("n").alias("n_events"),
+            )
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "log2_bucket",
+                "n_users",
+                "n_events",
+                F.round(F.col("n_events") / F.col("total_events"), 4).alias(
+                    "event_share"
+                ),
+                F.round(
+                    F.col("top_events") / F.col("total_events"), 4
+                ).alias("top1pct_share"),
+            )
+        )
     all_rows = Window.partitionBy()
     rank_w = Window.orderBy(F.desc("n"), F.asc("user_id"))
     ranked = per_user.select(

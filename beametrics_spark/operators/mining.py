@@ -165,7 +165,9 @@ FROM scored GROUP BY 1, 2, 3
 
 
 @register("rfm_customer_segments", _RFM_ORACLE)
-def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rfm_customer_segments(
+    spark: SparkSession, sf_dir: str, *, use_cutoff_quartiles: bool = False
+) -> DataFrame:
     """RFM segmentation: each customer scored into recency / frequency /
     monetary quartiles (quartile 1 = most recent / most frequent /
     highest spend; ntile over a deterministic customer-id tiebreak),
@@ -173,29 +175,64 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-value map (1,1,1 = champions; 4,4,4 = lost).
 
     Orders reduce to one row per customer first (map-side-combined
-    max/count/sum); the three ntile windows sort only that reduced
-    table. At extreme customer cardinality the quartile cuts come from
-    the broadcast-percentile two-scan shape instead of a global sort."""
+    max/count/sum); by default the three ntile windows sort only that
+    reduced table — fine for thousands-to-millions of customers, a
+    single-task straggler for billions. ``use_cutoff_quartiles=True``
+    switches to the broadcast-cutoff two-scan shape
+    (functions.order_boundary_rows): exact quartile BOUNDARY rows are
+    found per dimension without any global sort, broadcast, and each
+    customer's quartile becomes a scan-local struct comparison —
+    bit-identical output (pinned by
+    tests/test_functions.py::test_rfm_cutoff_path_matches_ntile)."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    scored = per_cust.select(
-        "o_custkey",
-        "frequency",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_quartile"),
-    )
+    if use_cutoff_quartiles:
+        from beametrics_spark.functions import (
+            cutoff_tile_expr,
+            key_struct,
+            ntile_targets,
+            order_boundary_rows,
+        )
+
+        # the reduced table feeds six boundary scans + the assignment
+        # scan — materialize it once instead of re-aggregating orders
+        per_cust = per_cust.localCheckpoint()
+        dims = {
+            "r_quartile": [
+                -F.col("last_order").cast("long"),
+                F.col("o_custkey"),
+            ],
+            "f_quartile": [-F.col("frequency"), F.col("o_custkey")],
+            "m_quartile": [-F.col("monetary"), F.col("o_custkey")],
+        }
+        scored = per_cust
+        for out_col, keys in dims.items():
+            bnd = order_boundary_rows(per_cust, keys, ntile_targets(4))
+            scored = scored.crossJoin(
+                F.broadcast(bnd.select(F.col("_bnds").alias(f"_b_{out_col}")))
+            ).withColumn(
+                out_col,
+                cutoff_tile_expr(key_struct(keys), F.col(f"_b_{out_col}")),
+            )
+    else:
+        scored = per_cust.select(
+            "o_custkey",
+            "frequency",
+            "monetary",
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+            .alias("r_quartile"),
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+            .alias("f_quartile"),
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+            .alias("m_quartile"),
+        )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("frequency"), 4).alias("avg_frequency"),

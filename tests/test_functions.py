@@ -176,3 +176,96 @@ def test_salting_rejects_existing_salt_column(spark):
         salted_join(df, clean, "k")
     with pytest.raises(ValueError, match="_salt"):
         salted_join(clean, df, "k")
+
+
+# --- broadcast-cutoff exact ranking ------------------------------------------
+
+
+def test_order_boundary_rows_matches_global_rank(spark):
+    """order_boundary_rows must return exactly the rows a global
+    row_number would place at the target positions — including under
+    heavy primary-key ties (unique tiebreak id) and skewed values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from beametrics_spark.functions import order_boundary_rows
+
+    # 1000 rows, primary key with many ties and a hot value
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, F.lit(5))
+        .otherwise((F.col("id") * 37 % 43).cast("long"))
+        .alias("v"),
+    )
+    keys = [F.col("v"), F.col("id")]
+    targets = [(1, lambda n: F.lit(100)), (2, lambda n: F.lit(501)),
+               (3, lambda n: n - 1)]
+    bnd = order_boundary_rows(df, keys, targets).collect()[0]
+    assert bnd["_n"] == 1000
+    got = {b["_label"]: (b["_key"]["k0"], b["_key"]["k1"]) for b in bnd["_bnds"]}
+
+    ranked = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    want = {
+        lbl: (r["v"], r["id"])
+        for lbl, pos in [(1, 100), (2, 501), (3, 999)]
+        for r in ranked.filter(F.col("rk") == pos).collect()
+    }
+    assert got == want
+
+
+def test_rfm_cutoff_path_matches_ntile(spark, sf_dir):
+    """The flag-gated broadcast-cutoff quartile path must be
+    bit-identical to the ntile window path (VERDICT r5 #8)."""
+    from beametrics_spark.operators.mining import rfm_customer_segments
+
+    a = sorted(map(tuple, rfm_customer_segments(spark, sf_dir).collect()))
+    b = sorted(
+        map(
+            tuple,
+            rfm_customer_segments(
+                spark, sf_dir, use_cutoff_quartiles=True
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_power_law_cutoff_path_matches_rank(spark, sf_dir):
+    """The flag-gated top-1% cutoff path must be bit-identical to the
+    global row_number path (VERDICT r5 #8)."""
+    from beametrics_spark.operators.events3 import user_activity_power_law
+
+    a = sorted(map(tuple, user_activity_power_law(spark, sf_dir).collect()))
+    b = sorted(
+        map(
+            tuple,
+            user_activity_power_law(
+                spark, sf_dir, use_cutoff_rank=True
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_cutoff_path_has_no_global_sort(spark, sf_dir):
+    """The cutoff paths must contain no single-task global sort: every
+    Sort in the plan is either partitioned (window within hash
+    partitions) or over the tiny bin/boundary tables — i.e. no
+    rangepartitioning exchange anywhere."""
+    from beametrics_spark.operators.events3 import user_activity_power_law
+    from beametrics_spark.operators.mining import rfm_customer_segments
+
+    for df in (
+        rfm_customer_segments(spark, sf_dir, use_cutoff_quartiles=True),
+        user_activity_power_law(spark, sf_dir, use_cutoff_rank=True),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan.lower().replace(" ", ""), plan
+        # the ntile/global-rank shape would show an empty-partition-spec
+        # window over the full reduced table
+        for line in plan.splitlines():
+            if "row_number()" in line and "windowspecdefinition(" in line:
+                spec = line.split("windowspecdefinition(", 1)[1]
+                assert spec.split(",")[0].strip().startswith("_bin"), line
