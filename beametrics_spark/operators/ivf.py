@@ -110,11 +110,17 @@ def train_ivf_centroids(
     *,
     cells: int = N_CELLS,
     iters: int = LLOYD_ITERS,
+    seed_hash=None,
 ) -> list[list[float]]:
     """Deterministic k-means on the corpus; returns C×D floats.
 
     Centroids live on the driver (KB-scale); assignment and
     per-dimension means are distributed DataFrame work.
+
+    ``seed_hash(vec_id_col)`` overrides the seed-pick ordering hash;
+    the audit query passes a pure-arithmetic Knuth multiplicative hash
+    so an independent SQL engine can replicate the seeds exactly
+    (xxhash64 is Spark-specific).
     """
     # Deterministic seed pick WITHOUT a global sort: order by a hash of
     # the id and take the first `cells` — Spark plans orderBy+limit as
@@ -122,8 +128,13 @@ def train_ivf_centroids(
     # so seeding a petabyte corpus never shuffles it. The hash spreads
     # seeds uniformly even when ids are clustered (the previous
     # stride-sample ran row_number over a single-partition global sort).
+    order = (
+        seed_hash(F.col("vec_id"))
+        if seed_hash is not None
+        else F.xxhash64("vec_id")
+    )
     seeds = (
-        corpus.orderBy(F.xxhash64("vec_id"), "vec_id")
+        corpus.orderBy(order, "vec_id")
         .limit(cells)
         .select("v")
         .collect()
@@ -181,4 +192,179 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id", F.round("sim", 6).alias("cos_sim"), "rk")
+    )
+
+
+# --- driver-checkable IVF audit (VERDICT r5 #5) -------------------------------
+# The production IVF entry above is rows-only (approximate by design,
+# xxhash64 seeding is Spark-specific). This audit runs a REPLICABLE IVF
+# — pure-arithmetic Knuth-hash seeding, one Lloyd iteration, 8 cells,
+# nprobe 4 — in BOTH engines and reports per-query overlap between the
+# IVF top-k and the exact brute-force top-k. Every stage of the IVF
+# machinery (seed pick, Lloyd update, cell assignment, multi-cell
+# probing, candidate re-rank) must agree with an independent SQL
+# implementation for the integer overlap counts to hash-match.
+
+AUDIT_CELLS = 8
+AUDIT_NPROBE = 4
+AUDIT_SEED_MULT = 2654435761  # Knuth multiplicative hash, mod 2^32
+
+
+def _audit_seed_hash(vec_id: "F.Column"):
+    return (vec_id * AUDIT_SEED_MULT) % F.lit(4294967296)
+
+
+_IVF_AUDIT_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY (vec_id * {AUDIT_SEED_MULT}) % 4294967296,
+                            vec_id) - 1 AS cell, v
+  FROM corpus
+  QUALIFY row_number() OVER (ORDER BY (vec_id * {AUDIT_SEED_MULT}) % 4294967296,
+                             vec_id) <= {AUDIT_CELLS}
+),
+seedsn AS (
+  SELECT cell,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))
+           AS c
+  FROM seeds
+),
+a0 AS (
+  SELECT c.vec_id, s.cell,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY list_dot_product(c.v, s.c) DESC,
+                                     s.cell ASC) AS rn
+  FROM corpus c CROSS JOIN seedsn s
+),
+asg0 AS (SELECT vec_id, cell FROM a0 WHERE rn = 1),
+dv AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM corpus
+),
+md AS (
+  SELECT a.cell, dv.dim, avg(dv.val) AS m
+  FROM dv JOIN asg0 a USING (vec_id) GROUP BY 1, 2
+),
+cent AS (SELECT cell, list(m ORDER BY dim) AS c FROM md GROUP BY 1),
+centn AS (
+  SELECT cell,
+         list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y*y))))
+           AS c
+  FROM cent
+),
+centf AS (
+  SELECT s.cell, COALESCE(cn.c, s.c) AS c
+  FROM seedsn s LEFT JOIN centn cn USING (cell)
+),
+a1 AS (
+  SELECT c.vec_id, s.cell,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY list_dot_product(c.v, s.c) DESC,
+                                     s.cell ASC) AS rn
+  FROM corpus c CROSS JOIN centf s
+),
+asg1 AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+p AS (
+  SELECT q.query_id, s.cell,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_dot_product(q.qv, s.c) DESC,
+                                     s.cell ASC) AS rn
+  FROM q CROSS JOIN centf s
+),
+probes AS (SELECT query_id, cell FROM p WHERE rn <= {AUDIT_NPROBE}),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg1 a USING (cell)),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                                     cand.vec_id ASC) AS rk
+  FROM cand JOIN q USING (query_id) JOIN corpus c ON c.vec_id = cand.vec_id
+),
+ivf_top AS (SELECT query_id, vec_id FROM scored WHERE rk <= {TOP_K}),
+bf AS (
+  SELECT q.query_id, c.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                                     c.vec_id ASC) AS rk
+  FROM q CROSS JOIN corpus c
+),
+bf_top AS (SELECT query_id, vec_id FROM bf WHERE rk <= {TOP_K})
+SELECT b.query_id,
+       CAST(count(i.vec_id) AS BIGINT) AS n_overlap,
+       ROUND(count(i.vec_id) / {TOP_K}.0, 4) AS recall_at_k
+FROM bf_top b
+LEFT JOIN ivf_top i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY 1
+"""
+
+
+@register("ann_ivf_recall_audit", _IVF_AUDIT_ORACLE)
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of a fully replicable IVF against the exact
+    brute-force top-k — the hash-checkable certification of the IVF
+    machinery (seeding, Lloyd update, assignment, probing, re-rank all
+    agree with an independent DuckDB implementation, VERDICT r5 #5).
+    Same distributed shapes as ann_cosine_topk_ivf: broadcast centroid
+    tables, hash-agg dot products, per-query window top-k; the only
+    differences are the SQL-replicable arithmetic seed hash and a
+    pinned (cells=8, nprobe=4, iters=1) configuration."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    centroids = train_ivf_centroids(
+        spark,
+        corpus,
+        cells=AUDIT_CELLS,
+        iters=1,
+        seed_hash=_audit_seed_hash,
+    )
+
+    assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id")
+    probes = (
+        probe_cells(spark, queries, centroids, nprobe=AUDIT_NPROBE)
+        .join(queries, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"), "cell", F.col("v").alias("qv")
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "cell")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    ivf_top = (
+        cand.withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+
+    qside = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    bf_top = (
+        corpus.join(F.broadcast(qside))
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+
+    return (
+        bf_top.alias("b")
+        .join(
+            ivf_top.alias("i"),
+            (F.col("b.query_id") == F.col("i.query_id"))
+            & (F.col("b.vec_id") == F.col("i.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("i.vec_id")).alias("n_overlap"),
+            F.round(F.count(F.col("i.vec_id")) / TOP_K, 4).alias(
+                "recall_at_k"
+            ),
+        )
     )
