@@ -127,10 +127,82 @@ def run_pq(spark, sf_dir):
     )
 
 
+def run_clustered(spark):
+    """IVF nprobe sweep on the planted-Gaussian-mixture corpus
+    (tests/test_ann_clustered.py::make_clustered): what the near-uniform
+    shipped embeddings can never show — the coarse quantizer discovering
+    real structure and pruning hard (VERDICT r5 #4)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tests",
+        ),
+    )
+    from test_ann_clustered import N_Q, TOP_K as K, brute_topk, make_clustered
+
+    from beametrics_spark.operators.ivf import (
+        assign_cells,
+        probe_cells,
+        train_ivf_centroids,
+    )
+
+    emb, _ = make_clustered(spark)
+    emb = emb.localCheckpoint()
+    corpus = emb.filter(F.col("vec_id") >= N_Q)
+    queries = emb.filter(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    n_corpus = corpus.count()
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_topk(corpus, queries, K).collect()
+    }
+    centroids = train_ivf_centroids(spark, corpus, cells=16, iters=2)
+    assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id")
+    for nprobe in (1, 2, 3, 4):
+        probes = (
+            probe_cells(
+                spark, emb.filter(F.col("vec_id") < N_Q), centroids,
+                nprobe=nprobe,
+            )
+            .withColumnRenamed("vec_id", "query_id")
+            .join(queries, "query_id")
+        )
+        cand = assigned.join(F.broadcast(probes), "cell")
+        scan = cand.count() / (N_Q * n_corpus)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("vec_id")
+        )
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in (
+                cand.withColumn(
+                    "sim", cosine_expr(F.col("qv"), F.col("v"))
+                )
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= K)
+                .select("query_id", "vec_id")
+            ).collect()
+        }
+        recall = len(exact & got) / len(exact)
+        print(
+            f"clustered IVF 16 cells, nprobe={nprobe}: "
+            f"recall {recall:.3f} @ {scan:.3f} scan"
+        )
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("ann-sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--clustered" in sys.argv:
+        run_clustered(spark)
+        return
     for bands, bits, radius in [
         (16, 4, 0),
         (16, 4, 1),
