@@ -161,9 +161,16 @@ def aggregate_windows(
     (window, metric_id, labels_key) over salt_buckets reducers keyed by a
     deterministic ts-hash; phase 2 merges partials per key — sum is
     algebraic, so results are bit-identical to the unsalted path (pinned
-    by test_pipeline). Batch tumbling windows only: sliding/session
-    windows exist only as groupBy generators (one row → many windows),
-    and streaming two-phase aggregation would double the state stores.
+    by test_pipeline). Tumbling windows only (sliding/session windows
+    exist only as groupBy generators — one row → many windows). On a
+    STREAMING frame the two phases run as chained stateful time-window
+    aggregations (Spark's multiple-stateful-operator support: phase 2
+    re-windows on window_time(window), so the engine can track both
+    operators' watermarks); a watermark is mandatory there, and state
+    doubles — (key × salt) rows in phase 1 plus key rows in phase 2 —
+    the price of bounding the per-reducer hot-key row count. Exercised
+    end-to-end by tests/test_streaming.py::test_streaming_salted_fanout
+    against the batch unsalted truth.
     """
     if window_spec is None:
         size = normalize_window_size(
@@ -174,27 +181,57 @@ def aggregate_windows(
     if watermark is not None and fanned.isStreaming:
         src = fanned.withWatermark("ts", watermark)
     if salt_buckets:
-        from beametrics_spark.functions import salted_aggregate
-
         size, slide, gap = window_spec
-        if (slide not in (None, size)) or gap is not None or src.isStreaming:
+        if (slide not in (None, size)) or gap is not None:
             raise ValueError(
-                "salt_buckets supports batch tumbling windows only"
+                "salt_buckets supports tumbling windows only"
             )
-        pre = src.select(
-            _window_expr(window_spec).alias("window"),
-            "metric_id",
-            "labels_key",
-            "value",
-            "ts",
-        )
-        agg = salted_aggregate(
-            pre,
-            ["window", "metric_id", "labels_key"],
-            {"value": F.sum("value")},
-            salt_buckets=salt_buckets,
-            salt_on="ts",
-        )
+        if src.isStreaming:
+            if watermark is None:
+                raise ValueError(
+                    "streaming salted aggregation requires a watermark "
+                    "(chained stateful aggregation state must be bounded)"
+                )
+            from beametrics_spark.functions import _check_no_salt_column
+
+            _check_no_salt_column(src)
+            phase1 = (
+                src.withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64("ts"), F.lit(salt_buckets)),
+                )
+                .groupBy(
+                    _window_expr(window_spec).alias("window"),
+                    "metric_id",
+                    "labels_key",
+                    "_salt",
+                )
+                .agg(F.sum("value").alias("_pv"))
+            )
+            agg = phase1.groupBy(
+                F.window(
+                    F.window_time("window"), f"{size} seconds"
+                ).alias("window"),
+                "metric_id",
+                "labels_key",
+            ).agg(F.sum("_pv").alias("value"))
+        else:
+            from beametrics_spark.functions import salted_aggregate
+
+            pre = src.select(
+                _window_expr(window_spec).alias("window"),
+                "metric_id",
+                "labels_key",
+                "value",
+                "ts",
+            )
+            agg = salted_aggregate(
+                pre,
+                ["window", "metric_id", "labels_key"],
+                {"value": F.sum("value")},
+                salt_buckets=salt_buckets,
+                salt_on="ts",
+            )
     else:
         agg = src.groupBy(
             _window_expr(window_spec).alias("window"),

@@ -461,3 +461,90 @@ def test_append_mode_watermark_drops_late_events(spark, tmp_path):
     assert emitted.count((w0, 2.0)) == 1
     assert sum(1 for ws, _ in emitted if ws == w0) == 1
     assert (w1, 1.0) in emitted
+
+
+def test_streaming_salted_fanout(spark, tmp_path):
+    """Chained two-phase SALTED aggregation under the streaming harness
+    (VERDICT r5 #9): a planted ultra-hot label set (one severity owns
+    ~97% of the rows) streams through phase-1 (window × key × salt
+    partial sums) chained into phase-2 (window × key merge) — Spark's
+    multiple-stateful-operator support — and the finalized windows must
+    be value-identical to the BATCH UNSALTED truth. Append mode: Spark
+    restricts chained stateful aggregations to append output, so only
+    watermark-finalized windows emit; a far-future flush row closes
+    every data window."""
+    import datetime
+
+    rows = []
+    # hot key: 970 rows of severity=HOT across 3 windows; cold tail
+    for i in range(970):
+        ts = f"2024-01-01T00:{i % 3:02d}:{i % 60:02d}"
+        rows.append({"ts": ts, "severity": "HOT", "bytes": 10})
+    for i in range(30):
+        ts = f"2024-01-01T00:{i % 3:02d}:{(i * 7) % 60:02d}"
+        rows.append({"ts": ts, "severity": f"cold{i % 5}", "bytes": 1})
+    # watermark-advancer: a row far past every data window, so append
+    # mode finalizes all three data windows before the drain ends
+    rows.append({"ts": "2024-01-01T01:00:00", "severity": "flush", "bytes": 0})
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(
+            name="bytes_by_sev",
+            type="sum",
+            field="bytes",
+            dynamic_labels={"sev": "severity"},
+        ),
+        filter_conditions=[],
+    )
+
+    batch_df = spark.read.schema(EVENT_SCHEMA).json(str(src))
+    batch = {
+        (r["window_start"], tuple(sorted(r["labels"].items())), r["value"])
+        for r in build_metrics_pipeline(batch_df, [cfg], window_size=60).collect()
+        if r["labels"]["sev"] != "flush"
+    }
+
+    stream_df = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    sink = MemorySink()
+    q = run_metrics_stream(
+        stream_df,
+        [cfg],
+        {0: sink},
+        window_size=60,
+        watermark="10 seconds",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+        salt_buckets=8,
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream = {
+        (r["window_start"], tuple(sorted(r["labels"].items())), r["value"])
+        for r in sink.rows
+        if r["labels"]["sev"] != "flush"
+    }
+    assert stream == batch
+    # the hot key really was hot: one (window, label) row sums 300+ rows
+    hot = [v for _, labels, v in batch if ("sev", "HOT") in labels]
+    assert hot and max(hot) >= 3000
+
+
+def test_streaming_salted_requires_watermark_and_append(spark, tmp_path):
+    """Guard rails: no watermark → loud error (unbounded chained state);
+    update mode → Spark itself rejects chained stateful aggregation."""
+    from beametrics_spark.pipeline import aggregate_windows, fan_out
+    from beametrics_spark.pipeline import schema_resolver
+
+    cfg = MetricConfig(
+        metric_definition=MetricDefinition(name="m", type="count"),
+        filter_conditions=[],
+    )
+    stream_df = spark.readStream.schema(EVENT_SCHEMA).json(str(tmp_path))
+    fanned = fan_out(stream_df, [cfg], resolve=schema_resolver(stream_df))
+    with pytest.raises(ValueError, match="watermark"):
+        aggregate_windows(fanned, [cfg], window_size=60, salt_buckets=8)
