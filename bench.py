@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     "weighted_median_price_per_flag",
     "equi_depth_histogram_totalprice",
     "shipping_lag_quantiles",
+    # round-6: hash-checkable IVF certification (trains centroids at
+    # construction -> construction-timed below)
+    "ann_ivf_recall_audit",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -189,6 +192,7 @@ CONSTRUCTION_TIMED = {
     "supplier_cotrade_triangles",   # backbone edge checkpoint
     "dedup_minhash_lsh",            # candidate-set checkpoint
     "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
+    "ann_ivf_recall_audit",         # centroid training collects at build
 }
 
 

@@ -15,7 +15,8 @@ def main() -> int:
     duck = json.load(open(sys.argv[2]))
     sq, dq = bench["queries"], duck["queries"]
 
-    print("# BENCH_COMPARE — Spark vs DuckDB oracle SQL, sf0.1, same machine\n")
+    sf = bench.get("sf", "0.1")
+    print(f"# BENCH_COMPARE — Spark vs DuckDB oracle SQL, sf{sf}, same machine\n")
     print(
         "Headline batch set (streaming-parity excluded — comparing a streaming\n"
         "harness spin-up against one-shot SQL is not meaningful; its wall time\n"
@@ -27,6 +28,9 @@ def main() -> int:
     print("|---|---|---|---|")
     tot_s = tot_d = 0.0
     for name, sv in sq.items():
+        if name in dq and dq[name] is None:
+            print(f"| {name} | {sv:.3f} | DNF | — |")
+            continue
         dv = dq.get(name)
         if dv is None:
             print(f"| {name} | {sv:.3f} | — | — |")

@@ -13,9 +13,35 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import duckdb
+
+# Per-query wall cap (seconds; 0 = unlimited). At sf1 a handful of
+# oracle formulations are unbounded where the Spark side is capped
+# (e.g. uncapped shingle pair expansion vs HOT_GROUP_CAP), so the sf1
+# compare runs with DUCKDB_BENCH_TIMEOUT_S set and records DNF rows.
+TIMEOUT_S = float(os.environ.get("DUCKDB_BENCH_TIMEOUT_S", "0") or 0)
+
+
+def run_sql(con, sql):
+    """fetchall with the optional interrupt-based timeout. Returns
+    (rows, timed_out)."""
+    if not TIMEOUT_S:
+        return con.execute(sql).fetchall(), False
+    timer = threading.Timer(TIMEOUT_S, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchall(), False
+    except duckdb.InterruptException:
+        return None, True
+    except duckdb.Error as e:  # interrupt surfaces differently by version
+        if "INTERRUPT" in str(e).upper():
+            return None, True
+        raise
+    finally:
+        timer.cancel()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,12 +65,20 @@ def main() -> int:
             print(f"# {name}: no oracle (skipped)", file=sys.stderr)
             continue
         sql = oracles[name]
-        con.execute(sql).fetchall()  # warm (page cache, catalog)
+        _, warm_dnf = run_sql(con, sql)  # warm (page cache, catalog)
+        if warm_dnf:
+            timings[name] = None
+            print(f"# {name}: DNF (> {TIMEOUT_S:.0f}s)", file=sys.stderr)
+            continue
         trials = []
         for _ in range(2):  # min-of-2, mirroring bench.py's methodology
             t0 = time.perf_counter()
-            rows = con.execute(sql).fetchall()
-            trials.append(time.perf_counter() - t0)
+            rows, dnf = run_sql(con, sql)
+            trials.append(None if dnf else time.perf_counter() - t0)
+        if None in trials:
+            timings[name] = None
+            print(f"# {name}: DNF (> {TIMEOUT_S:.0f}s)", file=sys.stderr)
+            continue
         timings[name] = round(min(trials), 3)
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
@@ -56,12 +90,20 @@ def main() -> int:
         if name not in oracles:
             continue
         sql = oracles[name]
-        con.execute(sql).fetchall()
+        _, warm_dnf = run_sql(con, sql)
+        if warm_dnf:
+            iterative[name] = None
+            print(f"# {name}: DNF (> {TIMEOUT_S:.0f}s)", file=sys.stderr)
+            continue
         trials = []
         for _ in range(2):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            trials.append(time.perf_counter() - t0)
+            _, dnf = run_sql(con, sql)
+            trials.append(None if dnf else time.perf_counter() - t0)
+        if None in trials:
+            iterative[name] = None
+            print(f"# {name}: DNF (> {TIMEOUT_S:.0f}s)", file=sys.stderr)
+            continue
         iterative[name] = round(min(trials), 3)
         print(f"# {name}: {iterative[name]:.3f}s (iterative)", file=sys.stderr)
 
@@ -69,7 +111,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "duckdb_oracle_query_set_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(v for v in timings.values() if v), 3),
                 "unit": "sec",
                 "queries": timings,
                 "iterative_queries": iterative,
