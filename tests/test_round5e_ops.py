@@ -144,10 +144,50 @@ def test_lateness_audit_counts_disorder(spark, tmp_path):
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     d = str(tmp_path)
     df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
-    out = {r.event_type: r for r in watermark_lateness_audit(spark, d).collect()}
+    # this truth table describes ONE totally-ordered replay log — the
+    # opt-in global_replay path; ids 0/4/7 land in three different
+    # simulated sources under the per-source default
+    out = {
+        r.event_type: r
+        for r in watermark_lateness_audit(
+            spark, d, global_replay=True
+        ).collect()
+    }
     r = out["error"]
     assert r.n_events == 3
     assert r.late_60s == 2
+    assert r.late_180s == 1
+    assert r.max_delay_s == pytest.approx(200.0)
+
+
+def test_lateness_audit_per_source_default(spark, tmp_path):
+    """Per-source high-water marks (the default): ids 0 and 24 share
+    source 0 (event_id % 8) — id 0 (ts 1000) arrives at 1011, id 24
+    (ts 800, jitter 299) at 1099 against a source-0 hwm of 1000 →
+    200 s late. id 4 is ALONE in source 4, so its 159 s jitter causes
+    no lateness — cross-source disorder never counts, which is exactly
+    how a multi-partition Spark source advances its watermark."""
+    rows = [
+        (0, 1000.0, "error"),
+        (24, 800.0, "error"),  # source 0: hwm 1000 at arrival -> 200 s
+        (4, 900.0, "error"),  # sole event of source 4 -> clean
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    out = {r.event_type: r for r in watermark_lateness_audit(spark, d).collect()}
+    r = out["error"]
+    assert r.n_events == 3
+    assert r.late_60s == 1
     assert r.late_180s == 1
     assert r.max_delay_s == pytest.approx(200.0)
 
