@@ -154,3 +154,29 @@ def test_q22_anti_join_no_orders(spark, sf_dir):
         .count()
     )
     assert sum(r["numcust"] for r in rows) == expected
+
+
+def test_weighted_median_degenerate_equal_prices(spark, tmp_path):
+    """All prices equal: width_bucket's lo<hi precondition fails, the
+    guard routes every row to bin 1, and the median is the single price
+    with the full quantity total."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from beametrics_spark.operators.relational5 import (
+        weighted_median_price_per_flag,
+    )
+
+    rows = [(i, i, "A", 42.0, float(i + 1)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_extendedprice double, l_quantity double",
+    )
+    df.coalesce(1).write.parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = weighted_median_price_per_flag(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["weighted_median_price"] == 42.0
+    assert r["total_weight"] == float(sum(range(1, 11)))
