@@ -69,6 +69,10 @@ PROBE_QUERIES = [
 
 
 def build_sf1(spark, out_dir: str) -> None:
+    """Materializes each table as a SINGLE parquet FILE (matching the
+    /root/testdata layout — the streaming-parity harness symlinks
+    <table>.parquet as one file, so a Spark directory-write here would
+    break bench.py's streaming section at sf1)."""
     from beametrics_spark.sources import load_table
 
     li = load_table(spark, SRC, "lineitem")
@@ -89,27 +93,41 @@ def build_sf1(spark, out_dir: str) -> None:
             out = out.unionAll(p)
         return out
 
+    def as_single_file(dir_path: str) -> None:
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(os.path.join(dir_path, "part-*.parquet"))
+        assert len(part) == 1, part
+        tmp = dir_path + ".file"
+        _shutil.move(part[0], tmp)
+        _shutil.rmtree(dir_path)
+        os.rename(tmp, dir_path)
+
     replicate(
         li,
         lambda i: [
             (F.col("l_orderkey") + i * max_ok).alias("l_orderkey"),
             *[c for c in li.columns if c != "l_orderkey"],
         ],
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    as_single_file(os.path.join(out_dir, "lineitem.parquet"))
     replicate(
         orders,
         lambda i: [
             (F.col("o_orderkey") + i * max_ok).alias("o_orderkey"),
             *[c for c in orders.columns if c != "o_orderkey"],
         ],
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    as_single_file(os.path.join(out_dir, "orders.parquet"))
     replicate(
         events,
         lambda i: [
             (F.col("event_id") + i * max_eid).alias("event_id"),
             *[c for c in events.columns if c != "event_id"],
         ],
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    as_single_file(os.path.join(out_dir, "events.parquet"))
     replicate(
         docs,
         lambda i: [
@@ -117,19 +135,22 @@ def build_sf1(spark, out_dir: str) -> None:
             F.concat(F.col("text"), F.lit(f" probe{i}")).alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         ],
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    as_single_file(os.path.join(out_dir, "documents.parquet"))
     replicate(
         emb,
         lambda i: [
             (F.col("vec_id") + i * max_vid).alias("vec_id"),
             *[c for c in emb.columns if c != "vec_id"],
         ],
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    as_single_file(os.path.join(out_dir, "embeddings.parquet"))
     # dimensions copied as-is (fixed across the decade)
     for t in ("customer", "supplier", "part", "nation", "region"):
-        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+        load_table(spark, SRC, t).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{t}.parquet")
         )
+        as_single_file(os.path.join(out_dir, f"{t}.parquet"))
 
 
 # entries that materialize eagerly at construction (localCheckpoint)
