@@ -659,3 +659,82 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("long")).alias("reached_click"),
         F.sum(purchased.cast("long")).alias("reached_purchase"),
     )
+
+
+@register(
+    "stream_salted_fanout_parity",
+    """
+    WITH cutoff AS (
+      -- the stream's watermark advances on the max event time of rows
+      -- SURVIVING the fan-out's OR-prefilter, not of the raw file
+      SELECT max(ts) - INTERVAL 180 SECONDS AS c
+      FROM events WHERE event_type = 'error' OR value > 100
+    )
+    SELECT CAST(0 AS INT) AS metric_id,
+           time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events, cutoff
+    WHERE event_type = 'error'
+      AND time_bucket(INTERVAL '60 seconds', ts) <= cutoff.c
+    GROUP BY 2
+    UNION ALL
+    SELECT CAST(1 AS INT) AS metric_id,
+           time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+           ROUND(SUM(value), 2) AS value
+    FROM events, cutoff
+    WHERE value > 100
+      AND time_bucket(INTERVAL '60 seconds', ts) <= cutoff.c
+    GROUP BY 2
+    """,
+)
+def stream_salted_fanout_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-metric fan-out executed through the SALTED two-phase
+    streaming path (chained stateful time-window aggregations,
+    salt_buckets=8) — the hot-label-set deployment shape — checked
+    against the plain batch SQL oracle: salting is an execution detail,
+    sum is algebraic, so the values must be IDENTICAL to the unsalted
+    batch aggregate.
+
+    Chained stateful aggregation forces APPEND output, which emits only
+    watermark-finalized windows; both sides therefore cut to windows
+    whose start precedes the fanned stream's max event time by >= 180 s — every
+    such window's end provably precedes the final watermark
+    (max_ts - 60 s), independent of any emit-boundary tie semantics."""
+    path = os.path.join(sf_dir, "events.parquet")
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_salted_"
+        )
+        cfgs = [
+            MetricConfig(
+                metric_definition=MetricDefinition(name="error_count", type="count"),
+                filter_conditions=[FilterCondition("event_type", "error", "equals")],
+            ),
+            MetricConfig(
+                metric_definition=MetricDefinition(
+                    name="big_value_sum", type="sum", field="value"
+                ),
+                filter_conditions=[FilterCondition("value", 100, "greater_than")],
+            ),
+        ]
+        plan = build_metrics_pipeline(
+            stream, cfgs, window_size=60, watermark="60 seconds", salt_buckets=8
+        )
+        out = _drain_to_table(spark, plan, "salted_parity", "append", stream_dir)
+        batch = spark.read.parquet(path)
+        if dict(batch.dtypes).get("ts") == "bigint":
+            batch = batch.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        cut = batch.filter(
+            (F.col("event_type") == "error") | (F.col("value") > 100)
+        ).agg((F.max("ts") - F.expr("INTERVAL 180 SECONDS")).alias("c"))
+    return (
+        out.crossJoin(F.broadcast(cut))
+        .filter(F.col("window_start") <= F.col("c"))
+        .select(
+            F.col("metric_id").cast("int").alias("metric_id"),
+            "window_start",
+            F.round("value", 2).alias("value"),
+        )
+    )

@@ -162,6 +162,7 @@ STREAMING_QUERIES = [
     "stream_incremental_dedup_parity",
     "stream_ohlc_parity",
     "stream_funnel_parity",
+    "stream_salted_fanout_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric
