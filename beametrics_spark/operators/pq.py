@@ -235,3 +235,71 @@ ann_cosine_topk_pq.__doc__ = ann_cosine_topk_pq.__doc__.replace(
 ).replace("{K}", str(K_CODEWORDS)).replace("{R}", str(RERANK_CAND)).replace(
     "{T}", str(TOP_K)
 )
+
+
+@register("ann_cosine_topk_ivfpq", None)
+def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN — the production 100 TB shape registered as a
+    first-class query: IVF probing scopes WHICH (query, vector) pairs
+    are considered (nprobe/C of the corpus), PQ-ADC scores only those
+    candidates as M table-lookup sums (no vector math on the corpus),
+    and the exact re-rank runs on the small approximate-top slice.
+    Rows-only (recall < 1 by construction); the composition's recall,
+    pruning, and clustered-corpus behavior are pinned by
+    tests/test_pq.py::test_pq_scores_ivf_candidates and
+    tests/test_ann_clustered.py."""
+    from beametrics_spark.operators.ivf import (
+        assign_cells,
+        probe_cells,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    centroids = train_ivf_centroids(spark, corpus)
+    probed = probe_cells(
+        spark,
+        queries.select(
+            F.col("query_id").alias("vec_id"), F.col("qv").alias("v")
+        ),
+        centroids,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    assigned = assign_cells(spark, corpus, centroids)
+    pairs = probed.join(assigned, "cell").select("query_id", "vec_id")
+
+    codebooks, width = train_pq_codebooks(spark, corpus)
+    codes = assign_codes(spark, corpus, codebooks, width)
+    qtable = adc_query_table(spark, queries, codebooks, width)
+    approx = (
+        pairs.join(codes, "vec_id")
+        .join(F.broadcast(qtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdot").alias("approx_score"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("vec_id")
+    )
+    cands = (
+        approx.withColumn("crk", F.row_number().over(w_cand))
+        .filter(F.col("crk") <= RERANK_CAND)
+        .select("query_id", "vec_id")
+    )
+    rerank = (
+        cands.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        rerank.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("cos_sim"), "rk")
+    )

@@ -154,10 +154,11 @@ def test_pq_recall_on_clustered_corpus(spark, clustered):
     the candidate slice must cover the quantization-equivalence class
     (>= cluster size) for the exact re-rank to see the true neighbors.
     With the default 50-deep slice recall is ~0.54 (measured): ADC
-    correctly finds the right cluster but cannot rank inside it. That is
-    the documented reason production systems compose IVF+PQ — IVF scopes
-    the candidate set to the probed cells and PQ compresses the scan;
-    standalone PQ needs rerank depth ~ cluster size."""
+    correctly finds the right cluster but cannot rank inside it. A
+    cluster-covering re-rank depth is required in BOTH the standalone
+    and the IVF-composed shape (see test_ivfpq_composed_on_clustered_
+    corpus) — what composition buys is scan scope, not within-cluster
+    ADC resolution."""
     from beametrics_spark.operators.dedup import cosine_expr
     from beametrics_spark.operators.pq import (
         adc_query_table,
@@ -210,3 +211,88 @@ def test_pq_recall_on_clustered_corpus(spark, clustered):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"clustered PQ recall {recall:.3f} < 0.9"
+
+
+def test_ivfpq_composed_on_clustered_corpus(spark, clustered):
+    """The registered IVF-PQ composition on the clustered corpus. What
+    composing buys is SCAN SCOPE: the ADC lookup scan and the exact
+    re-rank both run only over the probed cells' candidates (~30% of
+    the corpus here) instead of every code row. What it does NOT buy is
+    within-cluster ADC resolution — tight clusters encode to
+    near-identical codes in BOTH shapes (measured: composed recall with
+    the default 50-deep slice is 0.540, identical to standalone PQ), so
+    the re-rank depth must cover the quantization-tie class either way.
+    With a cluster-covering slice the composition reaches full recall
+    while touching a fraction of the corpus — asserted on both axes."""
+    from beametrics_spark.operators.dedup import cosine_expr
+    from beametrics_spark.operators.ivf import (
+        assign_cells,
+        probe_cells,
+        train_ivf_centroids,
+    )
+    from beametrics_spark.operators.pq import (
+        adc_query_table,
+        assign_codes,
+        train_pq_codebooks,
+    )
+
+    RERANK_CAND = PER_CLUSTER + 56  # cover one full planted cluster
+
+    emb, _ = clustered
+    corpus = emb.filter(F.col("vec_id") >= N_Q)
+    queries = emb.filter(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    centroids = train_ivf_centroids(spark, corpus, cells=16, iters=2)
+    probed = probe_cells(
+        spark,
+        emb.filter(F.col("vec_id") < N_Q),
+        centroids,
+        nprobe=3,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    assigned = assign_cells(spark, corpus, centroids)
+    pairs = probed.join(assigned, "cell").select("query_id", "vec_id")
+    scan_fraction = pairs.count() / (N_Q * corpus.count())
+
+    codebooks, width = train_pq_codebooks(spark, corpus)
+    codes = assign_codes(spark, corpus, codebooks, width)
+    qtable = adc_query_table(spark, queries, codebooks, width)
+    approx = (
+        pairs.join(codes, "vec_id")
+        .join(F.broadcast(qtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdot").alias("approx_score"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("vec_id")
+    )
+    cands = (
+        approx.withColumn("crk", F.row_number().over(w_cand))
+        .filter(F.col("crk") <= RERANK_CAND)
+        .select("query_id", "vec_id")
+    )
+    rerank = (
+        cands.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in (
+            rerank.withColumn("rk", F.row_number().over(w_final))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "vec_id")
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_topk(corpus, queries).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"clustered IVF-PQ recall {recall:.3f} < 0.9"
+    assert scan_fraction <= 0.35, (
+        f"IVF-PQ ADC scan touched {scan_fraction:.3f} > 0.35 of the corpus"
+    )
