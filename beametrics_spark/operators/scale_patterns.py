@@ -1,0 +1,300 @@
+"""Explicit scale-pattern operators: the three techniques that keep a
+100 TB pipeline cheap, each expressed as an oracle-checkable query.
+
+1. Bloom-style semi-join pre-filtering (`bloom_prefilter_semi_revenue`):
+   when the filter side of a semi join is too big to broadcast its raw
+   keys but its *hash-bucket occupancy bitmap* still fits, broadcast the
+   bucket set, pre-filter the fact scan against it, and run the exact
+   semi join only over the survivors. False positives from bucket
+   collisions are removed by the exact join, so the result is identical
+   to a plain `WHERE EXISTS` — the bucket stage only reduces how many
+   fact rows reach the shuffle. (Spark's AQE runtime bloom filter does
+   this implicitly — pinned in tests/test_plans.py — this operator is
+   the explicit, engine-independent formulation with a fixed bucket
+   count so the reduction is auditable.)
+
+2. Z-order layout audit (`zorder_layout_pruning_audit`): multi-
+   dimensional data layout is the difference between scanning 12 % and
+   100 % of 100 TB for a predicate on the *second* dimension. This
+   operator bins two orders dimensions to 8 bits each, interleaves the
+   bits (Morton / Z-value), assigns rows to 64 "files" by the Z-value's
+   top bits vs. a linear (single-dimension sort) layout, and reports
+   how many files a min/max-pruned scan would touch for a 1/8-range
+   predicate on each dimension. Expected shape: the linear layout
+   prunes only its sort dimension (8/64 day files, all 64 for custkey);
+   the Z-order layout prunes both to 8/64. All bit math is integer
+   arithmetic shared verbatim with the oracle — pure codegen, no UDF.
+
+3. Exact two-pass heavy hitters (`heavy_hitters_exact_twopass`): find
+   every key with global frequency >= 3/4000 of the table WITHOUT ever
+   shuffling the full key space. Pass 1 (Arrow-batched mapInPandas)
+   counts keys per partition and emits only keys whose *local* count
+   clears the same fraction of the *local* row count — by pigeonhole,
+   any globally-heavy key clears it in at least one partition (if
+   c_p * 4000 < 3 * n_p for every p, summing gives C * 4000 < 3 * N),
+   so the candidate set is a guaranteed superset for ANY partitioning.
+   Pass 2 re-scans with a broadcast candidate semi-join and counts
+   exactly; the final global-threshold filter removes false candidates,
+   so the output is deterministic even though the candidate set is not.
+   Only candidate-key rows ever reach a shuffle, and the per-partition
+   state is bounded by distinct-keys-per-partition (same bound as map-
+   side hash aggregation). This is the classic candidates+recheck
+   pattern (cf. Misra-Gries / space-saving with an exact second pass).
+
+The reference has none of these (SURVEY.md §2.2: its pipeline is a
+single linear filter→window→count chain, beametrics/pipeline.py:164-186);
+they are part of the mandated LLM-scale extension surface.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add as _add
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beametrics_spark.functions import discounted_e4, e4_dollars
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+# --- 1. bloom-style semi-join pre-filter ------------------------------------
+
+_BLOOM_BUCKETS = 2048  # broadcast payload is <= 2048 longs regardless of SF
+
+
+@register(
+    "bloom_prefilter_semi_revenue",
+    """
+    SELECT l.l_returnflag,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(5,2)))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey
+        AND o.o_orderpriority = '1-URGENT'
+        AND o.o_totalprice > 150000
+    )
+    GROUP BY 1
+    """,
+)
+def bloom_prefilter_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems of urgent high-value orders, computed as
+    bucket-broadcast pre-filter -> exact semi join -> aggregate.
+
+    Scale plan: the bucket set is DISTINCT pmod(xxhash64(key), 2048) —
+    at most 2048 rows no matter how many urgent orders exist, so the
+    first join is always a broadcast and removes ~(1 - occupancy) of
+    lineitem before anything shuffles. The exact semi join then runs
+    over the reduced fact side (broadcast when the key list fits, else
+    a shuffle that only carries pre-filtered rows). The aggregation is
+    exact scaled-long money math (functions.cents rationale).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+
+    buckets = keys.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_BUCKETS)).alias("bf_bucket")
+    ).distinct()
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "bf_bucket", F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_BUCKETS))
+    )
+    prefiltered = li.join(F.broadcast(buckets), "bf_bucket", "left_semi")
+    exact = prefiltered.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        e4_dollars(
+            F.sum(discounted_e4(F.col("l_extendedprice"), F.col("l_discount")))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- 2. Z-order layout pruning audit ----------------------------------------
+
+
+def _interleave_bits(xb: Column, yb: Column) -> Column:
+    """16-bit Morton code of two 8-bit bins — pure integer codegen."""
+    terms = []
+    for i in range(8):
+        terms.append(F.shiftright(xb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+        terms.append(
+            F.shiftright(yb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    return reduce(_add, terms)
+
+
+# The identical interleave as SQL, generated from the same loop so the
+# Spark and DuckDB formulations cannot drift.
+_Z_SQL = " + ".join(
+    f"(((xb >> {i}) & 1) * {1 << (2 * i)}) + (((yb >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(8)
+)
+
+
+@register(
+    "zorder_layout_pruning_audit",
+    f"""
+    WITH base AS (
+      SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+             o_custkey AS cust
+      FROM orders
+    ), span AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1,
+             MIN(cust) AS c0, MAX(cust) AS c1
+      FROM base
+    ), b AS (
+      SELECT CAST(FLOOR((day - d0) * 256.0 / (d1 - d0 + 1)) AS INTEGER) AS xb,
+             CAST(FLOOR((cust - c0) * 256.0 / (c1 - c0 + 1)) AS INTEGER) AS yb
+      FROM base, span
+    ), z AS (
+      SELECT xb, yb, ({_Z_SQL}) AS zv FROM b
+    ), stacked AS (
+      SELECT 'zorder' AS layout, zv >> 10 AS file_id, xb, yb FROM z
+      UNION ALL
+      SELECT 'linear' AS layout, xb >> 2 AS file_id, xb, yb FROM z
+    ), stats AS (
+      SELECT layout, file_id, MIN(xb) AS min_xb, MIN(yb) AS min_yb
+      FROM stacked GROUP BY 1, 2
+    )
+    SELECT layout,
+           COUNT(*) AS files_nonempty,
+           COUNT(*) FILTER (WHERE min_xb <= 31) AS day_pred_files,
+           COUNT(*) FILTER (WHERE min_yb <= 31) AS cust_pred_files
+    FROM stats GROUP BY 1
+    """,
+)
+def zorder_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare min/max file pruning under Z-order vs. linear layout.
+
+    Bins o_orderdate (days) and o_custkey to 256 cells each over their
+    actual span (the span scalar is a 1-row broadcast, the same pattern
+    as every other global-scalar query here), Morton-interleaves the
+    bins, and derives 64 files per layout from the code's top bits.
+    A file "survives" min/max pruning for predicate `dim < 1/8 span`
+    iff its per-file MIN(bin) <= 31 — exactly the parquet row-group
+    stats test. No sort, no window: two hash aggregations over integer
+    columns, both whole-stage codegen.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_orderdate").cast("long") / 86400).cast("bigint").alias("day"),
+        F.col("o_custkey").alias("cust"),
+    )
+    span = base.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.min("cust").alias("c0"),
+        F.max("cust").alias("c1"),
+    )
+    binned = base.crossJoin(F.broadcast(span)).select(
+        F.floor((F.col("day") - F.col("d0")) * 256 / (F.col("d1") - F.col("d0") + 1))
+        .cast("int")
+        .alias("xb"),
+        F.floor((F.col("cust") - F.col("c0")) * 256 / (F.col("c1") - F.col("c0") + 1))
+        .cast("int")
+        .alias("yb"),
+    )
+    z = binned.withColumn("zv", _interleave_bits(F.col("xb"), F.col("yb")))
+    stacked = z.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(F.col("zv"), 10).alias("file_id"),
+        "xb",
+        "yb",
+    ).unionByName(
+        z.select(
+            F.lit("linear").alias("layout"),
+            F.shiftright(F.col("xb"), 2).alias("file_id"),
+            "xb",
+            "yb",
+        )
+    )
+    stats = stacked.groupBy("layout", "file_id").agg(
+        F.min("xb").alias("min_xb"), F.min("yb").alias("min_yb")
+    )
+    return stats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("files_nonempty"),
+        F.count(F.when(F.col("min_xb") <= 31, 1)).alias("day_pred_files"),
+        F.count(F.when(F.col("min_yb") <= 31, 1)).alias("cust_pred_files"),
+    )
+
+
+# --- 3. exact two-pass heavy hitters ----------------------------------------
+
+# Global threshold: count * 4000 >= 3 * N  (frequency >= 3/4000 = 0.075 %).
+# Kept as integer cross-multiplication on BOTH engines so no float
+# rounding can flip a boundary key.
+_HH_NUM, _HH_DEN = 3, 4000
+
+
+def _hh_partials(batches):
+    """Per-partition candidate pass: accumulate value counts across the
+    partition's Arrow batches, emit keys clearing the partition-local
+    threshold plus one sentinel row (l_partkey = -1) carrying the
+    partition row count so N needs no second scan of pass 1."""
+    import pandas as pd
+
+    counts = None
+    n_rows = 0
+    for pdf in batches:
+        n_rows += len(pdf)
+        vc = pdf["l_partkey"].value_counts()
+        counts = vc if counts is None else counts.add(vc, fill_value=0)
+    if n_rows == 0:
+        return
+    local = counts[counts * _HH_DEN >= _HH_NUM * n_rows]
+    out = pd.DataFrame(
+        {
+            "l_partkey": local.index.astype("int64"),
+            "c": local.values.astype("int64"),
+        }
+    )
+    yield pd.concat(
+        [out, pd.DataFrame({"l_partkey": [-1], "c": [n_rows]})],
+        ignore_index=True,
+    )
+
+
+@register(
+    "heavy_hitters_exact_twopass",
+    f"""
+    SELECT l_partkey, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY 1
+    HAVING COUNT(*) * {_HH_DEN} >= {_HH_NUM} * (SELECT COUNT(*) FROM lineitem)
+    """,
+)
+def heavy_hitters_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys with frequency >= 3/4000 of lineitem, via candidates+recheck.
+
+    Pass 1 never shuffles: mapInPandas emits only partition-locally
+    heavy keys (a pigeonhole superset of the global heavy set — see
+    module docstring) plus a per-partition row-count sentinel. Pass 2
+    re-scans lineitem's key column with the candidate set broadcast as
+    a semi-join filter, so the only shuffle in the whole query carries
+    partial counts of candidate keys. The final filter re-applies the
+    threshold against the exact global count, which removes every
+    false candidate — the output does not depend on partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    pass1 = li.mapInPandas(_hh_partials, "l_partkey long, c long").localCheckpoint()
+    candidates = pass1.where(F.col("l_partkey") >= 0).select("l_partkey").distinct()
+    total = pass1.where(F.col("l_partkey") == -1).agg(F.sum("c").alias("n"))
+
+    exact = (
+        li.join(F.broadcast(candidates), "l_partkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * _HH_DEN >= F.lit(_HH_NUM) * F.col("n"))
+        .select("l_partkey", "cnt")
+    )

@@ -148,6 +148,11 @@ BENCH_QUERIES = [
     # round-6: hash-checkable IVF certification (trains centroids at
     # construction -> construction-timed below)
     "ann_ivf_recall_audit",
+    # round-6 wave 2: explicit scale patterns — bloom-style semi-join
+    # prefilter, Z-order layout audit, exact two-pass heavy hitters
+    "bloom_prefilter_semi_revenue",
+    "zorder_layout_pruning_audit",
+    "heavy_hitters_exact_twopass",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -194,6 +199,7 @@ CONSTRUCTION_TIMED = {
     "dedup_minhash_lsh",            # candidate-set checkpoint
     "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
     "ann_ivf_recall_audit",         # centroid training collects at build
+    "heavy_hitters_exact_twopass",  # candidate-pass localCheckpoint at build
 }
 
 
