@@ -738,3 +738,56 @@ def stream_salted_fanout_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@register(
+    "stream_topk_per_window_parity",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT bucket, event_type, cnt,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY cnt DESC, event_type ASC) AS rk
+      FROM c
+    )
+    SELECT bucket, event_type, cnt, rk FROM r WHERE rk <= 3
+    """,
+)
+def stream_topk_per_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-3 event-type leaderboard, streaming-first.
+
+    The stateful part — tumbling 1 h counts per (window, event_type) —
+    runs as a streaming aggregate and drains to a memory sink; the
+    rank-and-truncate runs as a BATCH window function over the drained
+    (already closed) windows.  That split is deliberate and is the
+    production shape: Spark cannot chain a ranking over a streaming
+    aggregate in one query (4.1.2 limits chained stateful aggs to
+    append-only), and at scale the leaderboard finalization belongs in
+    foreachBatch / the downstream reader over watermark-closed windows,
+    where it ranks |event_types| rows per window, not raw events.
+    Tiebreak on event_type makes top-3 deterministic cross-engine."""
+    path = os.path.join(sf_dir, "events.parquet")
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_topk_"
+        )
+        counts = (
+            stream.groupBy(
+                F.window("ts", "1 hour").getField("start").alias("bucket"),
+                "event_type",
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        out = _drain_to_table(spark, counts, "topk_parity", "complete", stream_dir)
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(F.desc("cnt"), F.asc("event_type"))
+    )
+    return (
+        out.withColumn("rk", rk)
+        .where(F.col("rk") <= 3)
+        .select("bucket", "event_type", "cnt", "rk")
+    )

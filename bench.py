@@ -168,6 +168,7 @@ STREAMING_QUERIES = [
     "stream_ohlc_parity",
     "stream_funnel_parity",
     "stream_salted_fanout_parity",
+    "stream_topk_per_window_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric
