@@ -202,21 +202,35 @@ def zorder_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("yb"),
     )
     z = binned.withColumn("zv", _interleave_bits(F.col("xb"), F.col("yb")))
-    stacked = z.select(
-        F.lit("zorder").alias("layout"),
-        F.shiftright(F.col("zv"), 10).alias("file_id"),
-        "xb",
-        "yb",
-    ).unionByName(
-        z.select(
-            F.lit("linear").alias("layout"),
-            F.shiftright(F.col("xb"), 2).alias("file_id"),
-            "xb",
-            "yb",
-        )
-    )
+    # One pass over the table: per-(z_file, lin_file) cell minima (<= 64x64
+    # groups regardless of row count); the per-layout union then stacks the
+    # TINY cell table, not the full table — min is associative, so
+    # min-over-files == min-over-cells-of-file.
+    cells = z.groupBy(
+        F.shiftright(F.col("zv"), 10).alias("z_file"),
+        F.shiftright(F.col("xb"), 2).alias("lin_file"),
+    ).agg(F.min("xb").alias("min_xb"), F.min("yb").alias("min_yb"))
+    # Tag each cell with both layouts via a 2-element explode instead of a
+    # self-union: one consumer of the aggregated cell table, so the scan +
+    # span + cell-agg subtree appears exactly once in the plan.
+    stacked = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("z_file").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("lin_file").alias("file_id"),
+                ),
+            )
+        ).alias("tag"),
+        "min_xb",
+        "min_yb",
+    ).select("tag.layout", "tag.file_id", "min_xb", "min_yb")
     stats = stacked.groupBy("layout", "file_id").agg(
-        F.min("xb").alias("min_xb"), F.min("yb").alias("min_yb")
+        F.min("min_xb").alias("min_xb"), F.min("min_yb").alias("min_yb")
     )
     return stats.groupBy("layout").agg(
         F.count(F.lit(1)).alias("files_nonempty"),
