@@ -450,6 +450,41 @@ def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "approx_distinct_error_audit",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           (ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+              <= 0.05 * COUNT(DISTINCT user_id)) AS within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def approx_distinct_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable audit for the HLL++ sketch family (same move as
+    ann_ivf_recall_audit for ANN): each engine runs its OWN sketch next
+    to the exact distinct count and asserts the estimate lands within a
+    5% band. The sketches differ (Spark HLL++ rsd=0.01 vs DuckDB HLL),
+    so raw estimates can never hash-match — but exact counts match
+    exactly and both sketches sit ~1-2% off, so the tolerance flag is
+    deterministic cross-engine. This certifies, through the driver's
+    hash gate, that the rows-only `approx_distinct_users_per_type`
+    estimate is actually close to truth, not just shaped right."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("est"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
 @register("value_quantiles_per_type", None)
 def value_quantiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx sketch — rows-only (DuckDB quantile interpolates
