@@ -485,6 +485,67 @@ def approx_distinct_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_quantile_error_audit",
+    """
+    WITH a AS (
+      SELECT event_type,
+             approx_quantile(value, 0.5)  AS q50,
+             approx_quantile(value, 0.95) AS q95,
+             approx_quantile(value, 0.99) AS q99
+      FROM events GROUP BY 1
+    ), r AS (
+      SELECT e.event_type,
+             COUNT(*) AS n,
+             SUM(CASE WHEN e.value <= a.q50 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS f50,
+             SUM(CASE WHEN e.value <= a.q95 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS f95,
+             SUM(CASE WHEN e.value <= a.q99 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS f99
+      FROM events e JOIN a USING (event_type)
+      GROUP BY 1
+    )
+    SELECT event_type, n,
+           (ABS(f50 - 0.5)  <= 0.02) AS ok50,
+           (ABS(f95 - 0.95) <= 0.02) AS ok95,
+           (ABS(f99 - 0.99) <= 0.02) AS ok99
+    FROM r
+    """,
+)
+def approx_quantile_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable audit for the quantile-sketch family, in RANK space
+    — the space where GK (Spark) and t-digest (DuckDB) actually give
+    guarantees. Each engine runs its OWN sketch, then measures the exact
+    fraction of values at or below each estimate and asserts it lands
+    within 2 rank-percent of the target. Value-space tolerance would be
+    fragile (the p99 neighborhood can have wide gaps at small SF); rank
+    fractions are quantization-bounded at 1/n and sketch-bounded at
+    ~1e-4 (accuracy=10000), so the flags are deterministic cross-engine
+    even though the raw estimates never hash-match. Certifies the
+    rows-only `value_quantiles_per_type` the way
+    `approx_distinct_error_audit` certifies the HLL family."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q")
+    )
+    joined = events.join(F.broadcast(a), "event_type")
+
+    def frac(idx: int):
+        return F.avg((F.col("value") <= F.col("q")[idx]).cast("double"))
+
+    r = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        frac(0).alias("f50"),
+        frac(1).alias("f95"),
+        frac(2).alias("f99"),
+    )
+    return r.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("f50") - 0.5) <= 0.02).alias("ok50"),
+        (F.abs(F.col("f95") - 0.95) <= 0.02).alias("ok95"),
+        (F.abs(F.col("f99") - 0.99) <= 0.02).alias("ok99"),
+    )
+
+
 @register("value_quantiles_per_type", None)
 def value_quantiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx sketch — rows-only (DuckDB quantile interpolates
