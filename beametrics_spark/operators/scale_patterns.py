@@ -60,7 +60,14 @@ from beametrics_spark.sources import load_table
 
 # --- 1. bloom-style semi-join pre-filter ------------------------------------
 
-_BLOOM_BUCKETS = 2048  # broadcast payload is <= 2048 longs regardless of SF
+# Bucket-count sizing: occupancy = 1 - exp(-|keys|/M), and the prefilter
+# passes (match_fraction + occupancy * (1 - match_fraction)) of the fact
+# side — so M should be ~50-100x the expected key count to keep the
+# false-positive pass-through low. 2^17 longs broadcast as ~1 MB and hold
+# occupancy under 2% for the ~2k filter keys at oracle SF (65% occupancy
+# at the earlier 2048 — a bitmap that dense stops filtering). At 100 TB,
+# size M from the dimension-side cardinality estimate the same way.
+_BLOOM_BUCKETS = 1 << 17
 
 
 @register(
@@ -85,10 +92,12 @@ def bloom_prefilter_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue from lineitems of urgent high-value orders, computed as
     bucket-broadcast pre-filter -> exact semi join -> aggregate.
 
-    Scale plan: the bucket set is DISTINCT pmod(xxhash64(key), 2048) —
-    at most 2048 rows no matter how many urgent orders exist, so the
-    first join is always a broadcast and removes ~(1 - occupancy) of
-    lineitem before anything shuffles. The exact semi join then runs
+    Scale plan: the bucket set is DISTINCT pmod(xxhash64(key), M) —
+    at most M rows (~1 MB broadcast at M=2^17) no matter how many
+    urgent orders exist, so the first join is always a broadcast and
+    removes ~(1 - match_fraction - occupancy) of lineitem before
+    anything shuffles (see _BLOOM_BUCKETS for the occupancy sizing
+    rule). The exact semi join then runs
     over the reduced fact side (broadcast when the key list fits, else
     a shuffle that only carries pre-filtered rows). The aggregation is
     exact scaled-long money math (functions.cents rationale).

@@ -63,7 +63,7 @@ def test_bloom_bucket_stage_is_broadcast(spark, sf_dir):
     plan = plan_of(bloom_prefilter_semi_revenue(spark, sf_dir))
     assert plan.count("LeftSemi") >= 2  # bucket prefilter + exact join
     assert "BroadcastHashJoin" in plan
-    assert _BLOOM_BUCKETS == 2048  # broadcast payload bound documented
+    assert _BLOOM_BUCKETS <= 1 << 20  # broadcast payload stays MB-scale
 
 
 def test_bloom_bucket_prefilter_reduces_scan(spark, sf_dir):
@@ -81,7 +81,10 @@ def test_bloom_bucket_prefilter_reduces_scan(spark, sf_dir):
         .distinct()
         .count()
     )
-    assert 0 < n_buckets < _BLOOM_BUCKETS
+    # occupancy must stay low enough that the prefilter actually filters
+    # (a near-full bitmap passes everything) — the sizing rule documented
+    # on _BLOOM_BUCKETS targets single-digit-percent occupancy at test SF
+    assert 0 < n_buckets < _BLOOM_BUCKETS // 10
 
 
 # --- Z-order layout ----------------------------------------------------------
