@@ -311,8 +311,12 @@ def heavy_hitters_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = pass1.where(F.col("l_partkey") >= 0).select("l_partkey").distinct()
     total = pass1.where(F.col("l_partkey") == -1).agg(F.sum("c").alias("n"))
 
+    # No forced broadcast hint: the candidate set is tiny in practice but
+    # not provably bounded (unlike the bloom operator's bucket set), so
+    # AQE picks broadcast vs shuffle from its runtime size — a shuffle
+    # fallback still only carries candidate-key partials.
     exact = (
-        li.join(F.broadcast(candidates), "l_partkey", "left_semi")
+        li.join(candidates, "l_partkey", "left_semi")
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
