@@ -169,6 +169,10 @@ _FAMILY_PRIORITY = {
     "similarity2": 12,
     "similarity": 13,
     "ivf": 14,
+    # round-6 wave 2: substring/semantic dedup, weighted sampling, CMS
+    "dedup2": 15,
+    "sampling": 16,
+    "scale_patterns": 17,
 }
 
 

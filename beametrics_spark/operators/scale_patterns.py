@@ -325,3 +325,114 @@ def heavy_hitters_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") * _HH_DEN >= F.lit(_HH_NUM) * F.col("n"))
         .select("l_partkey", "cnt")
     )
+
+
+# --- 4. count-min sketch error audit -----------------------------------------
+
+# d×w counter matrix: w=64 keeps the sketch 3 orders of magnitude below
+# the key space a 100 TB table would carry while still colliding at
+# tested SFs (150 users / 64 buckets at sf0.01), so the audit measures
+# real overestimation, not a degenerate all-exact sketch.
+_CMS_D = 4
+_CMS_W = 64
+
+_CMS_ORACLE = f"""
+WITH ev AS (SELECT user_id FROM events),
+hx AS (
+  SELECT user_id, j,
+         ('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || ':' ||
+                                 CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+           % {_CMS_W} AS b
+  FROM ev, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j)
+),
+counters AS (SELECT j, b, CAST(count(*) AS BIGINT) AS cnt FROM hx GROUP BY j, b),
+exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY user_id),
+keyhash AS (SELECT DISTINCT user_id, j, b FROM hx),
+est AS (
+  SELECT k.user_id, min(ct.cnt) AS est
+  FROM keyhash k JOIN counters ct ON k.j = ct.j AND k.b = ct.b
+  GROUP BY k.user_id
+),
+joined AS (SELECT e.user_id, e.c, s.est FROM exact e JOIN est s USING (user_id)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ev)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN est = c THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(min(est - c) AS BIGINT) AS min_error,
+       CAST(max(est - c) AS BIGINT) AS max_overestimate,
+       ROUND(avg(est - c), 6) AS avg_overestimate,
+       CAST(sum(CASE WHEN (est - c) * {_CMS_W} <= 2 * n.total THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_markov_bound
+FROM joined, n
+"""
+
+
+@register("countmin_error_audit", _CMS_ORACLE)
+def countmin_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs exact counts: the streaming-frequency sketch
+    audited the same way the HLL and quantile sketches already are
+    (approx_distinct_error_audit / approx_quantile_error_audit) —
+    build the sketch deterministically, compare per-key estimates to
+    ground truth, emit one summary row both engines reproduce exactly.
+
+    The sketch itself is two hash aggregations: every event expands to
+    _CMS_D (row, bucket) increments (md5-derived buckets, shared with
+    the oracle) and reduces to a d×w=256-cell counter table — the
+    fixed-size state that makes CMS the right frequency structure when
+    the key space itself is too large to shuffle (the same regime as
+    heavy_hitters_exact_twopass, which this sketch would PREFILTER in
+    a one-pass setting). Estimates join the tiny counter table back to
+    the distinct keys via broadcast; min-over-rows is a hash agg.
+
+    Audited properties: CMS never underestimates (min_error >= 0 by
+    construction — the audit would expose a broken hash split), and
+    overestimates obey the Markov tail (err <= 2N/w per key with
+    probability >= 1 - 2^-d; compared via integer cross-multiplication
+    to keep both engines in BIGINT).
+    """
+    from beametrics_spark.operators.dedup import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    buckets = [
+        F.pmod(
+            md5_hash60(
+                F.concat(F.lit(f"cms{j}:"), F.col("user_id").cast("string"))
+            ),
+            F.lit(_CMS_W),
+        ).alias(f"b{j}")
+        for j in range(_CMS_D)
+    ]
+    hx = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), buckets[j].alias("b"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("x"),
+    ).select("user_id", F.col("x.j").alias("j"), F.col("x.b").alias("b"))
+    counters = hx.groupBy("j", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    keyhash = hx.select("user_id", "j", "b").distinct()
+    est = (
+        keyhash.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est"))
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    err = F.col("est") - F.col("c")
+    return (
+        exact.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("est") == F.col("c")).cast("long")).alias("n_exact"),
+            F.min(err).alias("min_error"),
+            F.max(err).alias("max_overestimate"),
+            F.round(F.avg(err), 6).alias("avg_overestimate"),
+            F.sum(
+                (err * _CMS_W <= 2 * F.col("total")).cast("long")
+            ).alias("n_within_markov_bound"),
+        )
+    )

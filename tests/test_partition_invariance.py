@@ -53,6 +53,10 @@ RISKY = [
     "weighted_median_price_per_flag",  # cumulative-weight window cut
     "equi_depth_histogram_totalprice",  # ntile over a global total order
     "shipping_lag_quantiles",     # sort-based exact percentiles
+    # round-6 wave 2: double-key rankings (per-row folds, but the
+    # selection boundary must not move with partitioning)
+    "weighted_sample_wor",        # ln(u)/w top-k boundary
+    "semdedup_prune_list",        # cosine argmax assignment + tau cut
 ]
 
 
