@@ -153,6 +153,13 @@ BENCH_QUERIES = [
     "bloom_prefilter_semi_revenue",
     "zorder_layout_pruning_audit",
     "heavy_hitters_exact_twopass",
+    # round-6 wave 3: substring/passage/semantic dedup, weighted
+    # sampling without replacement, count-min audit
+    "dedup_substring_runs",
+    "passage_dedup_rate",
+    "semdedup_prune_list",
+    "weighted_sample_wor",
+    "countmin_error_audit",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
