@@ -401,26 +401,41 @@ def countmin_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"b{j}")
         for j in range(_CMS_D)
     ]
-    hx = ev.select(
-        "user_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), buckets[j].alias("b"))
-                    for j in range(_CMS_D)
-                ]
-            )
-        ).alias("x"),
-    ).select("user_id", F.col("x.j").alias("j"), F.col("x.b").alias("b"))
+    hashes = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), buckets[j].alias("b"))
+                for j in range(_CMS_D)
+            ]
+        )
+    ).alias("x")
+    hx = ev.select("user_id", hashes).select(
+        F.col("x.j").alias("j"), F.col("x.b").alias("b")
+    )
     counters = hx.groupBy("j", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    keyhash = hx.select("user_id", "j", "b").distinct()
+    # exact counts are the ONLY other pass over events; the key→bucket
+    # probe table and the grand total both derive from it (the buckets
+    # are a pure function of the key, and N = Σ exact counts), so the
+    # whole audit touches the fact table twice, each time reading one
+    # column — counters increment per occurrence, probes expand per KEY.
+    # localCheckpoint pins that: exact feeds three consumers (probes,
+    # total, the error join) and would otherwise recompute its scan per
+    # branch; the checkpointed table is one row per distinct key — the
+    # same bound that makes a ground-truth audit feasible at all.
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    keyhash = exact.select("user_id", hashes).select(
+        "user_id", F.col("x.j").alias("j"), F.col("x.b").alias("b")
+    )
     est = (
         keyhash.join(F.broadcast(counters), ["j", "b"])
         .groupBy("user_id")
         .agg(F.min("cnt").alias("est"))
     )
-    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    total = exact.agg(F.sum("c").alias("total"))
     err = F.col("est") - F.col("c")
     return (
         exact.join(est, "user_id")
