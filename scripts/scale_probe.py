@@ -62,6 +62,14 @@ PROBE_QUERIES = [
     "incremental_aggregate_merge",
     "bpe_merge_candidates",
     "doc_chunking_plan",
+    # round-6 wave 3: the near-dup replica corpus is exactly the stress
+    # case for substring/passage dedup (posting lists deepen 10x), and
+    # the CMS counter table must stay fixed-size as events densify
+    "dedup_substring_runs",
+    "passage_dedup_rate",
+    "semdedup_prune_list",
+    "weighted_sample_wor",
+    "countmin_error_audit",
 ]
 
 # quadratic-guard / hot-cap knobs stay at their shipped values: the probe
@@ -188,16 +196,27 @@ def main() -> int:
 
     qs = entry.queries()
 
-    out_dir = tempfile.mkdtemp(prefix="beametrics_sf1_")
+    # positional args narrow the probe to named queries (table reprinted
+    # for splicing into SCALING.md); SPARK_GRAFT_SF1_DIR reuses a
+    # prebuilt replica dir instead of materializing a fresh one.
+    only = [a for a in sys.argv[1:] if a in qs]
+    probe = only or PROBE_QUERIES
+
+    prebuilt = os.environ.get("SPARK_GRAFT_SF1_DIR")
+    out_dir = prebuilt or tempfile.mkdtemp(prefix="beametrics_sf1_")
     try:
-        t0 = time.perf_counter()
-        build_sf1(spark, out_dir)
-        print(f"# sf1 build: {time.perf_counter() - t0:.1f}s -> {out_dir}", file=sys.stderr)
+        if not prebuilt:
+            t0 = time.perf_counter()
+            build_sf1(spark, out_dir)
+            print(
+                f"# sf1 build: {time.perf_counter() - t0:.1f}s -> {out_dir}",
+                file=sys.stderr,
+            )
 
         # construction-timed entries (eager localCheckpoint) are timed
         # rebuilt-per-trial at BOTH scales, matching bench.py
         rows = []
-        for name in PROBE_QUERIES:
+        for name in probe:
             t_small = timed(qs, spark, name, SRC)
             t_big = timed(qs, spark, name, out_dir)
             rows.append((name, t_small, t_big, t_big / max(t_small, 1e-9)))
@@ -226,7 +245,8 @@ def main() -> int:
         for name, a, b, g in rows:
             print(f"| {name} | {a:.3f} | {b:.3f} | {g:.1f}x |")
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if not prebuilt:
+            shutil.rmtree(out_dir, ignore_errors=True)
     return 0
 
 
