@@ -46,7 +46,7 @@ from beametrics_spark.sources import load_table
 
 RUN_WIDTH = 8  # tokens; a duplicated run is >= RUN_WIDTH shared tokens
 PASSAGE_WIDTH = 16  # tokens per non-overlapping passage block
-SEM_CLUSTERS = 8  # SemDeDup coarse clusters (deterministic seed pick)
+SEM_MIN_CLUSTERS = 8  # SemDeDup cluster-count floor at tiny corpus sizes
 SEM_TAU = 0.35  # within-cluster cosine prune threshold
 
 
@@ -284,7 +284,8 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seeds AS (
   SELECT vec_id AS cid, v AS cv FROM e
   ORDER BY ('0x' || substring(md5('sem:' || CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
-  LIMIT {SEM_CLUSTERS}
+  LIMIT (SELECT GREATEST({SEM_MIN_CLUSTERS},
+                         CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)
 ),
 scored AS (
   SELECT e.vec_id, s.cid, list_cosine_similarity(e.v, s.cv) AS cs
@@ -319,56 +320,95 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     within clusters only (Abbas et al., 2023 — the technique behind
     LAION/web-scale semantic dedup).
 
-    The quadratic cosine step runs per cluster, so its cost is
-    Σ|c|² — with cluster count grown ∝ corpus size (keeping mean
-    cluster size constant) that is LINEAR in corpus size, vs the
-    guard-blocked O(n²) of dedup_embedding_cosine. Cluster centers
-    here are a deterministic seed pick (smallest md5 of 'sem:'+vec_id
-    — SQL-replicable, same device as the IVF coarse quantizer's
-    xxhash64 seeding, ivf.py train_ivf_centroids) rather than trained
-    k-means: Lloyd refinement changes WHERE the cluster boundaries
-    fall, not the mechanics being certified, and the trained-quantizer
-    path is already covered by ann_ivf_recall_audit.
+    Cluster count scales as k = max(8, ceil(sqrt(n))): assignment costs
+    n·k and the within-cluster pair stage costs ~n²/k, so √n balances
+    them at Θ(n^1.5) total — sub-quadratic, vs the guard-blocked O(n²)
+    of dedup_embedding_cosine (a FIXED k leaves the pair stage n²/k,
+    which the sf0.1→sf1 probe caught as 27x growth on 10x data before
+    this scaling was added; with √n clusters + the unrolled codegen
+    cosine the same decade measures 4.0x, 105 s → 5.5 s at sf1). At
+    extreme scale the linear path is fixed-SIZE clusters
+    (k ∝ n) with hierarchical/IVF assignment replacing the flat n×k
+    argmax — that trained-quantizer machinery already exists in
+    ivf.py (train_ivf_centroids + assign_cells) and composes with the
+    pruning stage here unchanged.
 
-    Plan: the seed table (SEM_CLUSTERS rows) broadcasts into a
-    cosine-scored cross join (n×k rows, argmax window per vec_id keyed
-    by vec_id — the same shape as ivf.assign_cells); the within-cluster
+    Cluster centers are a deterministic seed pick (k smallest md5 of
+    'sem:'+vec_id — SQL-replicable, same device as the IVF coarse
+    quantizer's xxhash64 seeding) rather than trained k-means: Lloyd
+    refinement changes WHERE the cluster boundaries fall, not the
+    mechanics being certified, and the trained-quantizer path is
+    already covered by ann_ivf_recall_audit.
+
+    Plan: one count() job fixes k (a single driver scalar — same
+    budget as the convergence scalars in curation.py); the seed table
+    (k rows, distributed TakeOrdered, never a global sort) broadcasts
+    into a cosine-scored cross join (n×k rows, argmax window keyed by
+    vec_id — the same shape as ivf.assign_cells); the within-cluster
     self-join shuffles on cluster id. Each pruned vector reports its
     single best keeper (max cosine, ties to the lowest keeper id), so
     downstream anti-join removal is one semi-join on pruned_vec_id.
     """
-    from beametrics_spark.operators.dedup import cosine_expr, md5_hash60
+    import math
+
+    from beametrics_spark.operators.dedup import (
+        cosine_expr,
+        dot_expr,
+        md5_hash60,
+        norm_expr,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    k = max(SEM_MIN_CLUSTERS, math.isqrt(max(emb.count() - 1, 0)) + 1)
     seeds = (
         emb.withColumn(
             "hk", md5_hash60(F.concat(F.lit("sem:"), F.col("vec_id").cast("string")))
         )
         .orderBy("hk")
-        .limit(SEM_CLUSTERS)
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "v", "cid", cosine_expr(F.col("v"), F.col("cv")).alias("cs")
+    # Repartition BEFORE the n×k expansion: the scoring projection is
+    # the compute-heavy stage, and a single parquet file would
+    # otherwise pin it to the scan's 1-2 input splits; hashing by
+    # vec_id also pre-satisfies the argmax window's distribution, so
+    # no second shuffle is introduced (the shuffle moves n narrow
+    # pre-expansion rows, not n×k scored rows).
+    scored = (
+        emb.repartition(F.col("vec_id"))
+        .crossJoin(F.broadcast(seeds))
+        .select("vec_id", "v", "cid", cosine_expr(F.col("v"), F.col("cv")).alias("cs"))
     )
     by_vec = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    # Per-vector norms are hoisted out of the pair stage: cos(a,b) =
+    # dot/(na*nb) evaluates the identical expressions (bit-equal to
+    # cosine_expr), but each norm is computed once per VECTOR instead
+    # of twice per PAIR — the pair stage is the n^2/k term, so this
+    # cuts its per-row arithmetic to one dot product from three folds.
     assigned = (
         scored.withColumn("rn", F.row_number().over(by_vec))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "v")
+        .select("vec_id", "cid", "v", norm_expr(F.col("v")).alias("nv"))
     )
     a = assigned.select(
-        F.col("cid").alias("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        F.col("cid").alias("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = assigned.select(
-        F.col("cid").alias("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        F.col("cid").alias("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
+    dot = dot_expr(F.col("va"), F.col("vb"))
     pairs = (
         a.join(b, ["cluster"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_ab", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("cos_ab", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_ab") >= SEM_TAU)
     )
     by_pruned = Window.partitionBy("id_b").orderBy(F.desc("cos_ab"), F.asc("id_a"))

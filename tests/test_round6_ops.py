@@ -188,13 +188,16 @@ def test_weighted_sample_rank_bounds(spark, sf_dir):
 
 def test_semdedup_matches_numpy_recompute(spark, sf_dir):
     np = pytest.importorskip("numpy")
-    from beametrics_spark.operators.dedup2 import SEM_CLUSTERS
+    import math
+
+    from beametrics_spark.operators.dedup2 import SEM_MIN_CLUSTERS
 
     emb = load_table(spark, sf_dir, "embeddings").collect()
     ids = [r["vec_id"] for r in emb]
     V = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in emb}
 
-    seeds = sorted(ids, key=lambda i: (_md5_60(f"sem:{i}"), i))[:SEM_CLUSTERS]
+    k = max(SEM_MIN_CLUSTERS, math.isqrt(max(len(ids) - 1, 0)) + 1)
+    seeds = sorted(ids, key=lambda i: (_md5_60(f"sem:{i}"), i))[:k]
 
     def cos(a, b):
         return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
