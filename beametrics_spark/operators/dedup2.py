@@ -392,23 +392,31 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", "v", norm_expr(F.col("v")).alias("nv"))
     )
-    a = assigned.select(
-        F.col("cid").alias("cluster"),
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
+    # Pair generation via per-cluster member lists + double explode
+    # rather than a self-join: a self-join re-executes the whole
+    # scan→score→argmax assignment subtree on BOTH sides (Spark can't
+    # reuse the exchange across the differently-aliased branches), so
+    # the n×k scoring — the most expensive stage — would run twice.
+    # One groupBy(cluster) shuffles each vector once; a member-list row
+    # is ~|c|·(dim·8)B ≈ 73 KB at the √n sizing here (and bounded by
+    # the fixed cluster size on the extreme-scale IVF path), nowhere
+    # near executor limits.
+    members = assigned.groupBy(F.col("cid").alias("cluster")).agg(
+        F.collect_list(F.struct("vec_id", "v", "nv")).alias("ms")
     )
-    b = assigned.select(
-        F.col("cid").alias("cluster"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-    )
-    dot = dot_expr(F.col("va"), F.col("vb"))
+    dot = dot_expr(F.col("a.v"), F.col("b.v"))
+    # the id-order predicate applies INSIDE the array before the second
+    # explode, so only the upper triangle is ever generated
+    upper = F.filter("ms", lambda m: m["vec_id"] > F.col("a.vec_id"))
     pairs = (
-        a.join(b, ["cluster"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_ab", dot / (F.col("na") * F.col("nb")))
+        members.select("cluster", F.explode("ms").alias("a"), "ms")
+        .select("cluster", "a", F.explode(upper).alias("b"))
+        .select(
+            "cluster",
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (dot / (F.col("a.nv") * F.col("b.nv"))).alias("cos_ab"),
+        )
         .filter(F.col("cos_ab") >= SEM_TAU)
     )
     by_pruned = Window.partitionBy("id_b").orderBy(F.desc("cos_ab"), F.asc("id_a"))
