@@ -52,7 +52,6 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "customers_without_orders_anti", "set_intersect_building_buyers",
         "set_except_nonbuyers", "running_order_totals", "pivot_user_event_values",
         "sessions_per_user", "asof_last_click_before_purchase",
-        "approx_distinct_users_per_type", "value_quantiles_per_type",
         "value_quantiles_exact_per_type", "full_outer_join_order_counts",
         "grouping_sets_revenue", "sliding_window_counts", "scalar_function_showcase",
         "exists_subquery_big_spenders", "ranking_variants", "json_props_analysis",
@@ -95,11 +94,9 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         # scripts/update_certified.py. The one red row
         # (embedding_quantize_int8 — ARRAY<int> output crashed the
         # driver's canonicalizer; now emits a CSV string) is OMITTED so
-        # it re-enters the round-5 prefix. The two rows-only entries that
-        # RECORDED their no_oracle row (lang_id_heuristic,
-        # ann_cosine_topk_lsh) are included: the driver's weaker check
-        # has run for them, so the prefix is better spent on
-        # never-checked entries (ann_cosine_topk_ivf, round-5 queries).
+        # it re-enters the round-5 prefix. (Rows-only entries that
+        # recorded their no_oracle row now live in ROWS_RECORDED below —
+        # ADVICE r6 #2.)
         "ann_cosine_topk_bruteforce", "bigram_pmi_top",
         "central_tendency_per_type", "corpus_dedup_keep_list",
         "daily_anomaly_mad", "dataset_shard_assign",
@@ -123,12 +120,9 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "tpch_q22_global_sales_opportunity", "unigram_logprob_quality",
         "user_retention_cohorts", "value_clip_rates",
         "value_trend_per_type", "vocab_growth_curve",
-        "vocab_p90_coverage", "lang_id_heuristic", "ann_cosine_topk_lsh",
+        "vocab_p90_coverage",
         # --- round 5 (CORRECTNESS_r05.json): 48 green rows appended via
-        # scripts/update_certified.py; the two rows-only entries that
-        # RECORDED their no_oracle row (ann_cosine_topk_ivf,
-        # ann_cosine_topk_pq) are included per the round-4 precedent —
-        # the driver's weaker check has run for them.
+        # scripts/update_certified.py (rows-only entries → ROWS_RECORDED).
         "basket_part_pair_lift", "bpe_merge_candidates",
         "centroid_separation_matrix", "containment_dup_pairs",
         "cross_split_contamination", "doc_chunking_plan",
@@ -144,7 +138,37 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "stream_funnel_parity", "supplier_cotrade_triangles",
         "user_activity_power_law", "value_cusum_drift",
         "watermark_lateness_audit", "weighted_median_price_per_flag",
-        "zipf_fit_slope", "ann_cosine_topk_ivf", "ann_cosine_topk_pq",
+        "zipf_fit_slope",
+        # --- round 6 (CORRECTNESS_r06.json): 48 green rows (13 new names +
+        # 35 rotation re-greens) via scripts/update_certified.py.
+        "ann_ivf_recall_audit", "approx_distinct_error_audit",
+        "approx_quantile_error_audit", "bloom_prefilter_semi_revenue",
+        "countmin_error_audit", "dedup_substring_runs",
+        "heavy_hitters_exact_twopass", "passage_dedup_rate",
+        "semdedup_prune_list", "stream_salted_fanout_parity",
+        "stream_topk_per_window_parity", "weighted_sample_wor",
+        "zorder_layout_pruning_audit",
+    }
+)
+
+# Rows-only queries (no oracle_sql entry — approximate by design) whose
+# weaker no_oracle driver row HAS been recorded in some round's
+# CORRECTNESS artifact. Kept OUT of DRIVER_CERTIFIED (ADVICE r6 #2:
+# "certified" must mean hash-green, not rows-only-recorded); each has a
+# hash-checkable audit sibling certifying the machinery
+# (ann_ivf_recall_audit, approx_distinct_error_audit,
+# approx_quantile_error_audit, lang_id_agreement_audit). They sort LAST
+# in queries() — re-running the weaker check is the worst use of the
+# driver's bounded prefix.
+ROWS_RECORDED: frozenset[str] = frozenset(
+    {
+        "approx_distinct_users_per_type",  # r1
+        "value_quantiles_per_type",  # r1
+        "lang_id_heuristic",  # r4, r6
+        "ann_cosine_topk_lsh",  # r4
+        "ann_cosine_topk_ivf",  # r5
+        "ann_cosine_topk_pq",  # r5
+        "ann_cosine_topk_ivfpq",  # r6
     }
 )
 
@@ -176,16 +200,21 @@ _FAMILY_PRIORITY = {
 }
 
 
-def _round_index() -> int:
-    """Deterministic round counter: the number of driver CORRECTNESS
-    artifacts already on disk. Used ONLY to rotate which certified
-    queries re-enter the driver's bounded prefix this round (VERDICT r5
-    process caveat: certifications from rounds 1-4 were never re-verified
-    by the driver once certified — only by the local gate)."""
-    import glob
+# Pinned rotation index for the certified-block rotation (ADVICE r6 #1:
+# deriving it from the count of untracked CORRECTNESS_r*.json files made
+# queries() ordering environment-dependent and able to shift mid-round
+# the moment the driver writes its artifact). Bumped by hand each round
+# alongside the DRIVER_CERTIFIED append; SPARK_GRAFT_ROUND overrides for
+# experiments.
+_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "7"))
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+
+def _round_index() -> int:
+    """Rotation counter for which certified queries re-enter the
+    driver's bounded prefix this round (VERDICT r5 process caveat:
+    certifications were never re-verified by the driver once certified).
+    A pinned constant, not a disk probe — see _ROUND_INDEX."""
+    return _ROUND_INDEX
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -220,6 +249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(kv):
         name, (fn, oracle) = kv
         family = fn.__module__.rsplit(".", 1)[-1]
+        if name in ROWS_RECORDED:
+            # weaker check already recorded; worst use of a prefix slot
+            return (2, 0, 0, 0)
         if name in DRIVER_CERTIFIED:
             # rotation order dominates inside the certified block
             return (1, 0, rot.get(name, 0), 0)

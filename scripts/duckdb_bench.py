@@ -27,13 +27,28 @@ TIMEOUT_S = float(os.environ.get("DUCKDB_BENCH_TIMEOUT_S", "0") or 0)
 
 def run_sql(con, sql):
     """fetchall with the optional interrupt-based timeout. Returns
-    (rows, timed_out)."""
+    (rows, timed_out).
+
+    The timer callback checks a `done` flag before interrupting
+    (ADVICE r6 #3): without it, a timer firing in the window between
+    fetchall() returning and timer.cancel() would poison the connection
+    and surface as a spurious InterruptException on the NEXT query's
+    warm run — a false DNF.
+    """
     if not TIMEOUT_S:
         return con.execute(sql).fetchall(), False
-    timer = threading.Timer(TIMEOUT_S, con.interrupt)
+    done = threading.Event()
+
+    def _interrupt():
+        if not done.is_set():
+            con.interrupt()
+
+    timer = threading.Timer(TIMEOUT_S, _interrupt)
     timer.start()
     try:
-        return con.execute(sql).fetchall(), False
+        rows = con.execute(sql).fetchall()
+        done.set()
+        return rows, False
     except duckdb.InterruptException:
         return None, True
     except duckdb.Error as e:  # interrupt surfaces differently by version
@@ -41,6 +56,7 @@ def run_sql(con, sql):
             return None, True
         raise
     finally:
+        done.set()
         timer.cancel()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -111,7 +127,9 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "duckdb_oracle_query_set_wall",
-                "value": round(sum(v for v in timings.values() if v), 3),
+                "value": round(
+                    sum(v for v in timings.values() if v is not None), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "iterative_queries": iterative,
