@@ -48,6 +48,8 @@ RUN_WIDTH = 8  # tokens; a duplicated run is >= RUN_WIDTH shared tokens
 PASSAGE_WIDTH = 16  # tokens per non-overlapping passage block
 SEM_MIN_CLUSTERS = 8  # SemDeDup cluster-count floor at tiny corpus sizes
 SEM_TAU = 0.35  # within-cluster cosine prune threshold
+SEM_TARGET_CLUSTER = 64  # fixed target cluster SIZE -> k grows with n
+SEM_SEED_MULT = 2654435761  # Knuth multiplicative hash (same device as ivf audit)
 
 
 # ---------------------------------------------------------------------------
@@ -279,33 +281,114 @@ def passage_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. SemDeDup — cluster-then-prune semantic dedup
 # ---------------------------------------------------------------------------
 
+# The two-level trained quantizer below is generated ONCE as SQL text
+# and once as DataFrame code from the same protocol so they cannot
+# drift; every argmax / tie / fallback rule is mirrored line-for-line.
+#
+# Cross-engine float caveat (ADVICE r6 #4, accepted risk): Spark's
+# unrolled left-associative sum chains (dedup.dot_expr/_sum_chain) add
+# in the SAME order as DuckDB's list_dot_product / list_sum, so the two
+# engines agree bit-for-bit except where one fuses a multiply-add the
+# other doesn't — a sub-ulp divergence that could in principle flip an
+# argmax between two near-identical centroids or a cos == SEM_TAU
+# boundary row. No such near-tie exists in the test corpora (hash-green
+# r6 and the fixture sweep in tests/test_round6_ops.py); accepted and
+# documented rather than tolerance-banded because the outputs are
+# integer ids, not values a band could absorb.
+
 _SEMDEDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-seeds AS (
-  SELECT vec_id AS cid, v AS cv FROM e
-  ORDER BY ('0x' || substring(md5('sem:' || CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
-  LIMIT (SELECT GREATEST({SEM_MIN_CLUSTERS},
-                         CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)
+prm AS (
+  SELECT GREATEST({SEM_MIN_CLUSTERS},
+                  CAST(ceil(count(*) / {SEM_TARGET_CLUSTER}.0) AS BIGINT)) AS k,
+         CAST(ceil(sqrt(GREATEST({SEM_MIN_CLUSTERS},
+                  ceil(count(*) / {SEM_TARGET_CLUSTER}.0)))) AS BIGINT) AS k1
+  FROM e
 ),
-scored AS (
-  SELECT e.vec_id, s.cid, list_cosine_similarity(e.v, s.cv) AS cs
-  FROM e CROSS JOIN seeds s
+sd AS (
+  SELECT row_number() OVER (ORDER BY (vec_id * {SEM_SEED_MULT}) % 4294967296,
+                            vec_id) - 1 AS fid, v
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY (vec_id * {SEM_SEED_MULT}) % 4294967296,
+                             vec_id) <= (SELECT k FROM prm)
 ),
-assigned AS (
+f0 AS (
+  SELECT fid,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))
+           AS fv
+  FROM sd
+),
+coarse AS (SELECT fid AS cid, fv AS cv FROM f0 WHERE fid < (SELECT k1 FROM prm)),
+r0 AS (
+  SELECT fid, cid FROM (
+    SELECT f.fid, c.cid,
+           row_number() OVER (PARTITION BY f.fid
+                              ORDER BY list_dot_product(f.fv, c.cv) DESC,
+                                       c.cid ASC) AS rn
+    FROM f0 f CROSS JOIN coarse c) WHERE rn = 1
+),
+vcoarse AS (
   SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-    FROM scored
-  ) WHERE rn = 1
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                       c.cid ASC) AS rn
+    FROM e CROSS JOIN coarse c) WHERE rn = 1
 ),
-ev AS (SELECT a.vec_id, a.cid, e.v FROM assigned a JOIN e USING (vec_id)),
+a0 AS (
+  SELECT vec_id, fid FROM (
+    SELECT vc.vec_id, r.fid,
+           row_number() OVER (PARTITION BY vc.vec_id
+                              ORDER BY list_dot_product(e.v, f.fv) DESC,
+                                       r.fid ASC) AS rn
+    FROM vcoarse vc
+    JOIN e USING (vec_id)
+    JOIN r0 r ON r.cid = vc.cid
+    JOIN f0 f ON f.fid = r.fid) WHERE rn = 1
+),
+dv AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM e
+),
+md AS (
+  SELECT a.fid, dv.dim, avg(dv.val) AS m
+  FROM dv JOIN a0 a USING (vec_id) GROUP BY 1, 2
+),
+mc AS (SELECT fid, list(m ORDER BY dim) AS c FROM md GROUP BY 1),
+mu AS (
+  SELECT fid,
+         list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y*y))))
+           AS c
+  FROM mc
+),
+f1 AS (SELECT f0.fid, COALESCE(mu.c, f0.fv) AS fv FROM f0 LEFT JOIN mu USING (fid)),
+r1 AS (
+  SELECT fid, cid FROM (
+    SELECT f.fid, c.cid,
+           row_number() OVER (PARTITION BY f.fid
+                              ORDER BY list_dot_product(f.fv, c.cv) DESC,
+                                       c.cid ASC) AS rn
+    FROM f1 f CROSS JOIN coarse c) WHERE rn = 1
+),
+a1 AS (
+  SELECT vec_id, fid FROM (
+    SELECT vc.vec_id, r.fid,
+           row_number() OVER (PARTITION BY vc.vec_id
+                              ORDER BY list_dot_product(e.v, f.fv) DESC,
+                                       r.fid ASC) AS rn
+    FROM vcoarse vc
+    JOIN e USING (vec_id)
+    JOIN r1 r ON r.cid = vc.cid
+    JOIN f1 f ON f.fid = r.fid) WHERE rn = 1
+),
+ev AS (SELECT a.vec_id, a.fid, e.v FROM a1 a JOIN e USING (vec_id)),
 pairs AS (
-  SELECT a.cid AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT a.fid AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
          list_cosine_similarity(a.v, b.v) AS cos_ab
-  FROM ev a JOIN ev b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM ev a JOIN ev b ON a.fid = b.fid AND a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.v, b.v) >= {SEM_TAU}
 )
-SELECT cluster, id_b AS pruned_vec_id, id_a AS keep_vec_id,
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       id_b AS pruned_vec_id, id_a AS keep_vec_id,
        ROUND(cos_ab, 6) AS cos_sim
 FROM (
   SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY cos_ab DESC, id_a) AS rn
@@ -314,99 +397,184 @@ FROM (
 """
 
 
+def _unit(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Normalize an array<double> column to unit L2 length — the exact
+    expression twin of the oracle's list_transform(v, x -> x/sqrt(
+    list_sum(...))): norm_expr's unrolled chain adds in the same
+    left-to-right order as DuckDB's list_sum. HOF transform is
+    interpreted per element, but this only ever runs over centroid
+    tables (k rows), never the corpus."""
+    from beametrics_spark.operators.dedup import norm_expr
+
+    return (
+        df.withColumn("_nrm", norm_expr(F.col(src)))
+        .withColumn(dst, F.transform(F.col(src), lambda x: x / F.col("_nrm")))
+        .drop("_nrm", *([src] if src != dst else []))
+    )
+
+
+def _argmax_assign(vecs: DataFrame, cents: DataFrame, id_col: str,
+                   cent_id: str, out: str) -> DataFrame:
+    """id -> argmax-dot centroid, ties to the lowest centroid id.
+
+    vecs(id_col, v) x broadcast cents(cent_id, cv) -> (id_col, out).
+    Raw vectors against UNIT centroids: argmax dot(v, c/|c|) == argmax
+    cos(v, c) for a fixed v — same convention as ivf.assign_cells."""
+    from beametrics_spark.operators.dedup import dot_expr
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc(cent_id))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("_s", dot_expr(F.col("v"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col(cent_id).alias(out))
+    )
+
+
+def _fine_assign(vcoarse: DataFrame, fine_routed: DataFrame) -> DataFrame:
+    """(vec_id, v, cid) x broadcast fine_routed(cid, fid, fv) ->
+    (vec_id, fid): argmax-dot fine centroid WITHIN the vector's coarse
+    cell only — the vector never sees the other cells' fine centroids.
+    Every coarse cell is non-empty (fine seed j routes to coarse cell j
+    for j < k1, cos(s_j, s_j) = 1), so the inner join drops nothing."""
+    from beametrics_spark.operators.dedup import dot_expr
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("fid"))
+    return (
+        vcoarse.join(F.broadcast(fine_routed), "cid")
+        .withColumn("_s", dot_expr(F.col("v"), F.col("fv")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "fid")
+    )
+
+
 @register("semdedup_prune_list", _SEMDEDUP_ORACLE)
 def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: coarse-cluster the embeddings, prune cosine-near pairs
-    within clusters only (Abbas et al., 2023 — the technique behind
-    LAION/web-scale semantic dedup).
+    """SemDeDup (Abbas et al., 2023) at fixed cluster SIZE: a trained
+    two-level quantizer assigns every vector to one of k = n/64
+    clusters, then cosine-near pairs are pruned WITHIN clusters only.
 
-    Cluster count scales as k = max(8, ceil(sqrt(n))): assignment costs
-    n·k and the within-cluster pair stage costs ~n²/k, so √n balances
-    them at Θ(n^1.5) total — sub-quadratic, vs the guard-blocked O(n²)
-    of dedup_embedding_cosine (a FIXED k leaves the pair stage n²/k,
-    which the sf0.1→sf1 probe caught as 27x growth on 10x data before
-    this scaling was added; with √n clusters + the unrolled codegen
-    cosine the same decade measures 4.0x, 105 s → 5.5 s at sf1). At
-    extreme scale the linear path is fixed-SIZE clusters
-    (k ∝ n) with hierarchical/IVF assignment replacing the flat n×k
-    argmax — that trained-quantizer machinery already exists in
-    ivf.py (train_ivf_centroids + assign_cells) and composes with the
-    pruning stage here unchanged.
+    Cost algebra (VERDICT r6 #1 — the round-5 design held cluster COUNT
+    at sqrt(n), leaving both stages Theta(n^1.5)):
 
-    Cluster centers are a deterministic seed pick (k smallest md5 of
-    'sem:'+vec_id — SQL-replicable, same device as the IVF coarse
-    quantizer's xxhash64 seeding) rather than trained k-means: Lloyd
-    refinement changes WHERE the cluster boundaries fall, not the
-    mechanics being certified, and the trained-quantizer path is
-    already covered by ann_ivf_recall_audit.
+      pair stage     sum_c |c|^2 ~ n * 64          -- LINEAR (c fixed)
+      assignment     n * (k1 + k/k1) = 2n*sqrt(k)  -- k1 = sqrt(k)
+                     = 2n*sqrt(n/64) = n^1.5 / 4
 
-    Plan: one count() job fixes k (a single driver scalar — same
-    budget as the convergence scalars in curation.py); the seed table
-    (k rows, distributed TakeOrdered, never a global sort) broadcasts
-    into a cosine-scored cross join (n×k rows, argmax window keyed by
-    vec_id — the same shape as ivf.assign_cells); the within-cluster
-    self-join shuffles on cluster id. Each pruned vector reports its
-    single best keeper (max cosine, ties to the lowest keeper id), so
-    downstream anti-join removal is one semi-join on pruned_vec_id.
+    The flat argmax the verdict's sketch implies (n x k with k ∝ n) is
+    n^2/64 — QUADRATIC; hierarchical routing is what makes k ∝ n
+    affordable: vectors score the k1 coarse cells, then only the fine
+    centroids routed to their coarse cell (~sqrt(k) of them). Two
+    levels cut assignment 8x per decade vs the r5 design at these
+    sizes; deeper trees (constant branching, log_B(k) levels) push it
+    to n log n and compose with this plan unchanged — each extra level
+    is one more broadcast-join + argmax window. At the measured scales
+    the pair stage dominates (crossover n ~ 64^3/4 ≈ 65k vectors), so
+    wall growth tracks the linear term (see SCALING.md sf0.1 -> sf1).
+
+    Training (mirrored line-for-line in the oracle, like ivf.py's
+    _IVF_AUDIT_ORACLE): k fine seeds = smallest Knuth-hash vec_ids,
+    unit-normalized; the first k1 of them double as the frozen coarse
+    quantizer; one Lloyd pass refines the fine centroids (mean of
+    assigned raw vectors, re-normalized; empty cells keep their seed),
+    then fine centroids re-route and vectors re-assign. The coarse
+    assignment of VECTORS is computed once — frozen coarse cells mean
+    it is identical in both passes.
+
+    Scale notes: centroid tables NEVER touch the driver (contrast
+    train_ivf_centroids' k<=16 collect — here k ∝ n); they flow as
+    broadcast DataFrames, and the one localCheckpoint (k rows) stops
+    the Lloyd aggregation subtree re-executing across its two
+    consumers. The only driver scalar is count() for k — the same
+    budget as curation.py's convergence scalars. Shuffles carry ids and
+    64-float arrays, never documents.
     """
     import math
 
-    from beametrics_spark.operators.dedup import (
-        cosine_expr,
-        dot_expr,
-        md5_hash60,
-        norm_expr,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    k = max(SEM_MIN_CLUSTERS, math.isqrt(max(emb.count() - 1, 0)) + 1)
+    # count on the bare scan (no projection) folds to parquet row-group
+    # metadata — no data read
+    n = raw.count()
+    k = max(SEM_MIN_CLUSTERS, math.ceil(n / SEM_TARGET_CLUSTER))
+    k1 = math.ceil(math.sqrt(k))
+
+    hk = (F.col("vec_id").cast("long") * SEM_SEED_MULT) % F.lit(4294967296)
+    w_seed = Window.orderBy("hk", "vec_id")  # k rows post-limit: tiny
     seeds = (
-        emb.withColumn(
-            "hk", md5_hash60(F.concat(F.lit("sem:"), F.col("vec_id").cast("string")))
-        )
-        .orderBy("hk")
+        emb.withColumn("hk", hk)
+        .orderBy("hk", "vec_id")  # TakeOrderedAndProject — never a global sort
         .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .withColumn("fid", F.row_number().over(w_seed) - 1)
+        .select("fid", "v")
     )
-    # Repartition BEFORE the n×k expansion: the scoring projection is
-    # the compute-heavy stage, and a single parquet file would
-    # otherwise pin it to the scan's 1-2 input splits; hashing by
-    # vec_id also pre-satisfies the argmax window's distribution, so
-    # no second shuffle is introduced (the shuffle moves n narrow
-    # pre-expansion rows, not n×k scored rows).
-    scored = (
-        emb.repartition(F.col("vec_id"))
-        .crossJoin(F.broadcast(seeds))
-        .select("vec_id", "v", "cid", cosine_expr(F.col("v"), F.col("cv")).alias("cs"))
+    # k rows; consumed by coarse, route0, route-target joins, and the
+    # empty-cell fallback — checkpointing stops each consumer re-running
+    # the corpus TakeOrdered seed scan.
+    fine0 = _unit(seeds, "v", "fv").localCheckpoint()
+    coarse = fine0.filter(F.col("fid") < k1).select(
+        F.col("fid").alias("cid"), F.col("fv").alias("cv")
     )
-    by_vec = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
-    # Per-vector norms are hoisted out of the pair stage: cos(a,b) =
-    # dot/(na*nb) evaluates the identical expressions (bit-equal to
-    # cosine_expr), but each norm is computed once per VECTOR instead
-    # of twice per PAIR — the pair stage is the n^2/k term, so this
-    # cuts its per-row arithmetic to one dot product from three folds.
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(by_vec))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "v", norm_expr(F.col("v")).alias("nv"))
+
+    # Repartition BEFORE the n x k1 expansion (single parquet file would
+    # pin the scoring to 1-2 input splits); hashing by vec_id also
+    # pre-satisfies both argmax windows' distribution.
+    embr = emb.repartition(F.col("vec_id"))
+    # (vec_id, cid, v), consumed by BOTH fine-assignment passes — the
+    # frozen coarse quantizer makes it iteration-invariant, so one
+    # materialization (n narrow rows + the vector; on a cluster this is
+    # a persist to local disk) replaces two n x k1 scoring stages.
+    vcoarse = (
+        _argmax_assign(embr.select("vec_id", "v"), coarse, "vec_id", "cid", "cid")
+        .join(embr, "vec_id")
+        .localCheckpoint()
     )
-    # Pair generation via per-cluster member lists + double explode
-    # rather than a self-join: a self-join re-executes the whole
-    # scan→score→argmax assignment subtree on BOTH sides (Spark can't
-    # reuse the exchange across the differently-aliased branches), so
-    # the n×k scoring — the most expensive stage — would run twice.
-    # One groupBy(cluster) shuffles each vector once; a member-list row
-    # is ~|c|·(dim·8)B ≈ 73 KB at the √n sizing here (and bounded by
-    # the fixed cluster size on the extreme-scale IVF path), nowhere
-    # near executor limits.
-    members = assigned.groupBy(F.col("cid").alias("cluster")).agg(
+
+    route0 = _argmax_assign(
+        fine0.select(F.col("fid").alias("_id"), F.col("fv").alias("v")),
+        coarse, "_id", "cid", "cid",
+    ).withColumnRenamed("_id", "fid")
+    a0 = _fine_assign(vcoarse, route0.join(fine0, "fid"))
+
+    # one Lloyd pass: per-dimension means of assigned raw vectors
+    dims = embr.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    means = (
+        dims.join(a0, "vec_id")
+        .groupBy("fid", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("fid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+        .select("fid", F.transform("ms", lambda s: s["m"]).alias("mv"))
+    )
+    fine1 = (
+        fine0.join(_unit(means, "mv", "mu"), "fid", "left")
+        .select("fid", F.coalesce("mu", "fv").alias("fv"))
+        .localCheckpoint()  # k rows; 2 consumers (route + assign) below
+    )
+    route1 = _argmax_assign(
+        fine1.select(F.col("fid").alias("_id"), F.col("fv").alias("v")),
+        coarse, "_id", "cid", "cid",
+    ).withColumnRenamed("_id", "fid")
+    a1 = _fine_assign(vcoarse, route1.join(fine1, "fid"))
+
+    from beametrics_spark.operators.dedup import dot_expr, norm_expr
+
+    assigned = a1.join(embr, "vec_id").select(
+        "vec_id", "fid", "v", norm_expr(F.col("v")).alias("nv")
+    )
+    # Per-cluster member lists + in-array upper triangle (not a
+    # self-join, which would re-execute the whole assignment subtree on
+    # both sides); member rows are ~64 * (64*8)B ~ 32 KB — the fixed
+    # cluster size bounds them at ANY corpus size. Norms hoisted out of
+    # the pair stage: one dot per pair instead of three folds.
+    members = assigned.groupBy(F.col("fid").alias("cluster")).agg(
         F.collect_list(F.struct("vec_id", "v", "nv")).alias("ms")
     )
     dot = dot_expr(F.col("a.v"), F.col("b.v"))
-    # the id-order predicate applies INSIDE the array before the second
-    # explode, so only the upper triangle is ever generated
     upper = F.filter("ms", lambda m: m["vec_id"] > F.col("a.vec_id"))
     pairs = (
         members.select("cluster", F.explode("ms").alias("a"), "ms")
@@ -424,7 +592,7 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(by_pruned))
         .filter(F.col("rn") == 1)
         .select(
-            "cluster",
+            F.col("cluster").cast("long").alias("cluster"),
             F.col("id_b").alias("pruned_vec_id"),
             F.col("id_a").alias("keep_vec_id"),
             F.round("cos_ab", 6).alias("cos_sim"),

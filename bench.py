@@ -208,6 +208,7 @@ CONSTRUCTION_TIMED = {
     "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
     "ann_ivf_recall_audit",         # centroid training collects at build
     "heavy_hitters_exact_twopass",  # candidate-pass localCheckpoint at build
+    "semdedup_prune_list",          # r7: seed/coarse-assign/Lloyd checkpoints at build
 }
 
 

@@ -187,25 +187,61 @@ def test_weighted_sample_rank_bounds(spark, sf_dir):
 
 
 def test_semdedup_matches_numpy_recompute(spark, sf_dir):
+    """Independent numpy re-implementation of the full two-level
+    trained quantizer + within-cluster prune — Knuth-hash seed pick,
+    frozen coarse prefix, hierarchical argmax assignment, one Lloyd
+    pass on the fine centroids, re-route, re-assign."""
     np = pytest.importorskip("numpy")
     import math
 
-    from beametrics_spark.operators.dedup2 import SEM_MIN_CLUSTERS
+    from beametrics_spark.operators.dedup2 import (
+        SEM_MIN_CLUSTERS,
+        SEM_SEED_MULT,
+        SEM_TARGET_CLUSTER,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").collect()
     ids = [r["vec_id"] for r in emb]
     V = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in emb}
 
-    k = max(SEM_MIN_CLUSTERS, math.isqrt(max(len(ids) - 1, 0)) + 1)
-    seeds = sorted(ids, key=lambda i: (_md5_60(f"sem:{i}"), i))[:k]
+    n = len(ids)
+    k = max(SEM_MIN_CLUSTERS, math.ceil(n / SEM_TARGET_CLUSTER))
+    k1 = math.ceil(math.sqrt(k))
+    order = sorted(ids, key=lambda i: ((i * SEM_SEED_MULT) % 2**32, i))[:k]
+
+    def unit(v):
+        return v / np.linalg.norm(v)
 
     def cos(a, b):
         return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
 
-    assign = {}
-    for i in ids:
-        best = min(((-cos(V[i], V[c]), c) for c in seeds))
-        assign[i] = best[1]
+    fine = {fid: unit(V[vid]) for fid, vid in enumerate(order)}
+    coarse = {cid: fine[cid] for cid in range(min(k1, len(order)))}
+
+    def argmax(v, cents):
+        return min(((-float(v @ c), cid) for cid, c in cents.items()))[1]
+
+    def assign_all(fine_cents):
+        route = {}
+        for fid, fv in fine_cents.items():
+            route.setdefault(argmax(fv, coarse), []).append(fid)
+        out = {}
+        for i in ids:
+            cid = argmax(V[i], coarse)
+            cands = {fid: fine_cents[fid] for fid in route[cid]}
+            out[i] = argmax(V[i], cands)
+        return out
+
+    a0 = assign_all(fine)
+    sums, cnts = {}, {}
+    for i, fid in a0.items():
+        sums[fid] = sums.get(fid, 0) + V[i]
+        cnts[fid] = cnts.get(fid, 0) + 1
+    fine1 = {
+        fid: (unit(sums[fid] / cnts[fid]) if fid in cnts else fv)
+        for fid, fv in fine.items()
+    }
+    assign = assign_all(fine1)
     clusters = {}
     for i, c in assign.items():
         clusters.setdefault(c, []).append(i)
