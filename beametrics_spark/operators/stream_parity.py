@@ -79,6 +79,20 @@ def _file_stream(spark: SparkSession, path: str, table: str, prefix: str):
     return stream, stream_dir
 
 
+# Checkpoint/state scratch on tmpfs when the host has one: a micro-batch
+# commit is dozens of small fsynced writes + renames (offsets, commits,
+# state-store deltas), which dominate drain latency on a disk-backed
+# /tmp but cost microseconds on tmpfs. The dirs are removed right after
+# the drain, so nothing rides on tmpfs persistence. (A real deployment
+# keeps checkpoints on durable storage — this is the PARITY harness,
+# whose checkpoint is scratch by construction.)
+_FAST_TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def _scratch(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=_FAST_TMP)
+
+
 def _drain_to_table(
     spark: SparkSession, df: DataFrame, name_prefix: str, mode: str, *cleanup_dirs: str
 ) -> DataFrame:
@@ -87,7 +101,7 @@ def _drain_to_table(
     from beametrics_spark.streaming import scoped_state_partitions
 
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="beametrics_ckpt_")
+    ckpt = _scratch("beametrics_ckpt_")
     with scoped_state_partitions(spark):
         q = (
             df.writeStream.outputMode(mode)
@@ -464,9 +478,9 @@ def run_incremental_dedup_stream(
     needs per-epoch BATCH joins against external index tables plus an
     index append — exactly the batch-DataFrame-per-epoch contract.
     """
-    out_dir = tempfile.mkdtemp(prefix="beametrics_incr_out_")
-    seen_dir = tempfile.mkdtemp(prefix="beametrics_incr_seen_")
-    ckpt = tempfile.mkdtemp(prefix="beametrics_incr_ckpt_")
+    out_dir = _scratch("beametrics_incr_out_")
+    seen_dir = _scratch("beametrics_incr_seen_")
+    ckpt = _scratch("beametrics_incr_ckpt_")
     corpus_fp = (
         corpus.select(F.md5("text").alias("fp"))
         .distinct()
