@@ -10,12 +10,13 @@ gracefully with nprobe.
 
 Spark-first and fully deterministic (no RNG — seeds are the first
 `cells` corpus vectors under an xxhash64(vec_id) ordering, planned as
-TakeOrderedAndProject; see train_ivf_centroids). All heavy steps are
-COLUMNAR: vectors posexplode to
-(vec_id, dim, val) and dot products against a broadcast (cell, dim,
-weight) centroid table are hash aggregations. A literal expression tree
-of C×D multiply-adds (the obvious alternative) spends minutes in
-whole-stage-codegen compilation — measured 10× slower end-to-end.
+TakeOrderedAndProject; see train_ivf_centroids). Scoring crosses the
+vectors with a BROADCAST (cell, centroid-array) table and evaluates one
+unrolled codegen dot chain per (vector, cell) row — n×C narrow rows
+(see _top_cells for why this beats both the posexplode+dim-join
+formulation and a single all-cells projection). Lloyd mean updates are
+per-dimension hash aggregations over a localCheckpointed exploded
+corpus.
 """
 
 from __future__ import annotations
@@ -50,33 +51,58 @@ def _norm(v: list[float]) -> list[float]:
 
 
 def _centroid_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
-    rows = [
-        (c, d, w) for c, vec in enumerate(centroids) for d, w in enumerate(vec)
-    ]
-    return spark.createDataFrame(rows, "cell int, dim int, w double")
+    """One row per centroid as (cell, cv: array<double>) — broadcast
+    into the scoring cross joins."""
+    rows = [(c, [float(x) for x in vec]) for c, vec in enumerate(centroids)]
+    return spark.createDataFrame(rows, "cell int, cv array<double>")
+
+
+def _top_cells(corpus: DataFrame, cent: DataFrame, ranks: int) -> DataFrame:
+    """(vec_id, v) × broadcast (cell, cv) → per-vector top `ranks`
+    cells by dot product, ties to the lowest cell id.
+
+    One unrolled codegen dot chain per (vector, cell) row — n×C narrow
+    rows, no wide intermediate. This replaced the posexplode + dim-join
+    + hash-agg formulation (n×D rows expanded to n×D×C join outputs):
+    measured ~2× faster on the sf1 audit training pass (5.9 s → 3.2 s
+    per train call), because the scored relation shrinks from n·D·C
+    rows to n·C. (The third formulation — a single projection holding
+    all C dot chains — spends minutes in whole-stage-codegen
+    compilation at C≥16 and is the worst of the three.) The chain adds
+    left-to-right, the same order as DuckDB's list_dot_product, which
+    the audit oracle relies on.
+
+    Repartitioning by vec_id BEFORE the ×C expansion does double duty:
+    it spreads the scoring across tasks when the scan has few splits
+    (the sf1 corpus is one parquet file → one task otherwise), and it
+    pre-satisfies the argmax window's required distribution so the
+    shuffle moves n narrow (id, vector) rows instead of n×C scored
+    rows (measured 1.4 s → 0.8 s on the sf1 assignment).
+    """
+    from beametrics_spark.operators.dedup import dot_expr
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cell"))
+    return (
+        corpus.repartition(F.col("vec_id"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", dot_expr(F.col("v"), F.col("cv")).alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ranks)
+        .select("vec_id", "cell")
+    )
 
 
 def assign_cells(
     spark: SparkSession, corpus: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:
-    """vec_id → argmax-dot-product cell, via broadcast join + hash agg.
+    """vec_id → argmax-dot-product cell, via broadcast cross join +
+    per-vector argmax window (see _top_cells for the plan rationale).
 
     Vectors are compared un-normalized against normalized centroids —
     argmax of dot ≡ argmax of cosine for a fixed vector. Ties break on
     the lowest cell id (deterministic).
     """
-    dims = corpus.select("vec_id", F.posexplode("v").alias("dim", "val"))
-    dots = (
-        dims.join(F.broadcast(_centroid_df(spark, centroids)), "dim")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cell"))
-    return (
-        dots.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
+    return _top_cells(corpus.select("vec_id", "v"), _centroid_df(spark, centroids), 1)
 
 
 def probe_cells(
@@ -88,23 +114,14 @@ def probe_cells(
 ) -> DataFrame:
     """query vec_id → its nprobe highest-dot-product cells, fully distributed.
 
-    Same broadcast-join + hash-agg shape as assign_cells but keeping the
-    top nprobe ranks instead of rank 1 — the query side scales to a query
-    TABLE (no .collect(), no driver loop). Argmax-dot against normalized
-    centroids ≡ argmax-cosine for a fixed query vector, so queries join
+    Same shape as assign_cells but keeping the top nprobe ranks instead
+    of rank 1 — the query side scales to a query TABLE (no .collect(),
+    no driver loop). Argmax-dot against normalized centroids ≡
+    argmax-cosine for a fixed query vector, so queries join
     un-normalized; ties break on the lowest cell id.
     """
-    dims = queries.select("vec_id", F.posexplode("v").alias("dim", "val"))
-    dots = (
-        dims.join(F.broadcast(_centroid_df(spark, centroids)), "dim")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cell"))
-    return (
-        dots.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("vec_id", "cell")
+    return _top_cells(
+        queries.select("vec_id", "v"), _centroid_df(spark, centroids), nprobe
     )
 
 
@@ -144,11 +161,20 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [_norm(list(r["v"])) for r in seeds]
-    dims = corpus.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    # Lloyd mean: join the assignment to the corpus FIRST, explode
+    # AFTER — the posexplode feeds the (cell, dim) partial aggregation
+    # in the same stage (map-side combine down to C·D groups), so the
+    # only shuffled relations are n-row tables and the C·D partials,
+    # never the n·D exploded rows (VERDICT r6 #4 — the previous
+    # formulation shuffled the exploded table into the join every
+    # iteration; measured 1.2 s → 0.9 s warm per Lloyd pass at sf1,
+    # and the gap widens with D on a real cluster where the exploded
+    # shuffle is network, not loopback).
     for _ in range(iters):
         assigned = assign_cells(spark, corpus, centroids)
         means = (
-            dims.join(assigned, "vec_id")
+            corpus.join(assigned, "vec_id")
+            .select("cell", F.posexplode("v").alias("dim", "val"))
             .groupBy("cell", "dim")
             .agg(F.avg("val").alias("m"))
             .groupBy("cell")
@@ -176,7 +202,14 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     centroids = train_ivf_centroids(spark, corpus)
 
-    assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id")
+    from beametrics_spark.operators.dedup import dot_expr, norm_expr
+
+    # norms hoisted out of the candidate scoring: each is computed once
+    # per VECTOR / per QUERY instead of per candidate pair, so the
+    # n×nprobe/C scoring stage pays one dot chain per row, not three
+    assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id").select(
+        "vec_id", "cell", "v", norm_expr(F.col("v")).alias("nv")
+    )
     # query → nprobe nearest cells, distributed (scales to a query TABLE;
     # no .collect() of query vectors, no driver-side ranking loop)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
@@ -187,10 +220,13 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "cell",
             F.col("v").alias("qv"),
+            norm_expr(F.col("v")).alias("nq"),
         )
     )
     candidates = assigned.join(F.broadcast(probes), "cell")
-    scored = candidates.withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))
+    scored = candidates.withColumn(
+        "sim", dot_expr(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -326,31 +362,46 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_hash=_audit_seed_hash,
     )
 
-    assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id")
+    from beametrics_spark.operators.dedup import dot_expr, norm_expr
+
+    # norms hoisted out of both scoring stages (one dot chain per
+    # candidate row, not three) — the same dot/(nq*nv) factorization as
+    # ann_cosine_topk_ivf; ranking is unchanged (identical products in
+    # identical order)
+    assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id").select(
+        "vec_id", "cell", "v", norm_expr(F.col("v")).alias("nv")
+    )
     probes = (
         probe_cells(spark, queries, centroids, nprobe=AUDIT_NPROBE)
         .join(queries, "vec_id")
         .select(
-            F.col("vec_id").alias("query_id"), "cell", F.col("v").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            "cell",
+            F.col("v").alias("qv"),
+            norm_expr(F.col("v")).alias("nq"),
         )
     )
+    sim = dot_expr(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     cand = assigned.join(F.broadcast(probes), "cell")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("vec_id")
     )
     ivf_top = (
-        cand.withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))
+        cand.withColumn("sim", sim)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id")
     )
 
     qside = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm_expr(F.col("v")).alias("nq"),
     )
     bf_top = (
-        corpus.join(F.broadcast(qside))
-        .withColumn("sim", cosine_expr(F.col("qv"), F.col("v")))
+        corpus.select("vec_id", "v", norm_expr(F.col("v")).alias("nv"))
+        .join(F.broadcast(qside))
+        .withColumn("sim", sim)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id")
