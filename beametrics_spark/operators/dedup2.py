@@ -233,6 +233,28 @@ GROUP BY p.source
 """
 
 
+def passage_occurrences(docs: DataFrame) -> DataFrame:
+    """(source, h): md5 of every non-overlapping PASSAGE_WIDTH-token
+    block — shared by the batch operator and its streaming twin
+    (stream_passage_dedup_parity) so the passage definition cannot
+    drift between them."""
+    from beametrics_spark.operators.dedup import tokens_expr
+
+    P = PASSAGE_WIDTH
+    d = (
+        docs.select("source", tokens_expr(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= P)
+    )
+    return d.select(
+        "source",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.col("n") - P + 1, F.lit(P))).alias("st"),
+    ).select(
+        "source", F.md5(F.concat_ws(" ", F.slice("toks", F.col("st"), P))).alias("h")
+    )
+
+
 @register("passage_dedup_rate", _PASSAGE_DEDUP_ORACLE)
 def passage_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplicated-passage rate, Dolma-paragraph-dedup shape.
@@ -249,20 +271,7 @@ def passage_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two hash aggregations over md5 keys + one hash join (global count
     back to occurrences); all codegen, no UDF, nothing quadratic.
     """
-    from beametrics_spark.operators.dedup import tokens_expr
-
-    P = PASSAGE_WIDTH
-    docs = load_table(spark, sf_dir, "documents")
-    d = (
-        docs.select("doc_id", "source", tokens_expr(F.col("text")).alias("toks"))
-        .withColumn("n", F.size("toks"))
-        .filter(F.col("n") >= P)
-    )
-    occ = d.select(
-        "source",
-        "toks",
-        F.explode(F.sequence(F.lit(1), F.col("n") - P + 1, F.lit(P))).alias("st"),
-    ).select("source", F.md5(F.concat_ws(" ", F.slice("toks", F.col("st"), P))).alias("h"))
+    occ = passage_occurrences(load_table(spark, sf_dir, "documents"))
     cnt = occ.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     return (
         occ.join(cnt, "h")

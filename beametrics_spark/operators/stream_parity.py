@@ -805,3 +805,82 @@ def stream_topk_per_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rk") <= 3)
         .select("bucket", "event_type", "cnt", "rk")
     )
+
+
+@register(
+    "stream_passage_dedup_parity",
+    """
+    WITH d AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 16
+    ),
+    occ AS (
+      SELECT doc_id, source,
+             unnest(generate_series(1, n - 16 + 1, 16)) AS st
+      FROM d
+    ),
+    p AS (
+      SELECT o.source,
+             md5(array_to_string(list_slice(d.toks, o.st, o.st + 16 - 1), ' ')) AS h
+      FROM occ o JOIN d USING (doc_id)
+    ),
+    cnt AS (SELECT h, count(*) AS c FROM p GROUP BY h)
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+           ROUND(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_rate
+    FROM p JOIN cnt USING (h)
+    GROUP BY p.source
+    """,
+)
+def stream_passage_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """passage_dedup_rate as a STREAMING operator (VERDICT r6 #7 —
+    incremental corpus curation is the production deployment of every
+    dedup family): documents arrive as a file stream, passages explode
+    and COUNT per (source, passage-hash) as a stateful streaming
+    aggregate, and the per-source dup rates roll up from the drained
+    counts — checked against the same DuckDB oracle as the batch twin.
+
+    The passage definition comes from the SAME helper as the batch
+    operator (dedup2.passage_occurrences), so the two cannot drift. The
+    streaming state is one counter per distinct (source, 16-token
+    block) — 16-byte md5 keys, never text bodies — i.e. the state store
+    holds exactly the table the batch plan's first hash aggregation
+    builds; counting is algebraic, so epoch boundaries cannot change
+    the totals. Complete output mode re-emits the counts each trigger
+    (single trigger here); a continuous deployment would run the same
+    plan in update mode with the counts merged into an external index
+    per epoch, the stream_incremental_dedup_parity shape, or bound
+    state by arrival-time watermark when passages expire.
+
+    The final rollup (global count per hash >= 2, per-source rates) is
+    a small batch join over the drained aggregate — the same two-agg +
+    one-join plan as the batch twin, just reading the state-store
+    output instead of the corpus.
+    """
+    from beametrics_spark.operators.dedup2 import passage_occurrences
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_doc_")
+    os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+    agg = passage_occurrences(stream).groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tbl = _drain_to_table(spark, agg, "passage_dedup", "complete", stream_dir)
+    # global per-hash count via a window over the drained aggregate (a
+    # self-join of the memory-sink view trips Spark 4.1's resolver);
+    # one shuffle on the 16-byte hash, state-table-sized input
+    from pyspark.sql import Window
+
+    cnt = F.sum("c").over(Window.partitionBy("h"))
+    enriched = tbl.withColumn("cnt", cnt)
+    dup = F.when(F.col("cnt") >= 2, F.col("c")).otherwise(F.lit(0))
+    return enriched.groupBy("source").agg(
+        F.sum("c").alias("n_passages"),
+        F.sum(dup).alias("n_dup_passages"),
+        F.round(F.sum(dup) / F.sum("c"), 4).alias("dup_rate"),
+    )

@@ -249,3 +249,144 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- lang-id agreement audit (VERDICT r6 #6) ----------------------------------
+# lang_id_heuristic is rows-only (the predictor is a Pandas UDF). This
+# audit makes the lang-id family driver-checkable, mirroring the
+# ann_ivf_recall_audit move: the EXACT _predict algorithm — char
+# frequencies, top-12 by (count desc, first-occurrence asc) =
+# Counter.most_common tie order, per-language rank-weight scores,
+# argmax with dict-order tiebreak — is reimplemented as pure SQL
+# expressions, and the output counts, per (labeled lang, predicted),
+# how many documents the Pandas-UDF model and the SQL twin agree on.
+# The DuckDB oracle runs ITS OWN independent SQL implementation and
+# reports n_agree = n_docs, so the hash matches iff the Python model
+# agrees with an independent cross-engine reimplementation on EVERY
+# document. The corpus alphabet is lowercase ASCII + space (checked),
+# so Python str.lower/isspace and SQL lower/'\s' coincide exactly.
+
+_LID_PROFILES_SQL = ", ".join(
+    f"('{lang}', {prio}, '{prof}')"
+    for prio, (lang, prof) in enumerate(_LANG_PROFILES.items())
+)
+
+_LANG_AUDIT_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(regexp_replace(lower(text), '\s', '', 'g'), '')
+           AS cs
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, unnest(cs) AS c, generate_subscripts(cs, 1) AS pos FROM d
+),
+st AS (
+  SELECT doc_id, c, count(*) AS cnt, min(pos) AS fp
+  FROM ch WHERE c <> '' GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, fp ASC) - 1 AS i
+  FROM st
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, fp ASC) <= 12
+),
+prof(plang, prio, pr) AS (VALUES {_LID_PROFILES_SQL}),
+sc AS (
+  SELECT t.doc_id, p.plang, p.prio,
+         sum(CASE WHEN strpos(p.pr, t.c) > 0
+                  THEN (12 - t.i) * (12 - (strpos(p.pr, t.c) - 1))
+                  ELSE 0 END) AS score
+  FROM top t CROSS JOIN prof p
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, plang FROM (
+    SELECT doc_id, plang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, prio ASC) AS rn
+    FROM sc) WHERE rn = 1
+),
+final AS (
+  SELECT d.lang,
+         COALESCE(p.plang,
+                  CASE WHEN d.text IS NULL OR d.text = '' THEN 'und'
+                       ELSE 'en' END) AS predicted
+  FROM d LEFT JOIN pred p USING (doc_id)
+)
+SELECT lang, predicted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_agree
+FROM final GROUP BY 1, 2
+"""
+
+
+@register("lang_id_agreement_audit", _LANG_AUDIT_ORACLE)
+def lang_id_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (labeled lang, predicted lang): document counts and how many
+    of them the Pandas-UDF model (predict_lang) and the SQL twin agree
+    on — the hash-checkable certification of the lang-id family.
+
+    The SQL twin is all codegen expressions (split/posexplode, two hash
+    aggregations, two per-doc windows over tiny alphabet-sized groups,
+    a broadcast 5-row profile table); the UDF runs once per doc
+    alongside it. At scale both sides are a single corpus scan; the
+    char-stats shuffle carries (doc_id, char, count) rows bounded by
+    |alphabet| per doc, not text bodies.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.lower(F.col("text")), r"\s", "")
+    chars = docs.select(
+        "doc_id", F.posexplode(F.split(clean, "")).alias("pos", "c")
+    ).filter(F.col("c") != "")
+    st = chars.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("pos").alias("fp")
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("fp"))
+    top = (
+        st.withColumn("i", F.row_number().over(wtop) - 1)
+        .filter(F.col("i") < 12)
+        .select("doc_id", "c", "i")
+    )
+    prof = spark.createDataFrame(
+        [
+            (lang, prio, profile)
+            for prio, (lang, profile) in enumerate(_LANG_PROFILES.items())
+        ],
+        "plang string, prio int, pr string",
+    )
+    pi = F.expr("instr(pr, c)")
+    sc = (
+        top.crossJoin(F.broadcast(prof))
+        .withColumn(
+            "term",
+            F.when(pi > 0, (12 - F.col("i")) * (12 - (pi - 1))).otherwise(0),
+        )
+        .groupBy("doc_id", "plang", "prio")
+        .agg(F.sum("term").alias("score"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("prio"))
+    pred = (
+        sc.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("pred_sql"))
+    )
+    fallback = F.when(
+        F.col("text").isNull() | (F.col("text") == ""), F.lit("und")
+    ).otherwise(F.lit("en"))
+    return (
+        docs.withColumn("pred_udf", predict_lang(F.col("text")))
+        .join(pred, "doc_id", "left")
+        .withColumn("predicted", F.coalesce(F.col("pred_sql"), fallback))
+        .groupBy("lang", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("pred_udf") == F.col("predicted")).cast("long")
+            ).alias("n_agree"),
+        )
+    )

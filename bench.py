@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "semdedup_prune_list",
     "weighted_sample_wor",
     "countmin_error_audit",
+    # round-7: lang-id hash-checkable certification (UDF vs SQL twin)
+    "lang_id_agreement_audit",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -176,6 +178,7 @@ STREAMING_QUERIES = [
     "stream_funnel_parity",
     "stream_salted_fanout_parity",
     "stream_topk_per_window_parity",
+    "stream_passage_dedup_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric
