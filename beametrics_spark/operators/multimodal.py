@@ -196,7 +196,13 @@ def bmp_ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode runs in the same Arrow batches the decoder uses."""
     from beametrics_spark.operators.imagecodec import fixture_payload
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # explicit-count repartition before the Python stage — same
+    # single-split + AQE-coalesce rationale as wav_media_table
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -288,7 +294,17 @@ def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared fixture formula (audiocodec.fixture_wav_payload)."""
     from beametrics_spark.operators.audiocodec import fixture_wav_payload
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Repartition before the Python stage: a single-file scan gives one
+    # input split -> ONE Python worker encoding (and Arrow-shipping) the
+    # whole corpus serially. The partition count is explicit because an
+    # AQE-coalescable exchange (plain repartition(col)) gets merged
+    # back to one partition — the doc_id rows are only KBs, and AQE
+    # sizes by bytes, blind to the downstream per-row Python cost.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
