@@ -532,7 +532,11 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition BEFORE the n x k1 expansion (single parquet file would
     # pin the scoring to 1-2 input splits); hashing by vec_id also
     # pre-satisfies both argmax windows' distribution.
-    embr = emb.repartition(F.col("vec_id"))
+    # explicit count: an AQE-coalescable exchange would shrink back to a
+    # few byte-sized partitions, starving the ×k1 scoring expansion
+    embr = emb.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
     # (vec_id, cid, v), consumed by BOTH fine-assignment passes — the
     # frozen coarse quantizer makes it iteration-invariant, so one
     # materialization (n narrow rows + the vector; on a cluster this is

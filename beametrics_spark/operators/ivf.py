@@ -82,8 +82,12 @@ def _top_cells(corpus: DataFrame, cent: DataFrame, ranks: int) -> DataFrame:
     from beametrics_spark.operators.dedup import dot_expr
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cell"))
+    # explicit partition count: AQE would coalesce the small
+    # pre-expansion exchange by BYTES (vectors are ~0.5 KB/row), wasting
+    # the cores the ×C dot-product expansion needs
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
     return (
-        corpus.repartition(F.col("vec_id"))
+        corpus.repartition(n_part, F.col("vec_id"))
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "cell", dot_expr(F.col("v"), F.col("cv")).alias("dot"))
         .withColumn("rn", F.row_number().over(w))
