@@ -40,7 +40,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-SRC = "/root/testdata/sf0.1"
+# SPARK_GRAFT_PROBE_SRC overrides the small side — pointing it at a
+# prebuilt sf1 replica dir runs the NEXT decade (sf1 -> sf10), the
+# round-7 probe for the wave-3 operators (VERDICT r6 #9)
+SRC = os.environ.get("SPARK_GRAFT_PROBE_SRC", "/root/testdata/sf0.1")
 REPLICAS = 10
 
 PROBE_QUERIES = [
@@ -204,6 +207,10 @@ def main() -> int:
 
     prebuilt = os.environ.get("SPARK_GRAFT_SF1_DIR")
     out_dir = prebuilt or tempfile.mkdtemp(prefix="beametrics_sf1_")
+    # a named dir that does not hold tables yet is a build TARGET, not a
+    # prebuilt replica
+    if prebuilt and not os.path.exists(os.path.join(prebuilt, "lineitem.parquet")):
+        prebuilt = None
     try:
         if not prebuilt:
             t0 = time.perf_counter()
