@@ -200,6 +200,66 @@ _FAMILY_PRIORITY = {
 }
 
 
+# Queries whose OPERATOR CODE changed this round after their green row
+# was recorded — a prior-round certification is stale the moment the
+# plan it certified is rewritten, so these are forced to the very front
+# of the driver's bounded prefix (ahead of never-certified queries and
+# the rotation) to be re-greened against the new code. Refreshed by
+# hand each round from `git diff <last-round-tag> -- beametrics_spark/`
+# mapped through the registry's module->query index.
+RECERTIFY: frozenset[str] = frozenset(
+    {
+        # round 7: dedup2.py rewrite (trained-quantizer SemDeDup +
+        # passage refactor shared with the streaming twin)
+        "semdedup_prune_list", "passage_dedup_rate", "dedup_substring_runs",
+        # mining.py Apriori prefilter + shuffled pair self-join
+        "basket_part_pair_lift",
+        # ivf.py Lloyd restructure + explicit-count repartition
+        "ann_ivf_recall_audit",
+        # multimodal.py media-table explicit-count repartition
+        "multimodal_bmp_ppm_decode", "multimodal_wav_frame_rms",
+        "multimodal_image_patch_pool",
+    }
+)
+
+
+# The 48 queries whose ONLY driver certification predates round 3
+# (green in CORRECTNESS_r01/r02). These are the stalest rows in the
+# registry, so a rotating 12-slot window over this tuple is pinned to
+# the head of the certified block every round (VERDICT r6 #5: keep
+# >=10 oldest-first rotation slots per round) — the general rotation
+# alone walks alphabetically and can under-serve them in any given
+# round. Ordered tuple: the window is _ROUND_INDEX-rotated, so the
+# full set re-greens once every 4 rounds.
+_OLDEST_CERTIFIED: tuple[str, ...] = (
+    "asof_last_click_before_purchase", "conditional_aggregation",
+    "correlated_scalar_price_ratio", "cube_order_counts",
+    "customers_with_orders_semi", "customers_without_orders_anti",
+    "date_function_rollup", "distinct_parts_per_flag",
+    "embedding_vector_norms", "exists_subquery_big_spenders",
+    "full_outer_join_order_counts", "grouping_sets_revenue",
+    "in_subquery_order_status", "json_props_analysis",
+    "moving_avg_time_range", "pivot_user_event_values",
+    "range_join_purchases_after_order", "ranking_variants",
+    "ref_contains_count", "ref_equals_count", "ref_grouped_labels",
+    "ref_json_field_count", "ref_match_all_count",
+    "ref_missing_field_sum", "ref_multi_condition_count",
+    "ref_multi_metric_fanout", "ref_numeric_range_count",
+    "ref_windowed_sum", "revenue_by_nation", "rollup_lineitem_qty",
+    "running_order_totals", "scalar_function_showcase",
+    "sessions_per_user", "set_except_nonbuyers",
+    "set_intersect_building_buyers", "sliding_window_counts",
+    "stat_aggregates_per_flag", "token_frequencies_top100",
+    "top_orders_by_price", "topk_orders_per_priority",
+    "tpch_q10_returned_items", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "value_histogram_per_type", "value_quantiles_exact_per_type",
+)
+
+_OLDEST_QUOTA = 12
+
+
 # Pinned rotation index for the certified-block rotation (ADVICE r6 #1:
 # deriving it from the count of untracked CORRECTNESS_r*.json files made
 # queries() ordering environment-dependent and able to shift mid-round
@@ -235,6 +295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from beametrics_spark.registry import load_all
 
     items = list(load_all().items())
+    # oldest-first quota: a 12-slot rotating window over the r1/r2-only
+    # certified tuple, pinned ahead of the general rotation
+    o_off = (_round_index() * _OLDEST_QUOTA) % len(_OLDEST_CERTIFIED)
+    wrapped = _OLDEST_CERTIFIED[o_off:] + _OLDEST_CERTIFIED[:o_off]
+    oldest_window = {name: i for i, name in enumerate(wrapped[:_OLDEST_QUOTA])}
     certified_sorted = sorted(n for n, _ in items if n in DRIVER_CERTIFIED)
     rot = {}
     if certified_sorted:
@@ -249,6 +314,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(kv):
         name, (fn, oracle) = kv
         family = fn.__module__.rsplit(".", 1)[-1]
+        if name in RECERTIFY:
+            # operator code changed after certification — re-green first
+            return (-1, 0, 0, 0)
+        if name in oldest_window:
+            # stalest certifications: guaranteed quota right after the
+            # uncertified block
+            return (0, 9, 99, oldest_window[name])
         if name in ROWS_RECORDED:
             # weaker check already recorded; worst use of a prefix slot
             return (2, 0, 0, 0)
