@@ -1,0 +1,191 @@
+"""Full-text retrieval over the document corpus: inverted-index BM25
+top-k — the classic sparse-retrieval operator every large-scale corpus
+pipeline needs (mining training pairs, dedup-by-query, eval-set
+retrieval baselines).
+
+The reference has no text retrieval of any kind (SURVEY.md §2.2 — its
+only string ops are json.loads / str() / float(),
+`beametrics/pipeline.py:90,195,208`); this extends the engine's
+curation/analytics surface the same way the ANN family does for dense
+vectors.
+
+Scoring is the BM25 shape (Robertson–Spärck Jones idf × saturating tf
+normalization, k1=1.2, b=0.75) with ONE deliberate substitution: the
+idf keeps the RATIONAL core (N − df + ½)/(df + ½) and drops the outer
+ln. Same trick as tfidf_top_terms (text2.py): ln's last ulp is libm-
+dependent, while IEEE +,−,×,÷ are correctly rounded everywhere, so a
+fixed expression tree of rational ops is bit-identical across Spark
+and DuckDB. Unlike tf-idf, BM25 SUMS per-term contributions, so
+monotonicity alone wouldn't be enough — which is why the summation
+itself is made order-fixed: per-term contributions are pivoted into
+POSITION SLOTS (max-of-one-row per slot) and added in explicit
+left-to-right association ((s1 + s2) + s3), the same tree on both
+engines. No ulp can diverge anywhere in the pipeline; the final
+round(…, 6) and doc_id tiebreak are belt-and-braces, not load-bearing.
+(A pleasant side effect of the rational idf: it is strictly positive
+even for df > N/2, where classic ln-BM25 goes negative.)
+
+100 TB plan shape:
+- The corpus pays exactly ONE tokenize+explode pass into the tf
+  aggregate (map-side combined, narrow (doc_id, dl, term) rows) — the
+  same bounded shape as tfidf/dedup shingling.
+- The broadcast 9-row query-term table then SEMI-PRUNES the postings:
+  everything downstream (df counts, slot pivot, scoring, ranking)
+  touches only Σ_t df(t) rows for the queried terms, never the corpus.
+  That matched set is localCheckpointed once — it feeds two consumers
+  (df aggregate, scoring join) and re-running the corpus scan per
+  consumer is the failure mode the checkpoint removes.
+- df and corpus stats (N, Σdl) are one-to-nine-row aggregates,
+  broadcast back. No full-corpus shuffle exists after the tf groupBy.
+- Ranking partitions by query_id (|Q| partitions). A stop-word query
+  term at 100 TB makes one query's candidate set huge; the flag-gated
+  exact-ranking broadcast-cutoff helper (functions/__init__.py) is the
+  documented scale path for that, as with the other top-k operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.dedup import tokens_expr
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+K1 = 1.2
+B = 0.75
+TOP_K = 10
+
+# (query_id, pos, term) — pos is the slot index used for order-fixed
+# summation; "quantum" is deliberately absent from the corpus vocabulary
+# to exercise the zero-match path (missing slot ⇒ coalesce 0).
+QUERY_TERMS: tuple[tuple[int, int, str], ...] = (
+    (1, 1, "spark"), (1, 2, "join"),
+    (2, 1, "window"), (2, 2, "merge"), (2, 3, "batch"),
+    (3, 1, "scan"), (3, 2, "fast"),
+    (4, 1, "filter"), (4, 2, "quantum"),
+)
+
+
+def _values_sql() -> str:
+    rows = ", ".join(f"({q}, {p}, '{t}')" for q, p, t in QUERY_TERMS)
+    return f"(VALUES {rows}) AS qt(query_id, pos, term)"
+
+
+_BM25_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
+  GROUP BY 1, 2, 3
+),
+stats AS (SELECT count(*) AS n, sum(len(toks)) AS s FROM t),
+matched AS (
+  SELECT qt.query_id, qt.pos, tc.doc_id, tc.dl, tc.tf
+  FROM tc JOIN {_values_sql()} USING (term)
+),
+dft AS (SELECT query_id, pos, count(*) AS df FROM matched GROUP BY 1, 2),
+contrib AS (
+  SELECT m.query_id, m.pos, m.doc_id,
+         ((stats.n - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+         * ((m.tf * CAST({K1 + 1} AS DOUBLE))
+            / (m.tf + CAST({K1} AS DOUBLE)
+               * (CAST({1 - B} AS DOUBLE)
+                  + CAST({B} AS DOUBLE)
+                    * (m.dl / (CAST(stats.s AS DOUBLE) / stats.n))))) AS c
+  FROM matched m
+  JOIN dft d USING (query_id, pos)
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id,
+         ((COALESCE(max(CASE WHEN pos = 1 THEN c END), CAST(0 AS DOUBLE))
+           + COALESCE(max(CASE WHEN pos = 2 THEN c END), CAST(0 AS DOUBLE)))
+          + COALESCE(max(CASE WHEN pos = 3 THEN c END), CAST(0 AS DOUBLE))) AS score
+  FROM contrib GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(score, 6) AS bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, rk, doc_id, bm25 FROM rk WHERE rk <= {TOP_K}
+"""
+
+
+@register("bm25_topk_retrieval", _BM25_ORACLE)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query under rational-idf BM25 (k1=1.2,
+    b=0.75) for a fixed 4-query workload over the corpus — see the
+    module docstring for the bit-exactness and 100 TB design notes."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_once = docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    tc = (
+        split_once.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = split_once.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("s")
+    )
+    qt = spark.createDataFrame(
+        list(QUERY_TERMS), "query_id int, pos int, term string"
+    )
+    # bounded: Σ_t df(t) rows over the 9 queried terms; two consumers
+    matched = (
+        tc.join(F.broadcast(qt), "term")
+        .select("query_id", "pos", "doc_id", "dl", "tf")
+        .localCheckpoint(eager=True)
+    )
+    dft = matched.groupBy("query_id", "pos").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("s").cast("double") / F.col("n")
+    contrib = (
+        matched.join(F.broadcast(dft), ["query_id", "pos"])
+        .join(F.broadcast(stats))
+        .select(
+            "query_id",
+            "pos",
+            "doc_id",
+            (
+                (
+                    (F.col("n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf") * F.lit(K1 + 1))
+                    / (
+                        F.col("tf")
+                        + F.lit(K1)
+                        * (F.lit(1 - B) + F.lit(B) * (F.col("dl") / avgdl))
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    slot = [
+        F.coalesce(
+            F.max(F.when(F.col("pos") == p, F.col("c"))), F.lit(0.0)
+        )
+        for p in (1, 2, 3)
+    ]
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        ((slot[0] + slot[1]) + slot[2]).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(w).alias("rk"),
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+        )
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -67,5 +67,6 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.scale_patterns  # noqa: F401
     import beametrics_spark.operators.sampling  # noqa: F401
     import beametrics_spark.operators.dedup2  # noqa: F401
+    import beametrics_spark.operators.retrieval  # noqa: F401
 
     return QUERIES
