@@ -1,0 +1,111 @@
+"""Time-series smoothing: exponentially-weighted moving-average
+forecast backtest per event type — the recursive-smoother companion to
+the seasonal-naive baseline (events3.py) and the CUSUM drift detector
+(mining.py). EWMA is the standard low-latency rate estimator for
+operational metrics (the reference's domain: error counts per window,
+`beametrics/pipeline.py:133-222`) — this operator backtests it as a
+one-step-ahead forecaster over the hourly event-count series.
+
+Bit-exactness across engines WITHOUT rounding tricks: the smoother is
+α = 1/2 over the last 20 observations, on INTEGER hourly counts. Every
+weight is a power of two, so each fold step (acc + x) / 2 is an IEEE
+operation on dyadic rationals with ≤ 20 integer bits + ≤ 19 fractional
+bits = 39 significant bits < 53 — EVERY intermediate is exactly
+representable, no rounding ever happens, and therefore no
+engine/order divergence can exist. The same argument covers the error
+rollup: |x − s| values are exact dyadics and their per-type sum stays
+under 2^49, so sum and max are exact and the single final division is
+correctly rounded identically everywhere. (Compare seasonal-naive,
+which averages raw double values and accepts round(4) noise.)
+
+The recursive fold s ← (s + x)/2 (oldest-in-window as seed) is an
+ordered-list fold on both sides: Spark `aggregate` over the sliced
+window collect_list, DuckDB `list_reduce` (which seeds with the first
+element — the same semantics as the null-seeded Spark lambda).
+
+100 TB notes: the raw corpus collapses to |types| × |hours| rows in
+one map-side-combined aggregate before ANY window logic, so the
+collect_list/fold stage — the only non-codegen part — runs on a
+profile-table-sized input regardless of event volume. The 20-element
+slice bounds per-row state; the per-type window partition is |hours|
+rows. The reference has no forecasting (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+EWMA_WINDOW = 20  # observations; bounds fold depth AND exactness (39 bits)
+
+
+_EWMA_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, bucket, x,
+         list(x) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior
+  FROM hourly
+),
+fc AS (
+  SELECT event_type, x,
+         list_reduce(
+           list_transform(
+             prior[greatest(len(prior) - {EWMA_WINDOW - 1}, 1):len(prior)],
+             v -> CAST(v AS DOUBLE)),
+           (acc, v) -> (acc + v) / 2) AS s
+  FROM seq WHERE len(prior) >= 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(abs(x - s)) / count(*), 4) AS mae,
+       round(max(abs(x - s)), 4) AS max_abs_err
+FROM fc GROUP BY 1
+"""
+
+
+@register("ewma_forecast_error", _EWMA_ORACLE)
+def ewma_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA backtest per event type: forecast this
+    hour's event count with the α=1/2, 20-observation EWMA of the
+    PRIOR hours' counts; report MAE and worst absolute error. See the
+    module docstring for why this is bit-exact cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.collect_list("x").over(wprev)
+    seq = hourly.select("event_type", "x", prior.alias("prior"))
+    sliced = F.slice(
+        F.col("prior"),
+        F.greatest(F.size("prior") - F.lit(EWMA_WINDOW - 1), F.lit(1)),
+        F.lit(EWMA_WINDOW),
+    )
+    ewma = F.aggregate(
+        sliced,
+        F.lit(None).cast("double"),
+        lambda acc, v: F.when(acc.isNull(), v.cast("double")).otherwise(
+            (acc + v.cast("double")) / F.lit(2.0)
+        ),
+    )
+    fc = seq.filter(F.size("prior") >= 1).select(
+        "event_type", "x", ewma.alias("s")
+    )
+    err = F.abs(F.col("x") - F.col("s"))
+    return fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(err) / F.count(F.lit(1)), 4).alias("mae"),
+        F.round(F.max(err), 4).alias("max_abs_err"),
+    )

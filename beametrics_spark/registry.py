@@ -69,5 +69,6 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.dedup2  # noqa: F401
     import beametrics_spark.operators.retrieval  # noqa: F401
     import beametrics_spark.operators.graph3  # noqa: F401
+    import beametrics_spark.operators.timeseries  # noqa: F401
 
     return QUERIES
