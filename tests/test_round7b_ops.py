@@ -1,0 +1,167 @@
+"""Round-7 wave 2: BM25 retrieval, label-propagation communities,
+EWMA forecast backtest.
+
+Same engine-free strategy as the other rounds' test files: semantics
+verified against independent pure-Python recomputation (plain dicts
+and floats), not against the operators' own helpers or oracles.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.graph3 import (
+    N_ITER as LPA_ITER,
+    TOP_N as LPA_TOP,
+    label_prop_communities,
+)
+from beametrics_spark.operators.retrieval import (
+    B,
+    K1,
+    QUERY_TERMS,
+    TOP_K,
+    bm25_topk_retrieval,
+)
+from beametrics_spark.operators.timeseries import (
+    EWMA_WINDOW,
+    ewma_forecast_error,
+)
+from beametrics_spark.sources import load_table
+
+
+def test_bm25_matches_pure_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().split() for r in docs}
+    n = len(toks)
+    s = sum(len(t) for t in toks.values())
+    avgdl = s / n
+
+    # per (query, pos): posting list {doc: tf}
+    postings = {}
+    for q, p, term in QUERY_TERMS:
+        postings[(q, p)] = {
+            d: t.count(term) for d, t in toks.items() if term in t
+        }
+
+    expect = {}
+    for q in sorted({q for q, _, _ in QUERY_TERMS}):
+        scores = {}
+        for p in (1, 2, 3):
+            pl = postings.get((q, p))
+            if not pl:
+                continue
+            df = len(pl)
+            idf = (n - df + 0.5) / (df + 0.5)
+            for d, tf in pl.items():
+                dl = len(toks[d])
+                c = idf * (
+                    (tf * (K1 + 1))
+                    / (tf + K1 * ((1 - B) + B * (dl / avgdl)))
+                )
+                scores.setdefault(d, [0.0, 0.0, 0.0])[p - 1] = c
+        total = {
+            d: round((v[0] + v[1]) + v[2], 6) for d, v in scores.items()
+        }
+        ranked = sorted(total, key=lambda d: (-total[d], d))[:TOP_K]
+        for rk, d in enumerate(ranked, 1):
+            expect[(q, rk)] = (d, total[d])
+
+    got = {
+        (r["query_id"], r["rk"]): (r["doc_id"], r["bm25"])
+        for r in bm25_topk_retrieval(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (doc, score) in expect.items():
+        gd, gs = got[k]
+        assert gd == doc, (k, doc, gd)
+        assert math.isclose(gs, score, rel_tol=0, abs_tol=5e-7), (k, score, gs)
+
+
+def test_bm25_absent_term_scores_zero_slot(spark, sf_dir):
+    """Query 4's second slot ('quantum') is absent from the corpus:
+    its scores must equal the single-term 'filter' contribution alone,
+    i.e. every returned row still has a strictly positive score."""
+    rows = (
+        bm25_topk_retrieval(spark, sf_dir)
+        .filter(F.col("query_id") == 4)
+        .collect()
+    )
+    assert len(rows) == TOP_K
+    assert all(r["bm25"] > 0 for r in rows)
+
+
+def test_label_prop_matches_pure_python(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    cust = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+    w = {}
+    for r in lineitem:
+        ck = cust.get(r["l_orderkey"])
+        if ck is None:
+            continue
+        key = (f"c:{ck}", f"s:{r['l_suppkey']}")
+        w[key] = w.get(key, 0) + 1
+    edges = {}
+    for (c, s), wt in w.items():
+        edges.setdefault(c, {})[s] = wt
+        edges.setdefault(s, {})[c] = wt
+
+    lab = {v: v for v in edges}
+    for _ in range(LPA_ITER):
+        new = {}
+        for v, nbrs in edges.items():
+            tally = {}
+            for u, wt in nbrs.items():
+                tally[lab[u]] = tally.get(lab[u], 0) + wt
+            new[v] = min(tally, key=lambda L: (-tally[L], L))
+        lab = new
+
+    sizes = {}
+    for L in lab.values():
+        sizes[L] = sizes.get(L, 0) + 1
+    expect = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:LPA_TOP]
+
+    got = [
+        (r["community"], r["n_nodes"])
+        for r in label_prop_communities(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_ewma_matches_pure_python_exactly(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    hourly = {}
+    for r in events:
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        hourly[(r["event_type"], b)] = hourly.get((r["event_type"], b), 0) + 1
+
+    series = {}
+    for (t, b), x in hourly.items():
+        series.setdefault(t, []).append((b, x))
+    expect = {}
+    for t, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        errs = []
+        for i in range(1, len(xs)):
+            window = xs[max(i - EWMA_WINDOW, 0) : i]
+            s = float(window[0])
+            for v in window[1:]:
+                s = (s + v) / 2
+            errs.append(abs(xs[i] - s))
+        expect[t] = (
+            len(errs),
+            round(sum(errs) / len(errs), 4),
+            round(max(errs), 4),
+        )
+
+    got = {
+        r["event_type"]: (r["n_points"], r["mae"], r["max_abs_err"])
+        for r in ewma_forecast_error(spark, sf_dir).collect()
+    }
+    # dyadic exactness: equality is EXACT, no tolerance needed
+    assert got == expect
