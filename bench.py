@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "countmin_error_audit",
     # round-7: lang-id hash-checkable certification (UDF vs SQL twin)
     "lang_id_agreement_audit",
+    # round-7 wave 2: sparse retrieval + smoothing forecaster
+    "bm25_topk_retrieval",
+    "ewma_forecast_error",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -190,6 +193,7 @@ STREAMING_QUERIES = [
 # INSIDE the timer: these operators execute their rounds eagerly while
 # the DataFrame is being built.
 ITERATIVE_QUERIES = [
+    "label_prop_communities",
     "pagerank_customer_supplier",
     "dedup_clusters",
     "embedding_pca_power_iteration",
@@ -207,6 +211,7 @@ ITERATIVE_QUERIES = [
 # way (scaling_check.py already imports ITERATIVE_QUERIES from here).
 CONSTRUCTION_TIMED = {
     "supplier_cotrade_triangles",   # backbone edge checkpoint
+    "bm25_topk_retrieval",          # matched-postings checkpoint at build
     "dedup_minhash_lsh",            # candidate-set checkpoint
     "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
     "ann_ivf_recall_audit",         # centroid training collects at build
@@ -216,11 +221,12 @@ CONSTRUCTION_TIMED = {
 
 
 def _iter_count(name: str) -> int:
-    from beametrics_spark.operators import curation
+    from beametrics_spark.operators import curation, graph3
     from beametrics_spark.operators.graph import N_ITER
     from beametrics_spark.operators.similarity4 import PCA_ITERS
 
     return {
+        "label_prop_communities": graph3.N_ITER,
         "pagerank_customer_supplier": N_ITER,
         "dedup_clusters": curation.LAST_CC_ROUNDS,
         "embedding_pca_power_iteration": PCA_ITERS,
