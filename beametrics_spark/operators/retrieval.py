@@ -189,3 +189,115 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+_RRF_ORACLE = rf"""
+WITH bm AS (
+  SELECT query_id, doc_id, rk FROM ({{bm25}}) b
+),
+t2 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+tc2 AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t2)
+  GROUP BY 1, 2
+),
+cov AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT qt.query_id, tc2.doc_id,
+           row_number() OVER (PARTITION BY qt.query_id
+                              ORDER BY count(*) DESC, sum(tc2.tf) DESC,
+                                       tc2.doc_id ASC) AS rk
+    FROM tc2 JOIN {{values}} USING (term)
+    GROUP BY qt.query_id, tc2.doc_id
+  ) WHERE rk <= {TOP_K}
+),
+fused AS (
+  SELECT COALESCE(bm.query_id, cov.query_id) AS query_id,
+         COALESCE(bm.doc_id, cov.doc_id) AS doc_id,
+         (COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + bm.rk), CAST(0 AS DOUBLE))
+          + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + cov.rk), CAST(0 AS DOUBLE)))
+           AS score
+  FROM bm FULL OUTER JOIN cov
+    ON bm.query_id = cov.query_id AND bm.doc_id = cov.doc_id
+)
+SELECT query_id, rk, doc_id, rrf FROM (
+  SELECT query_id, doc_id, round(score, 6) AS rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rk
+  FROM fused
+) WHERE rk <= {TOP_K}
+""".format(bm25=_BM25_ORACLE, values=_values_sql())
+
+
+@register("retrieval_rank_fusion", _RRF_ORACLE)
+def retrieval_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of two
+    retrievers over the same fixed query workload: the rational-idf
+    BM25 ranker above and an integer-only term-coverage ranker
+    (distinct query terms matched DESC, total tf DESC, doc_id ASC).
+    RRF is THE standard hybrid-retrieval combiner (sparse + second
+    signal) and is deterministic by construction here: both input
+    ranks are integers, each reciprocal 1/(60+rk) is one correctly-
+    rounded division, and the two-term sum has a fixed association —
+    bit-identical cross-engine like the rest of the module.
+
+    Plan shape: the BM25 branch is the operator above (bounded
+    checkpoint, broadcast dims); the coverage branch re-prunes
+    postings with the same broadcast 9-row term table and ranks on
+    integer keys (WindowGroupLimit). The fusion joins two ≤|Q|·top-k
+    row lists — driver-free, broadcast-sized at any corpus scale."""
+    bm = bm25_topk_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("rk_bm")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tc2 = (
+        docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qt = spark.createDataFrame(
+        list(QUERY_TERMS), "query_id int, pos int, term string"
+    )
+    w_cov = Window.partitionBy("query_id").orderBy(
+        F.desc("n_terms"), F.desc("tot_tf"), F.asc("doc_id")
+    )
+    cov = (
+        tc2.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("tot_tf")
+        )
+        .withColumn("rk_cov", F.row_number().over(w_cov))
+        .filter(F.col("rk_cov") <= TOP_K)
+        .select("query_id", "doc_id", "rk_cov")
+    )
+    fused = bm.join(cov, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rk_bm")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rk_cov")), F.lit(0.0)
+            )
+        ).alias("score"),
+    )
+    w_out = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        fused.select(
+            "query_id",
+            F.row_number().over(w_out).alias("rk"),
+            "doc_id",
+            F.round("score", 6).alias("rrf"),
+        )
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -109,3 +109,65 @@ def ewma_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(err) / F.count(F.lit(1)), 4).alias("mae"),
         F.round(F.max(err), 4).alias("max_abs_err"),
     )
+
+
+DEBOUNCE_GAP_US = 5_000_000  # 5 s minimum inter-arrival gap per key
+
+
+_DEBOUNCE_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type
+           ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= {DEBOUNCE_GAP_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN gap_us IS NULL OR gap_us >= {DEBOUNCE_GAP_US}
+                      THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / count(*), 4)
+         AS kept_rate
+FROM seq GROUP BY 1
+"""
+
+
+@register("event_debounce_rate", _DEBOUNCE_ORACLE)
+def event_debounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-flood suppression audit: an event is KEPT iff it arrives
+    ≥5 s after the previous event of the same TYPE — the rate-limiter
+    every alerting sink applies (the reference's Cloud Monitoring
+    target enforces one point per minimum interval per series;
+    `metrics_exporter.py` simply drops violations), evaluated here as
+    'what fraction of the stream survives'. The gap is measured
+    against the previous RAW event (single-lag debounce); chained
+    against-last-KEPT debouncing is a running state machine — that
+    variant is what the streaming incremental-dedup twin covers with
+    real state.
+
+    Determinism: gaps are INTEGER microseconds over a total order
+    (ts, event_id), and the kept-rate is one integer division —
+    nothing can diverge cross-engine. Scale note: the per-TYPE window
+    is the one legitimately serial shape here (a global rate limiter
+    is serial by definition); |types| partitions each hold their
+    type's events ordered by time, the state is one lag value, and at
+    100 TB the same semantics would run as the streaming variant with
+    the limiter's state in the state store instead of a sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = events.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    kept = F.when(
+        F.col("gap_us").isNull() | (F.col("gap_us") >= DEBOUNCE_GAP_US), 1
+    ).otherwise(0)
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(kept).alias("n_kept"),
+        F.round(
+            F.sum(kept) * F.lit(1.0) / F.count(F.lit(1)), 4
+        ).alias("kept_rate"),
+    )

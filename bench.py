@@ -162,9 +162,12 @@ BENCH_QUERIES = [
     "countmin_error_audit",
     # round-7: lang-id hash-checkable certification (UDF vs SQL twin)
     "lang_id_agreement_audit",
-    # round-7 wave 2: sparse retrieval + smoothing forecaster
+    # round-7 wave 2: sparse retrieval + smoothing forecaster + hybrid
+    # fusion + alert-flood suppression
     "bm25_topk_retrieval",
     "ewma_forecast_error",
+    "retrieval_rank_fusion",
+    "event_debounce_rate",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -212,6 +215,7 @@ ITERATIVE_QUERIES = [
 CONSTRUCTION_TIMED = {
     "supplier_cotrade_triangles",   # backbone edge checkpoint
     "bm25_topk_retrieval",          # matched-postings checkpoint at build
+    "retrieval_rank_fusion",        # composes bm25 -> same checkpoint at build
     "dedup_minhash_lsh",            # candidate-set checkpoint
     "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
     "ann_ivf_recall_audit",         # centroid training collects at build

@@ -165,3 +165,104 @@ def test_ewma_matches_pure_python_exactly(spark, sf_dir):
     }
     # dyadic exactness: equality is EXACT, no tolerance needed
     assert got == expect
+
+
+def _bm25_topk_python(toks):
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for q in sorted({q for q, _, _ in QUERY_TERMS}):
+        scores = {}
+        for qq, p, term in QUERY_TERMS:
+            if qq != q:
+                continue
+            pl = {d: t.count(term) for d, t in toks.items() if term in t}
+            if not pl:
+                continue
+            df = len(pl)
+            idf = (n - df + 0.5) / (df + 0.5)
+            for d, tf in pl.items():
+                dl = len(toks[d])
+                c = idf * (
+                    (tf * (K1 + 1))
+                    / (tf + K1 * ((1 - B) + B * (dl / avgdl)))
+                )
+                scores.setdefault(d, [0.0, 0.0, 0.0])[p - 1] = c
+        total = {d: round((v[0] + v[1]) + v[2], 6) for d, v in scores.items()}
+        out[q] = sorted(total, key=lambda d: (-total[d], d))[:TOP_K]
+    return out
+
+
+def test_rank_fusion_matches_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.retrieval import (
+        RRF_K,
+        retrieval_rank_fusion,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().split() for r in docs}
+    bm = _bm25_topk_python(toks)
+
+    expect = {}
+    for q in bm:
+        terms = [t for qq, _, t in QUERY_TERMS if qq == q]
+        cov_scores = {}
+        for d, t in toks.items():
+            n_terms = sum(1 for term in set(terms) if term in t)
+            if n_terms:
+                cov_scores[d] = (n_terms, sum(t.count(term) for term in set(terms)))
+        cov = sorted(
+            cov_scores, key=lambda d: (-cov_scores[d][0], -cov_scores[d][1], d)
+        )[:TOP_K]
+        fused = {}
+        for r, d in enumerate(bm[q], 1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (RRF_K + r)
+        for r, d in enumerate(cov, 1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (RRF_K + r)
+        fused = {d: round(s, 6) for d, s in fused.items()}
+        ranked = sorted(fused, key=lambda d: (-fused[d], d))[:TOP_K]
+        for rk, d in enumerate(ranked, 1):
+            expect[(q, rk)] = d
+
+    got = {
+        (r["query_id"], r["rk"]): r["doc_id"]
+        for r in retrieval_rank_fusion(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_event_debounce_matches_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.timeseries import (
+        DEBOUNCE_GAP_US,
+        event_debounce_rate,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    ).collect()
+    by_type = {}
+    for r in events:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["ts"], r["event_id"])
+        )
+    expect = {}
+    for t, rows in by_type.items():
+        rows.sort()
+        kept = 0
+        prev = None
+        for ts, _eid in rows:
+            us = int(ts.timestamp() * 1_000_000)
+            # avoid float epoch precision: recompute from components
+            import calendar
+
+            us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+            if prev is None or us - prev >= DEBOUNCE_GAP_US:
+                kept += 1
+            prev = us
+        expect[t] = (len(rows), kept, round(kept / len(rows), 4))
+
+    got = {
+        r["event_type"]: (r["n_events"], r["n_kept"], r["kept_rate"])
+        for r in event_debounce_rate(spark, sf_dir).collect()
+    }
+    assert got == expect
