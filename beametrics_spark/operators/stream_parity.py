@@ -884,3 +884,73 @@ def stream_passage_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dup).alias("n_dup_passages"),
         F.round(F.sum(dup) / F.sum("c"), 4).alias("dup_rate"),
     )
+
+
+from beametrics_spark.operators.timeseries import _DEBOUNCE_ORACLE
+
+
+@register("stream_debounce_parity", _DEBOUNCE_ORACLE)
+def stream_debounce_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_debounce_rate (operators/timeseries.py) lifted to a CUSTOM
+    STATEFUL streaming operator — and the first parity twin that is
+    genuinely MULTI-micro-batch: the events table is split into four
+    event-time-ordered parquet files fed one per trigger
+    (maxFilesPerTrigger=1), so the per-type rate-limiter state (one
+    long: last event-time seen) must carry across four micro-batch
+    boundaries to reproduce the batch answer. A single-lag gap audit is
+    order-sensitive, so unlike the algebraic twins (counts, OHLC
+    min/max_by) it cannot be written as a windowed aggregate — it is
+    exactly the shape applyInPandasWithState exists for
+    (streaming/stateful.py:debounce_stream).
+
+    Boundary correctness: files split on day boundaries, so two events
+    with equal timestamps are always in the same batch, and the
+    cross-boundary gap is computed against the carried state — the
+    identical single-lag chain the batch window computes. Each
+    invocation emits per-batch INCREMENTS; the final kept-rate rollup
+    is a 5-row batch aggregate over the drained increments. Shares
+    event_debounce_rate's oracle verbatim.
+    """
+    from beametrics_spark.operators.timeseries import DEBOUNCE_GAP_US
+    from beametrics_spark.sources import load_table
+    from beametrics_spark.streaming.stateful import debounce_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_deb_")
+    try:
+        # four single-file chunks in event-time order with increasing
+        # mtimes (FileStreamSource processes oldest-first)
+        for i, (lo, hi) in enumerate([(1, 8), (8, 16), (16, 24), (24, 32)]):
+            chunk = ev.filter(
+                (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
+            )
+            tmp = os.path.join(stream_dir, f"_build_{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp) if p.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        schema = spark.read.parquet(stream_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        increments = debounce_stream(stream, gap_us=DEBOUNCE_GAP_US)
+        drained = _drain_to_table(
+            spark, increments, "stream_debounce", "append"
+        )
+        return drained.groupBy("event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_kept").alias("n_kept"),
+            F.round(
+                F.sum("n_kept") * F.lit(1.0) / F.sum("n_events"), 4
+            ).alias("kept_rate"),
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)

@@ -131,3 +131,74 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+DEBOUNCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+    ]
+)
+
+DEBOUNCE_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_us", T.LongType())]
+)
+
+
+def make_debounce_fn(gap_us: int):
+    """applyInPandasWithState callback for the per-type rate limiter:
+    state is ONE long (the last-seen event-time in microseconds); each
+    invocation sorts its batch's rows into the (ts_us, event_id) total
+    order, counts arrivals >= gap_us after their predecessor (the
+    predecessor of the first row being the carried state), and emits
+    the batch INCREMENT (n_events, n_kept) — the caller sums increments
+    batch-side. Single-lag semantics across micro-batch boundaries are
+    exact as long as the source feeds batches in event-time order,
+    which the parity harness guarantees by construction."""
+
+    def update_debounce(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        prev = state.get[0] if state.exists else None
+        kept = 0
+        for us in rows["ts_us"]:
+            us = int(us)
+            if prev is None or us - prev >= gap_us:
+                kept += 1
+            prev = us
+        state.update((prev,))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_events": [len(rows)],
+                "n_kept": [kept],
+            }
+        )
+
+    return update_debounce
+
+
+def debounce_stream(events: DataFrame, *, gap_us: int) -> DataFrame:
+    """events stream → per-micro-batch (type, n_events, n_kept)
+    increments (append mode, NoTimeout — state is one long per key and
+    lives for the stream's lifetime, the correct shape for a rate
+    limiter that never forgets its last emission)."""
+    # cast handles TIMESTAMP_NTZ sources (session tz is pinned to UTC
+    # engine-wide, so the reinterpretation is identity)
+    prepped = events.select(
+        F.col("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id"),
+    )
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        make_debounce_fn(gap_us),
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

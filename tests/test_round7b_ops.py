@@ -266,3 +266,60 @@ def test_event_debounce_matches_pure_python(spark, sf_dir):
         for r in event_debounce_rate(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_debounce_state_carries_across_micro_batches(spark, tmp_path):
+    """Dense 1-second arrivals split across two files fed one per
+    trigger: every gap is below the threshold, so ONLY the very first
+    event may be kept — but only if the last-seen state survives the
+    micro-batch boundary. A state-losing implementation would also
+    keep the second file's first event (gap vs nothing)."""
+    import os
+
+    import pandas as pd
+
+    from beametrics_spark.streaming.stateful import debounce_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01T00:00:00")
+    for i, rng in enumerate([range(0, 5), range(5, 10)]):
+        pdf = pd.DataFrame(
+            {
+                "event_type": ["tick"] * len(rng),
+                "ts": [base + pd.Timedelta(seconds=s) for s in rng],
+                "event_id": list(rng),
+            }
+        )
+        p = str(src / f"{i:02d}.parquet")
+        pdf.to_parquet(p, engine="pyarrow", coerce_timestamps="us")
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    inc = debounce_stream(stream, gap_us=5_000_000)
+    name = "debounce_state_test"
+    q = (
+        inc.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    # two micro-batches -> two increment rows for the key
+    assert len(rows) == 2, rows
+    total_kept = sum(r["n_kept"] for r in rows)
+    total_events = sum(r["n_events"] for r in rows)
+    assert total_events == 10
+    # 1s gaps throughout: only the very first event survives; the
+    # second batch's first event must be debounced AGAINST CARRIED STATE
+    assert total_kept == 1, rows
