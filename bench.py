@@ -185,6 +185,7 @@ STREAMING_QUERIES = [
     "stream_salted_fanout_parity",
     "stream_topk_per_window_parity",
     "stream_passage_dedup_parity",
+    "stream_debounce_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric
