@@ -323,3 +323,40 @@ def test_debounce_state_carries_across_micro_batches(spark, tmp_path):
     # 1s gaps throughout: only the very first event survives; the
     # second batch's first event must be debounced AGAINST CARRIED STATE
     assert total_kept == 1, rows
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """100 TB pins: the scored pipeline must reuse the CHECKPOINTED
+    matched-postings set (ExistingRDD scans, not corpus re-tokenizes),
+    keep exactly one residual parquet scan (the N/avgdl stats pass),
+    and broadcast every dimension join — no sort-merge join anywhere."""
+    df = bm25_topk_retrieval(spark, sf_dir)
+    plan = _plan_of(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_label_prop_plan_truncates_lineage(spark, sf_dir):
+    """After 3 localCheckpointed rounds the final plan must read only
+    checkpointed RDDs — no parquet scan may survive into the last
+    iteration's plan (the lineage-growth failure mode)."""
+    df = label_prop_communities(spark, sf_dir)
+    plan = _plan_of(df)
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_ewma_single_scan_and_partial_agg(spark, sf_dir):
+    """The corpus collapses in ONE scan + map-side-combined aggregate
+    before any window logic; the fold stays a codegen expression (no
+    Python UDF nodes)."""
+    df = ewma_forecast_error(spark, sf_dir)
+    plan = _plan_of(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
