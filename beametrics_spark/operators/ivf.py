@@ -200,8 +200,14 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (< 90% of the corpus scored);
     tests/test_ivf.py::test_ivf_deterministic pins run-to-run stability.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # same one-materialization rule as ann_ivf_recall_audit below
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("vec_id")
+        )
+        .localCheckpoint(eager=True)
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     centroids = train_ivf_centroids(spark, corpus)
@@ -353,8 +359,21 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables, hash-agg dot products, per-query window top-k; the only
     differences are the SQL-replicable arithmetic seed hash and a
     pinned (cells=8, nprobe=4, iters=1) configuration."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # One materialization of the projected corpus (repartitioned first —
+    # a single-file scan checkpoints into 1-2 partitions and starves the
+    # xC scoring expansions): the seed pick, the Lloyd collect, both
+    # assignment passes, and the brute-force side each launch a driver
+    # job, and without the lineage cut EVERY one re-runs the
+    # scan->project subtree. The iterative-ML caching rule (MLlib
+    # persists its input for the same reason); on a cluster this is a
+    # persist to executor-local storage, sized n x D doubles.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("vec_id")
+        )
+        .localCheckpoint(eager=True)
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
