@@ -954,3 +954,34 @@ def stream_debounce_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+from beametrics_spark.operators.timeseries import _EWMA_ORACLE
+
+
+@register("stream_ewma_parity", _EWMA_ORACLE)
+def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewma_forecast_error as a streaming pipeline: the stateful part —
+    tumbling 1 h counts per (type, window) — runs as a streaming
+    aggregate and drains to a memory sink; the order-sensitive EWMA
+    fold finalizes as BATCH code over the drained (closed) windows,
+    the same split as stream_topk_per_window_parity and for the same
+    reason (4.1.2 chains stateful aggs append-only, and a recursive
+    fold is not a streaming aggregate at all). The finalization is
+    ewma_rollup — the BATCH twin's code object, shared verbatim, so
+    the two cannot drift; at scale it runs over |types|x|hours| rows
+    in foreachBatch or the downstream reader, never raw events.
+    Shares the batch twin's oracle (and its dyadic bit-exactness)."""
+    from beametrics_spark.operators.timeseries import ewma_rollup
+
+    path = os.path.join(sf_dir, "events.parquet")
+    with _scoped_conf(spark):
+        stream, stream_dir = _file_stream(
+            spark, path, "events", "beametrics_stream_ewma_"
+        )
+        counts = stream.groupBy(
+            "event_type",
+            F.window("ts", "1 hour").getField("start").alias("bucket"),
+        ).agg(F.count(F.lit(1)).alias("x"))
+        out = _drain_to_table(spark, counts, "ewma_parity", "complete", stream_dir)
+    return ewma_rollup(out)

@@ -71,16 +71,11 @@ FROM fc GROUP BY 1
 """
 
 
-@register("ewma_forecast_error", _EWMA_ORACLE)
-def ewma_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-step-ahead EWMA backtest per event type: forecast this
-    hour's event count with the α=1/2, 20-observation EWMA of the
-    PRIOR hours' counts; report MAE and worst absolute error. See the
-    module docstring for why this is bit-exact cross-engine."""
-    events = load_table(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("x"))
+def ewma_rollup(hourly: DataFrame) -> DataFrame:
+    """(event_type, bucket, x) → per-type EWMA backtest rollup — the
+    fold + error aggregation shared verbatim by the batch operator and
+    the streaming twin (stream_ewma_parity finalizes over drained
+    closed windows, this exact code)."""
     wprev = (
         Window.partitionBy("event_type")
         .orderBy("bucket")
@@ -109,6 +104,19 @@ def ewma_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(err) / F.count(F.lit(1)), 4).alias("mae"),
         F.round(F.max(err), 4).alias("max_abs_err"),
     )
+
+
+@register("ewma_forecast_error", _EWMA_ORACLE)
+def ewma_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA backtest per event type: forecast this
+    hour's event count with the α=1/2, 20-observation EWMA of the
+    PRIOR hours' counts; report MAE and worst absolute error. See the
+    module docstring for why this is bit-exact cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return ewma_rollup(hourly)
 
 
 DEBOUNCE_GAP_US = 5_000_000  # 5 s minimum inter-arrival gap per key

@@ -186,6 +186,7 @@ STREAMING_QUERIES = [
     "stream_topk_per_window_parity",
     "stream_passage_dedup_parity",
     "stream_debounce_parity",
+    "stream_ewma_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric
