@@ -179,3 +179,72 @@ def event_debounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept) * F.lit(1.0) / F.count(F.lit(1)), 4
         ).alias("kept_rate"),
     )
+
+
+COMPACT_TARGET_CHARS = 4096  # target bin payload (chars stand in for bytes)
+
+
+_COMPACT_ORACLE = f"""
+WITH sized AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents
+)
+SELECT source,
+       CAST(floor(before / {COMPACT_TARGET_CHARS}) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) * CAST(1 AS DOUBLE) / {COMPACT_TARGET_CHARS}, 4)
+         AS fill_ratio
+FROM sized
+GROUP BY 1, 2
+"""
+
+
+@register("compaction_bin_packing", _COMPACT_ORACLE)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-aware compaction plan: pack each source's documents into
+    ~{T}-char bins by capacity-spill sequential packing over the
+    (n_chars DESC, doc_id) order — a new bin opens when the exclusive
+    running total crosses a bin boundary (bin = floor(prefix/target)).
+    This is the small-file compaction planner every table format needs
+    at 100 TB (bin-pack rewrite of under-sized files); the descending
+    order is the greedy decrease that keeps large items from
+    fragmenting late bins. Deliberately NOT first-fit-decreasing: FFD
+    revisits open bins (a sequential algorithm with unbounded state);
+    capacity-spill packing is one window cumsum — fully parallel
+    within each source partition after a single shuffle — and its
+    fill-ratio loss vs FFD is bounded and visible in the output.
+    Complements dataset_shard_assign (hash placement, size-blind).
+
+    Determinism: integer sizes, total (n_chars, doc_id) order, integer
+    bin arithmetic; the one double is the output fill_ratio. Scale:
+    one shuffle on source; per-source window state is a running long.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    sized = docs.select(
+        "source",
+        "n_chars",
+        F.floor(before / F.lit(COMPACT_TARGET_CHARS)).cast("long").alias("bin_id"),
+    )
+    return sized.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum("n_chars") * F.lit(1.0) / F.lit(COMPACT_TARGET_CHARS), 4
+        ).alias("fill_ratio"),
+    )
+
+
+compaction_bin_packing.__doc__ = compaction_bin_packing.__doc__.replace(
+    "{T}", str(COMPACT_TARGET_CHARS)
+)

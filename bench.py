@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "ewma_forecast_error",
     "retrieval_rank_fusion",
     "event_debounce_rate",
+    "compaction_bin_packing",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -360,3 +360,43 @@ def test_ewma_single_scan_and_partial_agg(spark, sf_dir):
     plan = _plan_of(df)
     assert plan.count("Scan parquet") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_compaction_packing_matches_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.timeseries import (
+        COMPACT_TARGET_CHARS,
+        compaction_bin_packing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    expect = {}
+    for src, items in by_src.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        run = 0
+        for n_chars, _ in items:
+            b = run // COMPACT_TARGET_CHARS
+            key = (src, b)
+            nd, tc = expect.get(key, (0, 0))
+            expect[key] = (nd + 1, tc + n_chars)
+            run += n_chars
+    expect = {
+        k: (nd, tc, round(tc / COMPACT_TARGET_CHARS, 4))
+        for k, (nd, tc) in expect.items()
+    }
+
+    got = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["total_chars"], r["fill_ratio"])
+        for r in compaction_bin_packing(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # every bin except possibly each source's last is filled past target
+    for src, items in by_src.items():
+        last_bin = max(b for (s2, b) in got if s2 == src)
+        for (s2, b), (_, tc, _) in got.items():
+            if s2 == src and b < last_bin:
+                assert tc + max(n for n, _ in items) >= COMPACT_TARGET_CHARS
