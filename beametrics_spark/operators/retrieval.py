@@ -301,3 +301,104 @@ def retrieval_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+# (query_id, pos_in_phrase, term) — consecutive-token phrases; phrase 3
+# includes a term pair that co-occurs unordered in many docs, so the
+# adjacency constraint does real work
+PHRASE_TERMS: tuple[tuple[int, int, str], ...] = (
+    (1, 1, "spark"), (1, 2, "join"),
+    (2, 1, "window"), (2, 2, "merge"),
+    (3, 1, "fast"), (3, 2, "table"), (3, 3, "scan"),
+)
+
+
+def _phrase_values_sql() -> str:
+    rows = ", ".join(f"({q}, {p}, '{t}')" for q, p, t in PHRASE_TERMS)
+    return f"(VALUES {rows}) AS ph(query_id, pip, term)"
+
+
+_PHRASE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS tp, unnest(toks) AS term
+  FROM t
+),
+plen AS (SELECT query_id, count(*) AS L FROM {_phrase_values_sql()} GROUP BY 1),
+aligned AS (
+  SELECT ph.query_id, pos.doc_id, pos.tp - ph.pip + 1 AS start
+  FROM pos JOIN {_phrase_values_sql()} USING (term)
+),
+occurrences AS (
+  SELECT a.query_id, a.doc_id, a.start
+  FROM aligned a JOIN plen USING (query_id)
+  GROUP BY a.query_id, a.doc_id, a.start, plen.L
+  HAVING count(*) = plen.L
+),
+ranked AS (
+  SELECT query_id, doc_id, count(*) AS n_occurrences,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY count(*) DESC, doc_id ASC) AS rk
+  FROM occurrences GROUP BY 1, 2
+)
+SELECT query_id, rk, doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("phrase_search_topk", _PHRASE_ORACLE)
+def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-phrase search over a positional inverted
+    index, top-10 docs per phrase by occurrence count — the operator
+    behind quoted-string queries and exact-span contamination checks.
+
+    The classic formulation chains L-1 self-joins (term_i at p, term_2
+    at p+1, ...); this one is ONE join + ONE aggregate for ANY phrase
+    length: each matched posting votes for the phrase START it would
+    imply (start = token_pos − pos_in_phrase + 1), and a start with
+    exactly L DISTINCT phrase-position votes is an occurrence. (Votes
+    are distinct-by-construction: a (doc, token_pos) row matches one
+    pos_in_phrase per phrase unless the phrase repeats a term, which
+    none do — pinned by the repeats guard in tests.) All integers —
+    nothing to diverge cross-engine.
+
+    Scale: the broadcast 7-row phrase-term table semi-prunes the
+    positional postings BEFORE the shuffle; the vote aggregation keys
+    on (query, doc, start) — co-partitioned with the subsequent
+    per-doc count, so the second aggregate is map-side. Postings for
+    non-query terms never leave the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens_expr(F.col("text"))).alias("tp0", "term"),
+    ).select("doc_id", (F.col("tp0") + 1).alias("tp"), "term")
+    ph = spark.createDataFrame(
+        list(PHRASE_TERMS), "query_id int, pip int, term string"
+    )
+    plen = {q: sum(1 for qq, _, _ in PHRASE_TERMS if qq == q)
+            for q in {q for q, _, _ in PHRASE_TERMS}}
+    plen_df = spark.createDataFrame(
+        [(q, n) for q, n in sorted(plen.items())], "query_id int, L int"
+    )
+    aligned = pos.join(F.broadcast(ph), "term").select(
+        "query_id", "doc_id", (F.col("tp") - F.col("pip") + 1).alias("start")
+    )
+    occurrences = (
+        aligned.groupBy("query_id", "doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .join(F.broadcast(plen_df), "query_id")
+        .filter(F.col("votes") == F.col("L"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        occurrences.groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "doc_id", "n_occurrences")
+    )

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "retrieval_rank_fusion",
     "event_debounce_rate",
     "compaction_bin_packing",
+    "phrase_search_topk",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -400,3 +400,44 @@ def test_compaction_packing_matches_pure_python(spark, sf_dir):
         for (s2, b), (_, tc, _) in got.items():
             if s2 == src and b < last_bin:
                 assert tc + max(n for n, _ in items) >= COMPACT_TARGET_CHARS
+
+
+def test_phrase_search_matches_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.retrieval import (
+        PHRASE_TERMS,
+        phrase_search_topk,
+    )
+
+    # the one-join-one-agg vote formulation requires phrases without
+    # repeated terms (count(*) votes == count(distinct pip))
+    for q in {q for q, _, _ in PHRASE_TERMS}:
+        terms = [t for qq, _, t in PHRASE_TERMS if qq == q]
+        assert len(terms) == len(set(terms)), terms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().split() for r in docs}
+    phrases = {}
+    for q, p, t in PHRASE_TERMS:
+        phrases.setdefault(q, []).append((p, t))
+    expect = {}
+    for q, pts in phrases.items():
+        terms = [t for _, t in sorted(pts)]
+        L = len(terms)
+        counts = {}
+        for d, tk in toks.items():
+            n = sum(
+                1
+                for i in range(len(tk) - L + 1)
+                if tk[i : i + L] == terms
+            )
+            if n:
+                counts[d] = n
+        ranked = sorted(counts, key=lambda d: (-counts[d], d))[:10]
+        for rk, d in enumerate(ranked, 1):
+            expect[(q, rk)] = (d, counts[d])
+
+    got = {
+        (r["query_id"], r["rk"]): (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search_topk(spark, sf_dir).collect()
+    }
+    assert got == expect
