@@ -124,3 +124,154 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 label_prop_communities.__doc__ = label_prop_communities.__doc__.replace(
     "{TOP}", str(TOP_N)
 ).replace("{IT}", str(N_ITER))
+
+
+KCORE_K = 30
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "s0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{i} AS (
+  SELECT e.src AS node, count(*) AS d
+  FROM edges e
+  JOIN {prev} a ON a.node = e.src
+  JOIN {prev} b ON b.node = e.dst
+  GROUP BY 1
+),
+s{i} AS (SELECT node FROM d{i} WHERE d >= {KCORE_K}),
+rm{i} AS (
+  SELECT {i} AS round,
+         CASE WHEN p.node LIKE 'c:%' THEN 'c' ELSE 's' END AS side,
+         count(*) AS n
+  FROM {prev} p
+  WHERE p.node NOT IN (SELECT node FROM s{i})
+  GROUP BY 2
+)""")
+        prev = f"s{i}"
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM rm{i}" for i in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH raw AS (
+  SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM raw
+  UNION ALL
+  SELECT s AS src, c AS dst FROM raw
+),
+s0 AS (SELECT DISTINCT src AS node FROM edges),
+{",".join(rounds)},
+removals AS ({unions}),
+core AS (
+  SELECT {KCORE_ROUNDS + 1} AS round,
+         CASE WHEN node LIKE 'c:%' THEN 'c' ELSE 's' END AS side,
+         count(*) AS n
+  FROM s{KCORE_ROUNDS} GROUP BY 2
+),
+scaffold AS (
+  SELECT r.round, sd.side
+  FROM (SELECT unnest(generate_series(1, {KCORE_ROUNDS + 1})) AS round) r
+  CROSS JOIN (VALUES ('c'), ('s')) sd(side)
+)
+SELECT sc.round, sc.side,
+       CAST(COALESCE(x.n, 0) AS BIGINT) AS n_nodes
+FROM scaffold sc
+LEFT JOIN (SELECT * FROM removals UNION ALL SELECT * FROM core) x
+  ON x.round = sc.round AND x.side = sc.side
+"""
+
+
+@register("kcore_trade_graph", _kcore_oracle())
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (K={K}, {R} rounds) of the UNWEIGHTED
+    customer↔supplier trade graph: each round removes every node whose
+    degree within the surviving subgraph is < K, and the output charts
+    the cascade — (round, side, nodes removed) for each round plus a
+    final (round {RP}, side, core size) row pair; fixed 10-row shape
+    with zero-rows scaffolded. k-core is the standard dense-subgraph /
+    spam-ring primitive the degree filter alone misses (removing one
+    wave lowers the next wave's degrees); bounded rounds keep the
+    oracle unrollable, and the last round's removal counts being zero
+    is the converged-fixpoint signal, visible in the output.
+
+    Integer-only (degrees, counts). Per round: one hash aggregate over
+    the surviving edge list + two semi-joins to shrink it — the same
+    join+agg-per-iteration shape as PageRank/LPA, lineage cut per
+    round. The edge list only ever SHRINKS, so at 100 TB the peel is
+    monotonically cheaper per round.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(raw.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    side = lambda col: F.when(
+        F.col(col).startswith("c:"), F.lit("c")
+    ).otherwise(F.lit("s"))
+
+    # removals are computed over explicit SURVIVOR NODE SETS, not the
+    # degree table: a node whose last edge disappears has no degree row
+    # at all, and only the set difference s_prev \ s_next counts it
+    removals = []
+    cur = edges
+    survivors = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        removed = (
+            survivors.join(keep, "node", "left_anti")
+            .groupBy(side("node").alias("side"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(i).alias("round"), "side", "n")
+        )
+        removals.append(removed)
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        survivors = keep
+    core = (
+        survivors.groupBy(side("node").alias("side"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(KCORE_ROUNDS + 1).alias("round"), "side", "n")
+    )
+    x = removals[0]
+    for r in removals[1:]:
+        x = x.unionAll(r)
+    x = x.unionAll(core)
+    scaffold = spark.createDataFrame(
+        [(r, sd) for r in range(1, KCORE_ROUNDS + 2) for sd in ("c", "s")],
+        "round int, side string",
+    )
+    return scaffold.join(x, ["round", "side"], "left").select(
+        "round", "side", F.coalesce("n", F.lit(0)).alias("n_nodes")
+    )
+
+
+kcore_trade_graph.__doc__ = (
+    kcore_trade_graph.__doc__.replace("{K}", str(KCORE_K))
+    .replace("{R}", str(KCORE_ROUNDS))
+    .replace("{RP}", str(KCORE_ROUNDS + 1))
+)

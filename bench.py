@@ -200,6 +200,7 @@ STREAMING_QUERIES = [
 # INSIDE the timer: these operators execute their rounds eagerly while
 # the DataFrame is being built.
 ITERATIVE_QUERIES = [
+    "kcore_trade_graph",
     "label_prop_communities",
     "pagerank_customer_supplier",
     "dedup_clusters",
@@ -234,6 +235,7 @@ def _iter_count(name: str) -> int:
     from beametrics_spark.operators.similarity4 import PCA_ITERS
 
     return {
+        "kcore_trade_graph": graph3.KCORE_ROUNDS,
         "label_prop_communities": graph3.N_ITER,
         "pagerank_customer_supplier": N_ITER,
         "dedup_clusters": curation.LAST_CC_ROUNDS,

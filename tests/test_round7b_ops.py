@@ -441,3 +441,50 @@ def test_phrase_search_matches_pure_python(spark, sf_dir):
         for r in phrase_search_topk(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_kcore_matches_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.graph3 import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        kcore_trade_graph,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    cust = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+    adj = {}
+    for r in lineitem:
+        ck = cust.get(r["l_orderkey"])
+        if ck is None:
+            continue
+        c, s = f"c:{ck}", f"s:{r['l_suppkey']}"
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+
+    expect = {}
+    survivors = set(adj)
+    for i in range(1, KCORE_ROUNDS + 1):
+        keep = {
+            v
+            for v in survivors
+            if len(adj[v] & survivors) >= KCORE_K
+        }
+        removed = survivors - keep
+        for sd in ("c", "s"):
+            expect[(i, sd)] = sum(1 for v in removed if v.startswith(sd))
+        survivors = keep
+    for sd in ("c", "s"):
+        expect[(KCORE_ROUNDS + 1, sd)] = sum(
+            1 for v in survivors if v.startswith(sd)
+        )
+
+    got = {
+        (r["round"], r["side"]): r["n_nodes"]
+        for r in kcore_trade_graph(spark, sf_dir).collect()
+    }
+    assert got == expect
