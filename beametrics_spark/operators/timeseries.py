@@ -248,3 +248,76 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 compaction_bin_packing.__doc__ = compaction_bin_packing.__doc__.replace(
     "{T}", str(COMPACT_TARGET_CHARS)
 )
+
+
+ANOM_TOP = 3
+
+
+_SEASONAL_ANOM_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(hour(ts) AS BIGINT) AS hod, count(*) AS x
+  FROM events GROUP BY 1, 2, 3
+),
+seasonal AS (
+  SELECT event_type, hod, sum(x) * CAST(1 AS DOUBLE) / count(*) AS m
+  FROM hourly GROUP BY 1, 2
+)
+SELECT event_type, bucket, x, residual FROM (
+  SELECT h.event_type, h.bucket, h.x,
+         round(h.x - s.m, 4) AS residual,
+         row_number() OVER (PARTITION BY h.event_type
+                            ORDER BY abs(h.x - s.m) DESC, h.bucket ASC) AS rk
+  FROM hourly h JOIN seasonal s USING (event_type, hod)
+) WHERE rk <= {ANOM_TOP}
+"""
+
+
+@register("seasonal_adjusted_anomalies", _SEASONAL_ANOM_ORACLE)
+def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{T} most anomalous HOURS per event type after removing the
+    hour-of-day seasonal baseline: residual = hourly count − mean count
+    for that (type, hour-of-day) cell across all days. The raw-count
+    anomaly detectors (MAD, CUSUM, EWMA here) flag every daily rush
+    hour; subtracting the seasonal profile first is what isolates the
+    genuinely unusual hour — the standard seasonal-adjustment step of
+    every ops anomaly pipeline. Flags concrete timestamps, where
+    event_seasonality_profile (events3.py) describes the profile
+    itself.
+
+    Determinism: counts are integers; each seasonal mean is one exact
+    integer sum divided once (correctly rounded, identical everywhere);
+    each residual is one subtraction of deterministic doubles; ranking
+    on |residual| with a bucket tiebreak is therefore total and
+    engine-independent — same argument family as the EWMA fold above.
+    Scale: the corpus collapses to |types|×|hours| rows in one
+    map-side-combined aggregate; the seasonal table is 24×|types| rows,
+    broadcast; top-k per type is a WindowGroupLimit."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    seasonal = hourly.groupBy("event_type", "hod").agg(
+        (F.sum("x") * F.lit(1.0) / F.count(F.lit(1))).alias("m")
+    )
+    joined = hourly.join(F.broadcast(seasonal), ["event_type", "hod"])
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("x") - F.col("m"))), F.asc("bucket")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANOM_TOP)
+        .select(
+            "event_type",
+            "bucket",
+            "x",
+            F.round(F.col("x") - F.col("m"), 4).alias("residual"),
+        )
+    )
+
+
+seasonal_adjusted_anomalies.__doc__ = seasonal_adjusted_anomalies.__doc__.replace(
+    "{T}", str(ANOM_TOP)
+)

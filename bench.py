@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "event_debounce_rate",
     "compaction_bin_packing",
     "phrase_search_topk",
+    "seasonal_adjusted_anomalies",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

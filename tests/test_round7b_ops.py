@@ -488,3 +488,51 @@ def test_kcore_matches_pure_python(spark, sf_dir):
         for r in kcore_trade_graph(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_seasonal_anomalies_match_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.timeseries import (
+        ANOM_TOP,
+        seasonal_adjusted_anomalies,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    hourly = {}
+    for r in events:
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        hourly[(r["event_type"], b)] = hourly.get((r["event_type"], b), 0) + 1
+
+    seas = {}
+    for (t, b), x in hourly.items():
+        key = (t, b.hour)
+        s, n = seas.get(key, (0, 0))
+        seas[key] = (s + x, n + 1)
+    expect = {}
+    for t in {t for t, _ in hourly}:
+        rows = []
+        for (t2, b), x in hourly.items():
+            if t2 != t:
+                continue
+            s, n = seas[(t, b.hour)]
+            resid = x - (s * 1.0 / n)
+            rows.append((abs(resid), b, x, resid))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        for rk, (_, b, x, resid) in enumerate(rows[:ANOM_TOP], 1):
+            expect[(t, rk)] = (b, x, round(resid, 4))
+
+    got = {}
+    rk_ct = {}
+    for r in seasonal_adjusted_anomalies(spark, sf_dir).collect():
+        rk_ct[r["event_type"]] = rk_ct.get(r["event_type"], 0) + 1
+    # re-collect with deterministic rank reconstruction
+    rows = seasonal_adjusted_anomalies(spark, sf_dir).collect()
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(
+            (abs(r["residual"]), r["bucket"], r["x"], r["residual"])
+        )
+    for t, rs in per_type.items():
+        rs.sort(key=lambda v: (-v[0], v[1]))
+        for rk, (_, b, x, resid) in enumerate(rs, 1):
+            got[(t, rk)] = (b, x, resid)
+    assert got == expect
