@@ -985,3 +985,107 @@ def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.count(F.lit(1)).alias("x"))
         out = _drain_to_table(spark, counts, "ewma_parity", "complete", stream_dir)
     return ewma_rollup(out)
+
+
+from beametrics_spark.operators.sampling import (
+    _WEIGHTED_SAMPLE_ORACLE,
+    SAMPLE_K,
+)
+
+
+@register("stream_weighted_sample_parity", _WEIGHTED_SAMPLE_ORACLE)
+def stream_weighted_sample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_sample_wor as a STREAMING RESERVOIR: documents arrive
+    as four files fed one per trigger, and foreachBatch maintains a
+    bounded per-source reservoir (the running top-SAMPLE_K by the A-ES
+    key ln(u)/w). Efraimidis–Spirakis keys make weighted sampling
+    without replacement exactly MERGEABLE — top-k(A ∪ B) =
+    top-k(top-k(A) ∪ top-k(B)) — so the drained reservoir equals the
+    batch sample REGARDLESS of how the stream chops the corpus, and
+    the parity needs no event-time ordering at all (contrast
+    stream_debounce_parity, which is order-sensitive by nature). State
+    is K×|strata| rows of ids and keys in an external table — the
+    production shape for continuous corpus subsampling at 100 TB,
+    where the reservoir is the only thing that persists between drops.
+    Shares the batch twin's oracle verbatim."""
+    from pyspark.sql import Window
+
+    from beametrics_spark.operators.dedup import md5_hash60
+    from beametrics_spark.operators.sampling import _HASH_SPAN
+    from beametrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_wsr_")
+    res_dir = _scratch("beametrics_wsr_state_")
+    ckpt = _scratch("beametrics_wsr_ckpt_")
+    try:
+        hi = docs.agg(F.max("doc_id")).first()[0] + 1
+        step = (hi + 3) // 4
+        for i in range(4):
+            chunk = docs.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            tmp = os.path.join(stream_dir, f"_build_{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        state_schema = "source string, doc_id long, weight long, k double"
+        w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+
+        def merge_epoch(mb: DataFrame, _epoch_id: int) -> None:
+            u = (
+                md5_hash60(
+                    F.concat(F.lit("wsr:"), F.col("doc_id").cast("string"))
+                )
+                + 1
+            ) / F.lit(_HASH_SPAN)
+            keyed = mb.filter(F.col("n_chars") > 0).select(
+                "source",
+                "doc_id",
+                F.col("n_chars").cast("long").alias("weight"),
+                (F.log(u) / F.col("n_chars")).alias("k"),
+            )
+            prev = spark.read.schema(state_schema).parquet(res_dir)
+            # bounded union: |strata|*K state rows + the batch
+            merged = (
+                prev.unionByName(keyed)
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= SAMPLE_K)
+                .drop("_rk")
+                .localCheckpoint(eager=True)  # free the dir for overwrite
+            )
+            merged.write.mode("overwrite").parquet(res_dir)
+
+        schema = spark.read.parquet(stream_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_epoch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.read.schema(state_schema).parquet(res_dir)
+        return (
+            final.withColumn("rank", F.row_number().over(w))
+            .select(
+                "source", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "weight",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (stream_dir, res_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

@@ -190,6 +190,7 @@ STREAMING_QUERIES = [
     "stream_passage_dedup_parity",
     "stream_debounce_parity",
     "stream_ewma_parity",
+    "stream_weighted_sample_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric

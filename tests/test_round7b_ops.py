@@ -536,3 +536,18 @@ def test_seasonal_anomalies_match_pure_python(spark, sf_dir):
         for rk, (_, b, x, resid) in enumerate(rs, 1):
             got[(t, rk)] = (b, x, resid)
     assert got == expect
+
+
+def test_stream_weighted_sample_matches_batch_twin(spark, sf_dir):
+    """A-ES keys make the reservoir exactly mergeable, so the 4-epoch
+    streaming reservoir must equal the batch sample row for row."""
+    from beametrics_spark.operators.sampling import weighted_sample_wor
+    from beametrics_spark.operators.stream_parity import (
+        stream_weighted_sample_parity,
+    )
+
+    batch = sorted(tuple(r) for r in weighted_sample_wor(spark, sf_dir).collect())
+    stream = sorted(
+        tuple(r) for r in stream_weighted_sample_parity(spark, sf_dir).collect()
+    )
+    assert batch == stream
