@@ -94,3 +94,87 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= SAMPLE_K)
         .select("source", "rank", "doc_id", "weight")
     )
+
+
+APPORTION_BUDGET = 10_000  # rows of sampling budget to hand out
+
+
+_APPORTION_ORACLE = f"""
+WITH wt AS (
+  SELECT source, sum(n_chars) AS w FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(w) AS tw, count(*) AS ng FROM wt),
+quota AS (
+  SELECT wt.source, wt.w,
+         ({APPORTION_BUDGET} * wt.w) // tot.tw AS base,
+         ({APPORTION_BUDGET} * wt.w) % tot.tw AS rem
+  FROM wt CROSS JOIN tot
+),
+leftover AS (SELECT {APPORTION_BUDGET} - sum(base) AS l FROM quota),
+ranked AS (
+  SELECT source, w, base, rem,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM quota
+)
+SELECT r.source, CAST(r.w AS BIGINT) AS weight,
+       CAST(r.base + CASE WHEN r.rk <= leftover.l THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM ranked r CROSS JOIN leftover
+"""
+
+
+@register("budget_apportion_largest_remainder", _APPORTION_ORACLE)
+def budget_apportion_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed sampling
+    budget of {B} rows across sources, proportional to each source's
+    total characters — the exact allocator behind per-domain sampling
+    budgets, shard-count assignment, and quota splits: every group
+    gets floor(B·w/W), and the Σfloor-to-B shortfall goes +1 each to
+    the largest remainders (ties to the smaller source name). Unlike
+    independent rounding, the allocations sum to EXACTLY B by
+    construction.
+
+    All-integer: B·w stays far under 2^63, the floor/mod pair is exact
+    integer division, and the remainder ranking is an integer sort —
+    nothing to diverge cross-engine. Scale: one map-side-combined
+    aggregate to |sources| rows; everything after is dimension-table
+    sized (the remainder rank is a single tiny window — at millions of
+    groups it becomes the same broadcast-cutoff ranking pattern as the
+    other top-k operators)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = docs.groupBy("source").agg(F.sum("n_chars").alias("w"))
+    tot = wt.agg(F.sum("w").alias("tw"))
+    # `div` is exact 64-bit integer division (floor of a double
+    # quotient can round UP across an integer boundary at large
+    # numerators; the oracle's // is integer division, so must be this)
+    quota = wt.join(F.broadcast(tot)).select(
+        "source",
+        "w",
+        F.expr(f"({APPORTION_BUDGET} * w) div tw").alias("base"),
+        ((F.lit(APPORTION_BUDGET) * F.col("w")) % F.col("tw")).alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(APPORTION_BUDGET) - F.sum("base")).alias("l")
+    )
+    w_rk = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        quota.withColumn("rk", F.row_number().over(w_rk))
+        .join(F.broadcast(leftover))
+        .select(
+            "source",
+            F.col("w").alias("weight"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+
+
+budget_apportion_largest_remainder.__doc__ = (
+    budget_apportion_largest_remainder.__doc__.replace(
+        "{B}", str(APPORTION_BUDGET)
+    )
+)

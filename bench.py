@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "compaction_bin_packing",
     "phrase_search_topk",
     "seasonal_adjusted_anomalies",
+    "budget_apportion_largest_remainder",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

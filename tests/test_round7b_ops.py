@@ -551,3 +551,31 @@ def test_stream_weighted_sample_matches_batch_twin(spark, sf_dir):
         tuple(r) for r in stream_weighted_sample_parity(spark, sf_dir).collect()
     )
     assert batch == stream
+
+
+def test_apportionment_matches_pure_python_and_sums_to_budget(spark, sf_dir):
+    from beametrics_spark.operators.sampling import (
+        APPORTION_BUDGET,
+        budget_apportion_largest_remainder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars").collect()
+    wt = {}
+    for r in docs:
+        wt[r["source"]] = wt.get(r["source"], 0) + r["n_chars"]
+    tw = sum(wt.values())
+    base = {s: (APPORTION_BUDGET * w) // tw for s, w in wt.items()}
+    rem = {s: (APPORTION_BUDGET * w) % tw for s, w in wt.items()}
+    leftover = APPORTION_BUDGET - sum(base.values())
+    order = sorted(wt, key=lambda s: (-rem[s], s))
+    expect = {
+        s: (wt[s], base[s] + (1 if i < leftover else 0))
+        for i, s in enumerate(order)
+    }
+
+    got = {
+        r["source"]: (r["weight"], r["alloc"])
+        for r in budget_apportion_largest_remainder(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(a for _, a in got.values()) == APPORTION_BUDGET
