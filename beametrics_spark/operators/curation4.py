@@ -1,0 +1,205 @@
+"""Corpus hygiene, wave 4: corpus-frequency boilerplate masking and
+per-user contribution capping.
+
+Both are standard pre-training-pipeline steps the reference (a
+log-to-metrics engine, SURVEY.md §2.2 verified absences: no joins, no
+corpus ops) has no analog for:
+
+- **Boilerplate masking** (CCNet / RefinedWeb shape): a text block that
+  recurs across MANY documents (headers, footers, navigation chrome,
+  license banners) is boilerplate and should be masked before training;
+  the signal is corpus-wide DOCUMENT frequency, which is exactly what
+  within-doc repetition scoring (text2.quality_repetition_signals) and
+  occurrence-count passage dedup (dedup2.passage_dedup_rate) do NOT
+  measure — a block pasted 50× inside one doc is repetition, not
+  boilerplate. Output is a per-document keep plan (the actionable
+  artifact), not a corpus rate.
+- **Contribution capping** (the DP-style bounding step): cap each
+  user's contribution per event type at CONTRIB_CAP events so no single
+  user dominates a training slice / aggregate; report how much data the
+  cap removes and how many users it touches. Computed purely from
+  per-(user,type) counts — capping "keep the first K by time" changes
+  WHICH rows survive but not HOW MANY, and this audit is about volumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.dedup import tokens_expr
+from beametrics_spark.operators.dedup2 import PASSAGE_WIDTH
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+BOILER_DF_MIN = 2  # blocks in >= this many DISTINCT docs are boilerplate
+
+
+_BOILER_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         unnest(generate_series(1, n - {PASSAGE_WIDTH} + 1, {PASSAGE_WIDTH}))
+           AS st
+  FROM d WHERE n >= {PASSAGE_WIDTH}
+),
+blk AS (
+  SELECT o.doc_id,
+         md5(array_to_string(
+           list_slice(d.toks, o.st, o.st + {PASSAGE_WIDTH} - 1), ' ')) AS h
+  FROM occ o JOIN d USING (doc_id)
+),
+dfreq AS (SELECT h, count(DISTINCT doc_id) AS ddf FROM blk GROUP BY h),
+per_doc AS (
+  SELECT blk.doc_id,
+         count(*) AS n_blocks,
+         sum(CASE WHEN dfreq.ddf >= {BOILER_DF_MIN} THEN 1 ELSE 0 END)
+           AS n_boiler_blocks
+  FROM blk JOIN dfreq USING (h)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(per_doc.n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(coalesce(per_doc.n_boiler_blocks, 0) AS BIGINT)
+         AS n_boiler_blocks,
+       CAST(d.n - {PASSAGE_WIDTH} * coalesce(per_doc.n_boiler_blocks, 0)
+            AS BIGINT) AS kept_tokens,
+       round({PASSAGE_WIDTH} * coalesce(per_doc.n_boiler_blocks, 0)
+             * CAST(1 AS DOUBLE) / d.n, 4) AS boiler_frac
+FROM d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+@register("boilerplate_block_mask", _BOILER_ORACLE)
+def boilerplate_block_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate keep plan via corpus document frequency.
+
+    Documents split into NON-overlapping PASSAGE_WIDTH-token blocks
+    (the corpus is newline-free word soup; a real corpus would split on
+    lines/paragraphs first — identical plan); a block is boilerplate
+    iff its exact text occurs in >= BOILER_DF_MIN DISTINCT documents.
+    Every occurrence of a boilerplate block is masked, including
+    repeats inside one doc, but a block repeated only WITHIN one doc is
+    kept — document frequency, not occurrence count, is the boilerplate
+    signal. Output: per-doc token/block counts, surviving token count,
+    and masked fraction — the plan a curation job applies before
+    tokenization.
+
+    Plan: one block table (arrays_zip-free: strided sequence + slice,
+    ~n/P rows per doc), one count-distinct aggregation over 16-byte md5
+    keys, one hash join back, one per-doc aggregation, one left join to
+    re-attach block-less docs. No pair expansion anywhere; the
+    count-distinct is two partial-aggregated hash passes. At 100 TB the
+    block table is ~1/16 of the token count and the frequency table is
+    bounded by distinct-block count — both shuffle-light; a stop-gram
+    df pre-filter is unnecessary because blocks are already distinct-
+    per-position (no posting-list blow-up to cap).
+    """
+    P = PASSAGE_WIDTH
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    blk = (
+        d.filter(F.col("n") >= P)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - P + 1, F.lit(P))
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("st"), P))).alias(
+                "h"
+            ),
+        )
+    )
+    dfreq = blk.groupBy("h").agg(F.count_distinct("doc_id").alias("ddf"))
+    per_doc = (
+        blk.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("ddf") >= BOILER_DF_MIN).cast("long")).alias(
+                "n_boiler_blocks"
+            ),
+        )
+    )
+    n_boiler = F.coalesce(F.col("n_boiler_blocks"), F.lit(0))
+    return (
+        d.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_blocks"), F.lit(0))
+            .cast("long")
+            .alias("n_blocks"),
+            n_boiler.cast("long").alias("n_boiler_blocks"),
+            (F.col("n_tokens") - P * n_boiler)
+            .cast("long")
+            .alias("kept_tokens"),
+            F.round(P * n_boiler / F.col("n_tokens"), 4).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
+CONTRIB_CAP = 10  # max events per (user, event_type) that survive capping
+
+
+_CONTRIB_ORACLE = f"""
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(sum(least(c, {CONTRIB_CAP})) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN c > {CONTRIB_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_over_cap,
+       round((sum(c) - sum(least(c, {CONTRIB_CAP})))
+             * CAST(1 AS DOUBLE) / sum(c), 4) AS drop_rate
+FROM per GROUP BY 1
+"""
+
+
+@register("user_contribution_capping", _CONTRIB_ORACLE)
+def user_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution bounding audit (the DP-pipeline step).
+
+    Cap each user at CONTRIB_CAP events per event type — "keep the
+    first K by (ts, event_id)" in a materializing job — and report per
+    type how much volume the cap removes and how many users it
+    touches. The audit needs only per-(user, type) COUNTS: which K
+    rows survive doesn't change the volumes, so the whole operator is
+    two chained hash aggregations (user×type, then type), both
+    map-side combinable, zero windows, zero joins — the cheapest
+    possible shape at 100 TB, and skew-immune because the first
+    grouping key (user_id, event_type) is high-cardinality.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    kept = F.least(F.col("c"), F.lit(CONTRIB_CAP))
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("n_events"),
+        F.sum(kept).alias("n_kept"),
+        F.sum((F.col("c") > CONTRIB_CAP).cast("long")).alias(
+            "users_over_cap"
+        ),
+        F.round(
+            (F.sum("c") - F.sum(kept)) / F.sum("c"), 4
+        ).alias("drop_rate"),
+    )

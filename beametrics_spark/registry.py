@@ -39,6 +39,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.curation  # noqa: F401
     import beametrics_spark.operators.curation2  # noqa: F401
     import beametrics_spark.operators.curation3  # noqa: F401
+    import beametrics_spark.operators.curation4  # noqa: F401
     import beametrics_spark.operators.similarity  # noqa: F401
     import beametrics_spark.operators.similarity2  # noqa: F401
     import beametrics_spark.operators.similarity3  # noqa: F401

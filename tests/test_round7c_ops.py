@@ -1,0 +1,104 @@
+"""Round-7 wave 4: boilerplate block masking, user contribution capping.
+
+Semantics verified against independent pure-Python recomputation over
+the raw parquet rows (plain dicts), not against the operators' own
+helpers or oracles.
+"""
+
+from collections import Counter
+
+from beametrics_spark.operators.curation4 import (
+    BOILER_DF_MIN,
+    CONTRIB_CAP,
+    boilerplate_block_mask,
+    user_contribution_capping,
+)
+from beametrics_spark.operators.dedup2 import PASSAGE_WIDTH
+from beametrics_spark.sources import load_table
+
+
+def test_boilerplate_mask_matches_pure_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().split() for r in docs}
+
+    P = PASSAGE_WIDTH
+    blocks = {}  # doc -> list of block texts (non-overlapping)
+    for d, t in toks.items():
+        blocks[d] = [
+            " ".join(t[i : i + P]) for i in range(0, len(t) - P + 1, P)
+        ]
+    ddf = Counter()
+    for d, bs in blocks.items():
+        for b in set(bs):
+            ddf[b] += 1
+
+    expect = {}
+    for d, t in toks.items():
+        bs = blocks[d]
+        boiler = sum(1 for b in bs if ddf[b] >= BOILER_DF_MIN)
+        n = len(t)
+        expect[d] = (
+            n,
+            len(bs),
+            boiler,
+            n - P * boiler,
+            round(P * boiler / n, 4),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_blocks"],
+            r["n_boiler_blocks"],
+            r["kept_tokens"],
+            round(r["boiler_frac"], 4),
+        )
+        for r in boilerplate_block_mask(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # non-trivial: the planted near-duplicates make some blocks recur
+    assert any(v[2] > 0 for v in got.values())
+    # a block repeated only WITHIN one doc must not be boilerplate:
+    # every boilerplate doc's masked blocks exist in another doc too
+    for d, v in got.items():
+        if v[2] > 0:
+            assert any(
+                ddf[b] >= BOILER_DF_MIN for b in blocks[d]
+            )
+
+
+def test_contribution_capping_matches_pure_python(spark, sf_dir):
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    per = Counter((r["user_id"], r["event_type"]) for r in events)
+
+    by_type = {}
+    for (_u, et), c in per.items():
+        n_users, n_events, n_kept, over = by_type.get(et, (0, 0, 0, 0))
+        by_type[et] = (
+            n_users + 1,
+            n_events + c,
+            n_kept + min(c, CONTRIB_CAP),
+            over + (1 if c > CONTRIB_CAP else 0),
+        )
+    expect = {
+        et: v + (round((v[1] - v[2]) / v[1], 4),)
+        for et, v in by_type.items()
+    }
+
+    got = {
+        r["event_type"]: (
+            r["n_users"],
+            r["n_events"],
+            r["n_kept"],
+            r["users_over_cap"],
+            round(r["drop_rate"], 4),
+        )
+        for r in user_contribution_capping(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the cap must actually bite at this SF (avg >13 events per pair)
+    assert all(v[3] > 0 for v in got.values())
