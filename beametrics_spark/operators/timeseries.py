@@ -321,3 +321,142 @@ def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 seasonal_adjusted_anomalies.__doc__ = seasonal_adjusted_anomalies.__doc__.replace(
     "{T}", str(ANOM_TOP)
 )
+
+
+# ---------------------------------------------------------------------------
+# Brown's double exponential smoothing (trend-aware forecast backtest)
+# ---------------------------------------------------------------------------
+
+_BROWN_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+s1t AS (
+  SELECT event_type, bucket, x,
+         list_reduce(
+           list_transform(
+             cur[greatest(len(cur) - {EWMA_WINDOW - 1}, 1):len(cur)],
+             v -> CAST(v AS DOUBLE)),
+           (acc, v) -> (acc + v) / 2) AS s1
+  FROM (
+    SELECT event_type, bucket, x,
+           list(x) OVER (PARTITION BY event_type ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cur
+    FROM hourly)
+),
+seq AS (
+  SELECT event_type, x,
+         list(s1) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior
+  FROM s1t
+),
+fc AS (
+  SELECT event_type, x,
+         2 * prior[len(prior)]
+           - list_reduce(
+               prior[greatest(len(prior) - {EWMA_WINDOW - 1}, 1):len(prior)],
+               (acc, v) -> (acc + v) / 2) AS f
+  FROM seq WHERE len(prior) >= 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(abs(x - f)) / count(*), 4) AS mae,
+       round(max(abs(x - f)), 4) AS max_abs_err
+FROM fc GROUP BY 1
+"""
+
+
+def _halving_fold(lst):
+    """Ordered (acc + v) / 2 fold, seeded with the first element — the
+    exact semantics of DuckDB list_reduce, shared by the EWMA and Brown
+    smoothers."""
+    return F.aggregate(
+        lst,
+        F.lit(None).cast("double"),
+        lambda acc, v: F.when(acc.isNull(), v.cast("double")).otherwise(
+            (acc + v.cast("double")) / F.lit(2.0)
+        ),
+    )
+
+
+def _last_window_slice(col):
+    """The trailing EWMA_WINDOW elements of a list column."""
+    return F.slice(
+        col,
+        F.greatest(F.size(col) - F.lit(EWMA_WINDOW - 1), F.lit(1)),
+        F.lit(EWMA_WINDOW),
+    )
+
+
+@register("brown_double_smoothing_error", _BROWN_ORACLE)
+def brown_double_smoothing_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown's double exponential smoothing backtest per event type —
+    the TREND-aware sibling of ewma_forecast_error. A single EWMA lags
+    any drifting series by a constant offset; Brown's classic fix runs
+    a second smoother over the first and forecasts 2·s1 − s2, which
+    cancels the lag for a linear trend while reusing the identical
+    order-fixed fold machinery.
+
+    s1_t = halving-fold of the last-{EWMA_WINDOW} counts through t;
+    s2_{{t-1}} = halving-fold of the last-{EWMA_WINDOW} s1 values
+    through t−1; forecast for t = 2·s1_{{t-1}} − s2_{{t-1}}.
+
+    Exactness: s1 values are dyadic rationals with ≤ {EWMA_WINDOW - 1}
+    fractional bits (module docstring); the second fold adds at most
+    {EWMA_WINDOW - 1} more, so every s2 intermediate carries ≤ 38
+    fractional bits — with hourly counts < 2^14 every fold value,
+    forecast, and absolute error is exactly representable and the two
+    engines cannot diverge. Even beyond that bound divergence is
+    impossible at equal fold depth: both engines run the SAME
+    left-to-right fold on the SAME ordered list, so they perform the
+    identical IEEE operation sequence. (The final double SUM of errors
+    is parallel-order-dependent in principle, like ewma_forecast_error
+    — both rest on the exact-dyadic-sum bound; covered by the
+    partition-invariance gate.)
+
+    100 TB notes: identical to EWMA — the corpus collapses to
+    |types| × |hours| rows in one map-side-combined aggregate before
+    any window logic; the two window folds then run on profile-table-
+    sized input. The second smoother is one more projection over the
+    SAME window partitioning (no extra shuffle: both windows share
+    (event_type, bucket) ordering, Catalyst assigns them to one sort).
+    The reference has no forecasting (SURVEY.md §2.2).
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("x"))
+
+    w_cur = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = _halving_fold(_last_window_slice(F.collect_list("x").over(w_cur)))
+    s1t = hourly.select("event_type", "bucket", "x", s1.alias("s1"))
+
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = s1t.select(
+        "event_type", "x", F.collect_list("s1").over(w_prev).alias("prior")
+    )
+    f = F.lit(2.0) * F.element_at("prior", -1) - _halving_fold(
+        _last_window_slice(F.col("prior"))
+    )
+    fc = seq.filter(F.size("prior") >= 1).select(
+        "event_type", "x", f.alias("f")
+    )
+    err = F.abs(F.col("x") - F.col("f"))
+    return fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(err) / F.count(F.lit(1)), 4).alias("mae"),
+        F.round(F.max(err), 4).alias("max_abs_err"),
+    )

@@ -57,6 +57,9 @@ RISKY = [
     # selection boundary must not move with partitioning)
     "weighted_sample_wor",        # ln(u)/w top-k boundary
     "semdedup_prune_list",        # cosine argmax assignment + tau cut
+    # round-7 wave 4: double error sums over window folds / rounded-
+    # cosine rankings
+    "brown_double_smoothing_error",  # |x − f| double sums + round(4)
 ]
 
 

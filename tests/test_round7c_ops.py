@@ -102,3 +102,59 @@ def test_contribution_capping_matches_pure_python(spark, sf_dir):
     assert got == expect
     # the cap must actually bite at this SF (avg >13 events per pair)
     assert all(v[3] > 0 for v in got.values())
+
+
+def test_brown_double_smoothing_matches_pure_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from beametrics_spark.operators.timeseries import (
+        EWMA_WINDOW,
+        brown_double_smoothing_error,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    hourly = Counter(
+        (r["event_type"], r["ts"].replace(minute=0, second=0, microsecond=0))
+        for r in events
+    )
+    series = defaultdict(list)
+    for (et, b), c in sorted(hourly.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        series[et].append(c)
+
+    def fold(vals):
+        acc = None
+        for v in vals[-EWMA_WINDOW:]:
+            acc = float(v) if acc is None else (acc + float(v)) / 2.0
+        return acc
+
+    expect = {}
+    for et, xs in series.items():
+        s1 = [fold(xs[: i + 1]) for i in range(len(xs))]
+        errs = []
+        for t in range(1, len(xs)):
+            f = 2.0 * s1[t - 1] - fold(s1[:t])
+            errs.append(abs(xs[t] - f))
+        expect[et] = (
+            len(errs),
+            round(sum(errs) / len(errs), 4),
+            round(max(errs), 4),
+        )
+
+    got = {
+        r["event_type"]: (
+            r["n_points"],
+            round(r["mae"], 4),
+            round(r["max_abs_err"], 4),
+        )
+        for r in brown_double_smoothing_error(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the trend-aware forecast must differ from the plain EWMA backtest
+    # (otherwise the second smoother is dead code on this data)
+    from beametrics_spark.operators.timeseries import ewma_forecast_error
+
+    ewma = {
+        r["event_type"]: round(r["mae"], 4)
+        for r in ewma_forecast_error(spark, sf_dir).collect()
+    }
+    assert any(ewma[et] != got[et][1] for et in got)
