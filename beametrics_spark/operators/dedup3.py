@@ -1,0 +1,193 @@
+"""MinHash estimator accuracy audit.
+
+The production MinHash-LSH path (dedup.py) is certified only on its
+FINAL exact-verified pairs — its xxhash64 signature family cannot be
+recomputed by DuckDB, so the estimator itself (sig-match fraction ≈
+Jaccard) has never been value-checked cross-engine. This module audits
+that estimator with an md5-derived hash family both engines compute
+bit-identically (the simhash/weighted-sampling convention,
+dedup.md5_hash60): same algebra as the xxhash64 family — min over
+per-function re-hashes of a per-gram fingerprint, the exact structure
+of dedup._minhash_from_base_hashes — different (but equally uniform)
+hash function, so the accuracy conclusion transfers.
+
+The audit emits, per inverted-index candidate pair, the exact distinct-
+shingle Jaccard as INTEGERS (intersection, union), the signature match
+count m ∈ [0, K], and integer-cross-multiplied error-band flags
+(|m/K − c/u| ≤ 0.125 / 0.25 ⟺ |m·u − K·c| ≤ K·u/8 / K·u/4) — every
+output column is an integer, so the driver hash check is exact with no
+float tolerance anywhere (the repo's sketch-audit convention:
+approx_distinct_error_audit, countmin_error_audit).
+
+Reference: the Beam reference has no dedup of any kind (SURVEY.md §2.2
+verified absence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beametrics_spark.operators.dedup import (
+    HOT_GROUP_CAP,
+    SHINGLE_WIDTH,
+    drop_hot_groups,
+    explode_sorted_pairs,
+    md5_hash60,
+    shingle_table,
+)
+from beametrics_spark.registry import register
+from beametrics_spark.sources import load_table
+
+AUDIT_MINHASH_K = 64  # matches MINHASH_K so variance conclusions transfer
+
+
+def _band(expr: str, frac_den: int) -> str:
+    """SQL for |m/K − c/u| ≤ 1/frac_den as exact integer arithmetic."""
+    return (
+        f"CAST(CASE WHEN abs({expr}) * {frac_den} <= {AUDIT_MINHASH_K} * u "
+        "THEN 1 ELSE 0 END AS BIGINT)"
+    )
+
+
+_AUDIT_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - {SHINGLE_WIDTH - 1}, 0)),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + {SHINGLE_WIDTH - 1}), ' ')
+         )) AS sh
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
+cold AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {HOT_GROUP_CAP}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cold ON cold.s = a.s
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(('0x' || substring(md5('{i}:' || md5(s)), 1, 15))::UBIGINT::BIGINT) AS h{i}" for i in range(AUDIT_MINHASH_K))}
+  FROM ex GROUP BY doc_id
+),
+j AS (
+  SELECT p.doc_a, p.doc_b, p.c, p.na + p.nb - p.c AS u,
+         ({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(AUDIT_MINHASH_K))}) AS m
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(c AS BIGINT) AS inter_grams,
+       CAST(u AS BIGINT) AS union_grams,
+       CAST(m AS BIGINT) AS sig_matches,
+       {_band(f"m * u - {AUDIT_MINHASH_K} * c", 8)} AS within_0125,
+       {_band(f"m * u - {AUDIT_MINHASH_K} * c", 4)} AS within_025
+FROM j
+"""
+
+
+def minhash_signatures_md5(sh: DataFrame, k: int = AUDIT_MINHASH_K) -> DataFrame:
+    """doc_id → k md5-family minhash columns h0..h{k-1}: min over the
+    doc's distinct grams of hash60(f"{i}:" ++ md5(gram)). Identical
+    min-of-rehashed-fingerprint structure to the production
+    _minhash_from_base_hashes (NOT the Kirsch-Mitzenmacher shortcut —
+    see that docstring for why linear combining collapses the family);
+    one codegen hash aggregation, k min() columns."""
+    fp = F.md5(F.col("s"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5_hash60(F.concat(F.lit(f"{i}:"), fp))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+
+
+@register("minhash_estimate_error_audit", _AUDIT_ORACLE)
+def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate pair: exact Jaccard integers vs MinHash match count.
+
+    Candidate pairs come from the same sub-quadratic inverted-index path
+    as dedup_ngram_jaccard (posting lists over distinct shingles,
+    HOT_GROUP_CAP guard, chained-generate pair expansion) but WITHOUT
+    the Jaccard threshold — the audit wants low-similarity pairs too,
+    where estimator RELATIVE error is worst. Expected |m/K − j| is
+    ~sqrt(j(1−j)/K) ≤ 0.0625 at K=64, so the 0.125 band holds for ~95%
+    of pairs and the 0.25 band essentially always — asserted
+    distribution-wise in tests, value-checked pair-by-pair here.
+
+    100 TB notes: the signature aggregation is one map-side-combinable
+    pass over the distinct-gram table (K min() columns, all codegen);
+    pair generation is bounded by posting-list caps exactly like the
+    production LSH path. An audit at corpus scale runs on a stratified
+    document sample (sample_stratified_hash) — estimator error is a
+    per-pair property, so sampling docs doesn't bias it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs)
+
+    posting = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    posting = drop_hot_groups(
+        posting, F.size("ds") > HOT_GROUP_CAP, "minhash_audit_hot_grams"
+    )
+    pairs = (
+        explode_sorted_pairs(
+            posting,
+            "ds",
+            lambda a, b: [
+                a["doc_id"].alias("doc_a"),
+                b["doc_id"].alias("doc_b"),
+                a["n"].alias("na"),
+                b["n"].alias("nb"),
+            ],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+
+    sigs = minhash_signatures_md5(sh)
+    K = AUDIT_MINHASH_K
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"sa{i}") for i in range(K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"sb{i}") for i in range(K)],
+    )
+    matches = sum(
+        (F.col(f"sa{i}") == F.col(f"sb{i}")).cast("long") for i in range(K)
+    )
+    u = F.col("na") + F.col("nb") - F.col("c")
+    dev = F.abs(F.col("m") * F.col("u") - K * F.col("inter_grams"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").cast("long").alias("inter_grams"),
+            u.cast("long").alias("u"),
+            matches.cast("long").alias("m"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_grams",
+            F.col("u").alias("union_grams"),
+            F.col("m").alias("sig_matches"),
+            (dev * 8 <= K * F.col("u")).cast("long").alias("within_0125"),
+            (dev * 4 <= K * F.col("u")).cast("long").alias("within_025"),
+        )
+    )

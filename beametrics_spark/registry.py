@@ -68,6 +68,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.scale_patterns  # noqa: F401
     import beametrics_spark.operators.sampling  # noqa: F401
     import beametrics_spark.operators.dedup2  # noqa: F401
+    import beametrics_spark.operators.dedup3  # noqa: F401
     import beametrics_spark.operators.retrieval  # noqa: F401
     import beametrics_spark.operators.graph3  # noqa: F401
     import beametrics_spark.operators.timeseries  # noqa: F401

@@ -158,3 +158,65 @@ def test_brown_double_smoothing_matches_pure_python(spark, sf_dir):
         for r in ewma_forecast_error(spark, sf_dir).collect()
     }
     assert any(ewma[et] != got[et][1] for et in got)
+
+
+def test_minhash_audit_matches_pure_python(spark, sf_dir):
+    import hashlib
+    from itertools import combinations
+
+    from beametrics_spark.operators.dedup import SHINGLE_WIDTH
+    from beametrics_spark.operators.dedup3 import (
+        AUDIT_MINHASH_K,
+        minhash_estimate_error_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    shingles = {}
+    for r in docs:
+        t = r["text"].strip().split()
+        shingles[r["doc_id"]] = {
+            " ".join(t[i : i + SHINGLE_WIDTH])
+            for i in range(len(t) - SHINGLE_WIDTH + 1)
+        }
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def sig(grams):
+        fps = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return [min(h60(f"{i}:{fp}") for fp in fps) for i in range(AUDIT_MINHASH_K)]
+
+    sigs = {d: sig(g) for d, g in shingles.items() if g}
+
+    expect = {}
+    for a, b in combinations(sorted(shingles), 2):
+        c = len(shingles[a] & shingles[b])
+        if c == 0:
+            continue
+        u = len(shingles[a] | shingles[b])
+        m = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        K = AUDIT_MINHASH_K
+        expect[(a, b)] = (
+            c,
+            u,
+            m,
+            int(abs(m * u - K * c) * 8 <= K * u),
+            int(abs(m * u - K * c) * 4 <= K * u),
+        )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["inter_grams"],
+            r["union_grams"],
+            r["sig_matches"],
+            r["within_0125"],
+            r["within_025"],
+        )
+        for r in minhash_estimate_error_audit(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # estimator quality: K=64 keeps essentially every pair inside the
+    # 0.25 absolute-error band, and the audit must cover real pairs
+    assert len(got) > 10
+    n25 = sum(v[4] for v in got.values())
+    assert n25 == len(got)
