@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from beametrics_spark.operators.dedup import cosine_expr
@@ -217,4 +217,119 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 embedding_pca_power_iteration.__doc__ = (
     embedding_pca_power_iteration.__doc__.replace("{K}", str(PCA_ITERS))
+)
+
+
+# ---------------------------------------------------------------------------
+# kNN label-vote audit (round 7): leave-one-out classification accuracy
+# ---------------------------------------------------------------------------
+
+VOTE_K = 5  # neighbors per vector; odd-ish but ties are still possible
+
+
+_VOTE_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS src, a.label AS true_label, b.label AS nb_label,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                                     b.vec_id ASC) AS rk
+  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+),
+votes AS (
+  SELECT src, true_label, nb_label, count(*) AS nv
+  FROM scored WHERE rk <= {VOTE_K}
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT src, true_label, nb_label AS pred_label
+  FROM (SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY nv DESC, nb_label ASC) AS pr
+        FROM votes)
+  WHERE pr = 1
+)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             * CAST(1 AS DOUBLE) / count(*), 4) AS accuracy
+FROM pred GROUP BY 1
+"""
+
+
+@register("knn_label_vote_audit", _VOTE_ORACLE)
+def knn_label_vote_audit(
+    spark: SparkSession, sf_dir: str, *, allow_quadratic: bool = False
+) -> DataFrame:
+    """Leave-one-out k-NN label agreement per class — the standard
+    embedding-quality eval: if a vector's {VOTE_K} nearest neighbors
+    (cosine) majority-vote its own label, the label space is locally
+    coherent; per-class accuracy pinpoints WHICH labels bleed into each
+    other (complementing centroid_separation_matrix, which sees only
+    class centers — two classes can have distant centroids yet
+    interleave at the boundary, and only the vote audit catches that).
+
+    Determinism contract: neighbors rank on the 6-dp ROUNDED cosine
+    with vec_id tiebreak (the knn_graph_hub_stats convention), votes
+    are integers, and vote ties break toward the smaller label — every
+    decision is integer-ordered, so both engines pick identical
+    predictions.
+
+    Exact neighbors are O(n²), so the input is guarded
+    (guard_quadratic): run it on a bounded eval sample. At corpus
+    scale, feed IVF-probe or LSH candidate edges through the identical
+    vote + accuracy rollup — only the edge generator changes, exactly
+    the knn_hub_stats_over pattern (similarity3.py).
+    """
+    from beametrics_spark.functions import guard_quadratic
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = guard_quadratic(
+        emb,
+        "kNN label-vote corpus",
+        scale_path="vote rollup over LSH/IVF candidate edges",
+        limit=10_000,
+        allow_quadratic=allow_quadratic,
+    )
+    left = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("sv"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("nb_label"),
+        F.col("v").alias("dv"),
+    )
+    scored = left.join(
+        F.broadcast(right), F.col("src") != F.col("dst")
+    ).withColumn("sim", F.round(cosine_expr(F.col("sv"), F.col("dv")), 6))
+
+    wk = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    votes = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= VOTE_K)
+        .groupBy("src", "true_label", "nb_label")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    wv = Window.partitionBy("src").orderBy(F.desc("nv"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter(F.col("pr") == 1)
+        .select("src", "true_label", F.col("nb_label").alias("pred_label"))
+    )
+    correct = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(correct).alias("n_correct"),
+        F.round(F.sum(correct) / F.count(F.lit(1)), 4).alias("accuracy"),
+    )
+
+
+knn_label_vote_audit.__doc__ = knn_label_vote_audit.__doc__.replace(
+    "{VOTE_K}", str(VOTE_K)
 )

@@ -60,6 +60,7 @@ RISKY = [
     # round-7 wave 4: double error sums over window folds / rounded-
     # cosine rankings
     "brown_double_smoothing_error",  # |x − f| double sums + round(4)
+    "knn_label_vote_audit",       # rounded-cosine neighbor ranking
 ]
 
 

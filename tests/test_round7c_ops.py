@@ -220,3 +220,50 @@ def test_minhash_audit_matches_pure_python(spark, sf_dir):
     assert len(got) > 10
     n25 = sum(v[4] for v in got.values())
     assert n25 == len(got)
+
+
+def test_knn_label_vote_matches_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.similarity4 import (
+        VOTE_K,
+        knn_label_vote_audit,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(num / (na * nb), 6)
+
+    per_label = Counter()
+    correct = Counter()
+    ids = sorted(vecs)
+    for s in ids:
+        nb = sorted(
+            ((-cos(vecs[s], vecs[d]), d) for d in ids if d != s)
+        )[:VOTE_K]
+        votes = Counter(labels[d] for _, d in nb)
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        per_label[labels[s]] += 1
+        correct[labels[s]] += int(pred == labels[s])
+
+    expect = {
+        l: (
+            per_label[l],
+            correct[l],
+            round(correct[l] / per_label[l], 4),
+        )
+        for l in per_label
+    }
+    got = {
+        r["label"]: (r["n_vectors"], r["n_correct"], round(r["accuracy"], 4))
+        for r in knn_label_vote_audit(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the synthetic label space must be non-degenerate: some class
+    # coherence, not all-zero and not all-perfect
+    accs = [v[2] for v in got.values()]
+    assert len(got) == 10 and max(accs) > 0
