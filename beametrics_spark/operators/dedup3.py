@@ -96,11 +96,15 @@ def minhash_signatures_md5(sh: DataFrame, k: int = AUDIT_MINHASH_K) -> DataFrame
     min-of-rehashed-fingerprint structure to the production
     _minhash_from_base_hashes (NOT the Kirsch-Mitzenmacher shortcut —
     see that docstring for why linear combining collapses the family);
-    one codegen hash aggregation, k min() columns."""
-    fp = F.md5(F.col("s"))
-    return sh.groupBy("doc_id").agg(
+    one codegen hash aggregation, k min() columns. The gram
+    fingerprint is materialized in a projection BEFORE the aggregate so
+    the base md5 runs once per gram, not once per (gram, function)."""
+    hashed = sh.select("doc_id", F.md5(F.col("s")).alias("_fp"))
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(md5_hash60(F.concat(F.lit(f"{i}:"), fp))).alias(f"h{i}")
+            F.min(
+                md5_hash60(F.concat(F.lit(f"{i}:"), F.col("_fp")))
+            ).alias(f"h{i}")
             for i in range(k)
         ]
     )

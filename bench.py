@@ -172,6 +172,15 @@ BENCH_QUERIES = [
     "phrase_search_topk",
     "seasonal_adjusted_anomalies",
     "budget_apportion_largest_remainder",
+    # round-7 wave 4: corpus-frequency boilerplate masking, DP-style
+    # contribution capping, trend-aware smoothing, MinHash estimator
+    # audit. knn_label_vote_audit is excluded like knn_graph_hub_stats:
+    # a guarded O(n²) eval diagnostic over a bounded sample (the 100 TB
+    # path feeds LSH/IVF candidate edges through the same rollup).
+    "boilerplate_block_mask",
+    "user_contribution_capping",
+    "brown_double_smoothing_error",
+    "minhash_estimate_error_audit",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
