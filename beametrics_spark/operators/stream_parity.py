@@ -1089,3 +1089,45 @@ def stream_weighted_sample_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         for d in (stream_dir, res_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+from beametrics_spark.operators.curation4 import _CONTRIB_ORACLE, CONTRIB_CAP
+
+
+@register("stream_contribution_cap_parity", _CONTRIB_ORACLE)
+def stream_contribution_cap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_contribution_capping as a STREAMING operator — the
+    production shape: contribution bounding happens at INGEST, where a
+    stateful per-(user, type) counter decides whether an arriving event
+    is inside its user's cap, not in a nightly batch sweep.
+
+    The streaming state is the exact table the batch plan's first
+    aggregation builds: one integer counter per (user_id, event_type) —
+    bounded by the user×type universe, never by event volume, and the
+    count is algebraic so epoch boundaries cannot change it (same
+    argument as the passage-dedup twin). The per-type cap rollup
+    (least(c, CAP), over-cap users, drop rate) finalizes batch-side
+    over the drained counters, byte-identical code path to the batch
+    twin's second aggregation, checked against the same DuckDB oracle.
+
+    A continuous deployment keeps the counters in update mode and tags
+    each arriving event kept/dropped by comparing its running count to
+    the cap (applyInPandasWithState, the stream_debounce_parity shape);
+    the audit totals here are that pipeline's monitoring output.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    stream, stream_dir = _file_stream(
+        spark, path, "events", "beametrics_stream_cap_"
+    )
+    agg = stream.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = _drain_to_table(spark, agg, "contribution_cap", "complete", stream_dir)
+    kept = F.least(F.col("c"), F.lit(CONTRIB_CAP))
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("n_events"),
+        F.sum(kept).alias("n_kept"),
+        F.sum((F.col("c") > CONTRIB_CAP).cast("long")).alias("users_over_cap"),
+        F.round((F.sum("c") - F.sum(kept)) / F.sum("c"), 4).alias("drop_rate"),
+    )

@@ -52,6 +52,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     import beametrics_spark.operators.text4  # noqa: F401
     import beametrics_spark.operators.text5  # noqa: F401
     import beametrics_spark.operators.text6  # noqa: F401
+    import beametrics_spark.operators.text7  # noqa: F401
     import beametrics_spark.operators.multimodal  # noqa: F401
     import beametrics_spark.operators.stream_parity  # noqa: F401
     import beametrics_spark.operators.windows_ext  # noqa: F401

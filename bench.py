@@ -237,6 +237,7 @@ CONSTRUCTION_TIMED = {
     "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
     "ann_ivf_recall_audit",         # centroid training collects at build
     "heavy_hitters_exact_twopass",  # candidate-pass localCheckpoint at build
+    "minhash_estimate_error_audit", # pair-table checkpoint at build
     "semdedup_prune_list",          # r7: seed/coarse-assign/Lloyd checkpoints at build
 }
 

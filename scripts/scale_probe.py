@@ -73,6 +73,13 @@ PROBE_QUERIES = [
     "semdedup_prune_list",
     "weighted_sample_wor",
     "countmin_error_audit",
+    # round-7 wave 4: the near-dup replicas deepen block document
+    # frequency (boilerplate) and posting lists (minhash audit) 10x;
+    # densified events stress the capping + smoothing aggregations
+    "boilerplate_block_mask",
+    "user_contribution_capping",
+    "brown_double_smoothing_error",
+    "minhash_estimate_error_audit",
 ]
 
 # quadratic-guard / hot-cap knobs stay at their shipped values: the probe

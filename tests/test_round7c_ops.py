@@ -166,6 +166,7 @@ def test_minhash_audit_matches_pure_python(spark, sf_dir):
 
     from beametrics_spark.operators.dedup import SHINGLE_WIDTH
     from beametrics_spark.operators.dedup3 import (
+        AUDIT_MIN_SHARED,
         AUDIT_MINHASH_K,
         minhash_estimate_error_audit,
     )
@@ -179,19 +180,26 @@ def test_minhash_audit_matches_pure_python(spark, sf_dir):
             for i in range(len(t) - SHINGLE_WIDTH + 1)
         }
 
-    def h60(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
     def sig(grams):
         fps = [hashlib.md5(g.encode()).hexdigest() for g in grams]
-        return [min(h60(f"{i}:{fp}") for fp in fps) for i in range(AUDIT_MINHASH_K)]
+        out = []
+        for i in range(AUDIT_MINHASH_K):
+            t, q = divmod(i, 4)
+            lo = 8 * q
+            out.append(
+                min(
+                    hashlib.md5(f"{t}:{fp}".encode()).hexdigest()[lo : lo + 8]
+                    for fp in fps
+                )
+            )
+        return out
 
     sigs = {d: sig(g) for d, g in shingles.items() if g}
 
     expect = {}
     for a, b in combinations(sorted(shingles), 2):
         c = len(shingles[a] & shingles[b])
-        if c == 0:
+        if c < AUDIT_MIN_SHARED:
             continue
         u = len(shingles[a] | shingles[b])
         m = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
