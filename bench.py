@@ -181,6 +181,9 @@ BENCH_QUERIES = [
     "user_contribution_capping",
     "brown_double_smoothing_error",
     "minhash_estimate_error_audit",
+    # round-7 wave 5: Matryoshka truncation audit + bigram-LM quality
+    "embedding_truncation_fidelity",
+    "bigram_logprob_quality",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -201,6 +204,7 @@ STREAMING_QUERIES = [
     "stream_debounce_parity",
     "stream_ewma_parity",
     "stream_weighted_sample_parity",
+    "stream_contribution_cap_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric

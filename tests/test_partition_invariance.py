@@ -61,6 +61,9 @@ RISKY = [
     # cosine rankings
     "brown_double_smoothing_error",  # |x − f| double sums + round(4)
     "knn_label_vote_audit",       # rounded-cosine neighbor ranking
+    # round-7 wave 5: double reductions behind round(4)
+    "embedding_truncation_fidelity",  # avg of per-row energy fractions
+    "bigram_logprob_quality",     # count-weighted ln sums
 ]
 
 
