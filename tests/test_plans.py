@@ -393,3 +393,94 @@ def test_basket_lift_prefilters_before_shuffled_pair_join(spark, sf_dir):
     assert prefilter and prefilter.start() > pair_join.start(), plan
     # both pair-join inputs come from one exchange: the b side reuses
     assert "ReusedExchange" in plan, plan
+
+
+def test_contribution_cap_pure_aggregation_plan(spark, sf_dir):
+    """The capping audit promises the cheapest 100-TB shape: two chained
+    hash aggregations, map-side combined — no window, no join, and the
+    only exchanges are the two aggregation shuffles."""
+    from beametrics_spark.operators.curation4 import user_contribution_capping
+
+    df = user_contribution_capping(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_count" in formatted_plan(df)
+
+
+def test_boilerplate_mask_exchanges_carry_digests_not_text(spark, sf_dir):
+    """Every shuffle in the boilerplate plan moves (md5-hash, ids,
+    counts) — never the text or token-array columns — and nothing is
+    quadratic (no nested-loop/cartesian joins)."""
+    from beametrics_spark.operators.curation4 import boilerplate_block_mask
+
+    df = boilerplate_block_mask(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line and "toks" not in line, line
+
+
+def test_brown_smoothing_windows_share_one_sort(spark, sf_dir):
+    """Both smoother windows partition and order identically
+    ((event_type, bucket)), so Catalyst must plan ONE exchange + sort
+    for the window stage — two Window nodes, at most two exchanges
+    total (aggregation + window)."""
+    from beametrics_spark.operators.timeseries import (
+        brown_double_smoothing_error,
+    )
+
+    df = brown_double_smoothing_error(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Window") >= 2, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_minhash_audit_no_quadratic_join_single_sig_aggregate(spark, sf_dir):
+    """The signature stage is ONE partially-aggregated hash aggregate
+    (k string-min columns), and every join in the audit is an equi
+    hash/sort join — no nested-loop anywhere."""
+    from beametrics_spark.operators.dedup3 import minhash_estimate_error_audit
+
+    df = minhash_estimate_error_audit(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    fp = formatted_plan(df)
+    assert "partial_min" in fp, fp[:3000]
+
+
+def test_truncation_fidelity_single_scan_single_exchange(spark, sf_dir):
+    """Per-row array folds + one hash aggregate: exactly one parquet
+    scan, one exchange, no joins — scan-bound at any corpus size."""
+    from beametrics_spark.operators.similarity4 import (
+        embedding_truncation_fidelity,
+    )
+
+    df = embedding_truncation_fidelity(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_bigram_lm_broadcasts_lm_tables(spark, sf_dir):
+    """The per-doc scoring join keys on the bigram (wide shuffle), while
+    the context table and the |V| scalar broadcast — exactly one
+    single-row nested-loop (the scalar), everything else equi joins."""
+    from beametrics_spark.operators.text7 import bigram_logprob_quality
+
+    df = bigram_logprob_quality(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
