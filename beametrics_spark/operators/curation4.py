@@ -203,3 +203,117 @@ def user_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("c") - F.sum(kept)) / F.sum("c"), 4
         ).alias("drop_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-aware duplicate resolution: keep the LONGEST cluster member
+# ---------------------------------------------------------------------------
+
+from beametrics_spark.operators.dedup import (  # noqa: E402
+    JACCARD_THRESHOLD,
+    SHINGLE_WIDTH,
+)
+
+_QUALITY_KEEP_ORACLE = rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - {SHINGLE_WIDTH - 1}, 0)),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + {SHINGLE_WIDTH - 1}), ' ')
+         )) AS sh
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM pr
+  WHERE c * 1.0 / (na + nb - c) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+members AS (
+  SELECT roots.id AS doc_id, roots.root, documents.n_chars
+  FROM roots JOIN documents ON documents.doc_id = roots.id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY root
+                               ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM members
+),
+keeper AS (SELECT root, doc_id AS keep_id FROM ranked WHERE rk = 1)
+SELECT m.doc_id,
+       CAST(m.root AS BIGINT) AS cluster_root,
+       CAST(m.n_chars AS BIGINT) AS n_chars,
+       CASE WHEN m.doc_id = k.keep_id THEN 'keep' ELSE 'drop' END AS decision,
+       CAST(k.keep_id AS BIGINT) AS keep_id
+FROM members m JOIN keeper k USING (root)
+"""
+
+
+@register("quality_aware_keep_list", _QUALITY_KEEP_ORACLE)
+def quality_aware_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution under the KEEP-THE-LONGEST policy —
+    the quality-aware refinement of corpus_dedup_keep_list (which keeps
+    the minimum doc_id). Real curation pipelines keep the best COPY of
+    duplicated content, and content length is the standard proxy when
+    near-dups are truncations/fragments of each other: dropping the
+    min-id member can silently keep a 50-token fragment over the
+    500-token original. One row per cluster MEMBER: its cluster root
+    (CC min-label, the stable cluster identity), the decision, and the
+    surviving doc. Keeper = max n_chars, tiebreak min doc_id — an
+    all-integer ordering, engine-deterministic.
+
+    Plan: pairs from the capped LSH path (dedup.minhash_lsh_pairs),
+    clusters from the pointer-jumping connected components
+    (curation.connected_components, O(log diameter) rounds), then ONE
+    broadcast-sized window over cluster members (the member table is
+    |pair-graph vertices| — tiny next to the corpus at any scale). The
+    oracle recomputes the identical clusters via a recursive CTE over
+    the exact-Jaccard ground-truth pair set, so the LSH path's recall
+    is re-certified here too (the dedup_clusters contract).
+    """
+    from pyspark.sql import Window
+
+    from beametrics_spark.operators.curation import (
+        _verified_pairs,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = connected_components(_verified_pairs(docs)).select(
+        F.col("id").alias("doc_id"), F.col("root").alias("cluster_root")
+    )
+    members = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    keeper = ranked.filter(F.col("rk") == 1).select(
+        "cluster_root", F.col("doc_id").alias("keep_id")
+    )
+    return (
+        members.join(F.broadcast(keeper), "cluster_root")
+        .select(
+            "doc_id",
+            F.col("cluster_root").cast("long").alias("cluster_root"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.when(F.col("doc_id") == F.col("keep_id"), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+            F.col("keep_id").cast("long").alias("keep_id"),
+        )
+    )

@@ -117,12 +117,11 @@ SELECT query_id, rk, doc_id, bm25 FROM rk WHERE rk <= {TOP_K}
 """
 
 
-@register("bm25_topk_retrieval", _BM25_ORACLE)
-def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents per query under rational-idf BM25 (k1=1.2,
-    b=0.75) for a fixed 4-query workload over the corpus — see the
-    module docstring for the bit-exactness and 100 TB design notes."""
-    docs = load_table(spark, sf_dir, "documents")
+def bm25_matched_and_scored(spark: SparkSession, docs: DataFrame):
+    """(matched, scored): the shared BM25 core — checkpointed matched
+    postings and the per-(query, doc) order-fixed score table — used by
+    the top-k operator, the rank-fusion operator, and the MRR eval
+    (one definition, no drift)."""
     split_once = docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
     tc = (
         split_once.select(
@@ -177,18 +176,31 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = contrib.groupBy("query_id", "doc_id").agg(
         ((slot[0] + slot[1]) + slot[2]).alias("score")
     )
+    return matched, scored
+
+
+def bm25_ranked(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(query_id, rk, doc_id, bm25): every matched doc ranked per query
+    on the 6-dp rounded score with doc_id tiebreak."""
+    _matched, scored = bm25_matched_and_scored(spark, docs)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", 6)), F.asc("doc_id")
     )
-    return (
-        scored.select(
-            "query_id",
-            F.row_number().over(w).alias("rk"),
-            "doc_id",
-            F.round("score", 6).alias("bm25"),
-        )
-        .filter(F.col("rk") <= TOP_K)
+    return scored.select(
+        "query_id",
+        F.row_number().over(w).alias("rk"),
+        "doc_id",
+        F.round("score", 6).alias("bm25"),
     )
+
+
+@register("bm25_topk_retrieval", _BM25_ORACLE)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query under rational-idf BM25 (k1=1.2,
+    b=0.75) for a fixed 4-query workload over the corpus — see the
+    module docstring for the bit-exactness and 100 TB design notes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_ranked(spark, docs).filter(F.col("rk") <= TOP_K)
 
 
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
@@ -401,4 +413,127 @@ def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "rk", "doc_id", "n_occurrences")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval eval: MRR / hits@k of BM25 against term-coverage ground truth
+# ---------------------------------------------------------------------------
+
+REL_MIN_TF = 3  # ground-truth: every matchable term with tf >= this
+
+
+_EVAL_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
+  GROUP BY 1, 2, 3
+),
+stats AS (SELECT count(*) AS n, sum(len(toks)) AS s FROM t),
+matched AS (
+  SELECT qt.query_id, qt.pos, tc.doc_id, tc.dl, tc.tf
+  FROM tc JOIN {_values_sql()} USING (term)
+),
+dft AS (SELECT query_id, pos, count(*) AS df FROM matched GROUP BY 1, 2),
+contrib AS (
+  SELECT m.query_id, m.pos, m.doc_id,
+         ((stats.n - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+         * ((m.tf * CAST({K1 + 1} AS DOUBLE))
+            / (m.tf + CAST({K1} AS DOUBLE)
+               * (CAST({1 - B} AS DOUBLE)
+                  + CAST({B} AS DOUBLE)
+                    * (m.dl / (CAST(stats.s AS DOUBLE) / stats.n))))) AS c
+  FROM matched m
+  JOIN dft d USING (query_id, pos)
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id,
+         ((COALESCE(max(CASE WHEN pos = 1 THEN c END), CAST(0 AS DOUBLE))
+           + COALESCE(max(CASE WHEN pos = 2 THEN c END), CAST(0 AS DOUBLE)))
+          + COALESCE(max(CASE WHEN pos = 3 THEN c END), CAST(0 AS DOUBLE))) AS score
+  FROM scored_src GROUP BY 1, 2
+),
+rnk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rk
+  FROM scored
+),
+matchable AS (
+  SELECT query_id, count(DISTINCT pos) AS n_terms FROM matched GROUP BY 1
+),
+coverage AS (
+  SELECT query_id, doc_id, count(DISTINCT pos) AS n_cov
+  FROM matched WHERE tf >= {REL_MIN_TF} GROUP BY 1, 2
+),
+rel AS (
+  SELECT c.query_id, c.doc_id
+  FROM coverage c JOIN matchable USING (query_id)
+  WHERE c.n_cov = matchable.n_terms
+)
+SELECT r.query_id,
+       CAST(count(*) AS BIGINT) AS n_relevant,
+       CAST(min(rnk.rk) AS BIGINT) AS first_rel_rank,
+       CAST(sum(CASE WHEN rnk.rk <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_10
+FROM rel r JOIN rnk ON rnk.query_id = r.query_id AND rnk.doc_id = r.doc_id
+GROUP BY 1
+""".replace("FROM scored_src", "FROM contrib")
+
+
+@register("bm25_eval_mrr", _EVAL_ORACLE)
+def bm25_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval of the BM25 ranker against term-coverage
+    ground truth: a document is RELEVANT to a query iff it contains
+    EVERY query term that exists in the corpus at least REL_MIN_TF
+    times (emphatic full coverage — the deterministic stand-in for
+    human labels, strict enough to be discriminative on this corpus:
+    plain >= 1 coverage marks most of the corpus relevant; query 4's
+    'quantum' has df=0 and is excluded from its requirement).
+    Per query: relevant count, the rank of the first relevant document
+    (the reciprocal-rank numerator — kept as the INTEGER rank so the
+    driver hash is float-free), and hits@{TOP_K}. The interesting
+    number is first_rel_rank > 1: BM25's tf saturation can float a
+    one-term-heavy doc above a doc containing all terms, and this eval
+    is the operator that catches how often.
+
+    Plan: the SAME shared core as the top-k operator
+    (bm25_matched_and_scored — one corpus pass, checkpointed matched
+    postings); relevance and coverage derive from the matched table
+    (bounded by posting sizes), the ranking window partitions by
+    query_id, and the final rollup is |relevant| rows. The eval adds
+    NO new corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    matched, scored = bm25_matched_and_scored(spark, docs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    rnk = scored.select(
+        "query_id", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    matchable = matched.groupBy("query_id").agg(
+        F.count_distinct("pos").alias("n_terms")
+    )
+    coverage = (
+        matched.filter(F.col("tf") >= REL_MIN_TF)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("pos").alias("n_cov"))
+    )
+    rel = coverage.join(F.broadcast(matchable), "query_id").filter(
+        F.col("n_cov") == F.col("n_terms")
+    )
+    return (
+        rel.join(rnk, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_relevant"),
+            F.min("rk").alias("first_rel_rank"),
+            F.sum((F.col("rk") <= TOP_K).cast("long")).alias("hits_at_10"),
+        )
     )

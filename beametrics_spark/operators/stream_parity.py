@@ -1131,3 +1131,82 @@ def stream_contribution_cap_parity(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum((F.col("c") > CONTRIB_CAP).cast("long")).alias("users_over_cap"),
         F.round((F.sum("c") - F.sum(kept)) / F.sum("c"), 4).alias("drop_rate"),
     )
+
+
+from beametrics_spark.operators.curation4 import _BOILER_ORACLE, BOILER_DF_MIN
+from beametrics_spark.operators.dedup2 import PASSAGE_WIDTH as _BLOCK_W
+
+
+@register("stream_boilerplate_mask_parity", _BOILER_ORACLE)
+def stream_boilerplate_mask_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boilerplate_block_mask as a STREAMING operator — continuous
+    corpus ingest keeps a per-(block-hash, doc) occurrence counter as
+    streaming state; boilerplate document frequency and the per-doc
+    keep plan roll up batch-side from the drained counters.
+
+    State is one integer per distinct (16-byte block md5, doc_id) —
+    exactly the batch plan's pre-count-distinct table, algebraic under
+    any epoch batching. The batch-side finalize (distinct-doc count per
+    hash >= BOILER_DF_MIN, per-doc mask totals, left-join to re-attach
+    block-less docs from the STATIC side) is the identical second half
+    of the batch twin, checked against the same DuckDB oracle. A
+    continuous deployment ages blocks out by arrival-time watermark
+    when the corpus is a sliding snapshot.
+    """
+    from beametrics_spark.operators.dedup import tokens_expr
+
+    P = _BLOCK_W
+    path = os.path.join(sf_dir, "documents.parquet")
+    stream, stream_dir = _file_stream(
+        spark, path, "documents", "beametrics_stream_boiler_"
+    )
+    d = stream.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    blk = (
+        d.filter(F.col("n") >= P)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - P + 1, F.lit(P))
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("st"), P))).alias("h"),
+        )
+    )
+    agg = blk.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    tbl = _drain_to_table(spark, agg, "boiler_mask", "complete", stream_dir)
+
+    from pyspark.sql import Window
+
+    ddf = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    marked = tbl.withColumn("ddf", ddf)
+    per_doc = marked.groupBy("doc_id").agg(
+        F.sum("c").alias("n_blocks"),
+        F.sum(
+            F.when(F.col("ddf") >= BOILER_DF_MIN, F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_boiler_blocks"),
+    )
+    from beametrics_spark.sources import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    n_tok = docs.select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    n_boiler = F.coalesce(F.col("n_boiler_blocks"), F.lit(0))
+    return (
+        n_tok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_blocks"), F.lit(0)).cast("long").alias("n_blocks"),
+            n_boiler.cast("long").alias("n_boiler_blocks"),
+            (F.col("n_tokens") - P * n_boiler).cast("long").alias("kept_tokens"),
+            F.round(P * n_boiler / F.col("n_tokens"), 4).alias("boiler_frac"),
+        )
+    )

@@ -184,6 +184,11 @@ BENCH_QUERIES = [
     # round-7 wave 5: Matryoshka truncation audit + bigram-LM quality
     "embedding_truncation_fidelity",
     "bigram_logprob_quality",
+    # round-7 wave 6: quality-aware dup resolution (CC rounds inside ->
+    # construction-timed) and the BM25 MRR/hits@10 eval (shares the
+    # checkpointed matched-postings core with bm25_topk_retrieval)
+    "quality_aware_keep_list",
+    "bm25_eval_mrr",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -205,6 +210,7 @@ STREAMING_QUERIES = [
     "stream_ewma_parity",
     "stream_weighted_sample_parity",
     "stream_contribution_cap_parity",
+    "stream_boilerplate_mask_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric
@@ -242,6 +248,8 @@ CONSTRUCTION_TIMED = {
     "ann_ivf_recall_audit",         # centroid training collects at build
     "heavy_hitters_exact_twopass",  # candidate-pass localCheckpoint at build
     "minhash_estimate_error_audit", # pair-table checkpoint at build
+    "quality_aware_keep_list",      # CC rounds checkpoint per iteration
+    "bm25_eval_mrr",                # matched-postings checkpoint at build
     "semdedup_prune_list",          # r7: seed/coarse-assign/Lloyd checkpoints at build
 }
 

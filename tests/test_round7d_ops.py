@@ -113,3 +113,165 @@ def test_bigram_logprob_matches_pure_python(spark, sf_dir):
     # than a constant — scores spread over a real range
     vals = [v[1] for v in got.values()]
     assert max(vals) - min(vals) > 0.1
+
+
+def test_quality_keep_list_matches_pure_python(spark, sf_dir):
+    """Cluster membership from exact Jaccard + union-find in plain
+    Python; keeper = (max n_chars, min doc_id) per cluster."""
+    from beametrics_spark.operators.curation4 import quality_aware_keep_list
+    from beametrics_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_WIDTH,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    )
+    sh = {}
+    nch = {}
+    for r in rows:
+        t = r["text"].strip().split()
+        sh[r["doc_id"]] = {
+            " ".join(t[i : i + SHINGLE_WIDTH])
+            for i in range(len(t) - SHINGLE_WIDTH + 1)
+        }
+        nch[r["doc_id"]] = r["n_chars"]
+
+    parent = {d: d for d in sh}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            union = len(sh[a] | sh[b])
+            if inter / union >= JACCARD_THRESHOLD:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    clusters = defaultdict(list)
+    for d in ids:
+        r = find(d)
+        clusters[r].append(d)
+    expect = {}
+    for root, members in clusters.items():
+        if len(members) < 2:
+            continue
+        keep = min(members, key=lambda d: (-nch[d], d))
+        for d in members:
+            expect[d] = (root, nch[d], "keep" if d == keep else "drop", keep)
+
+    got = {
+        r["doc_id"]: (
+            r["cluster_root"],
+            r["n_chars"],
+            r["decision"],
+            r["keep_id"],
+        )
+        for r in quality_aware_keep_list(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the quality policy must actually differ from min-id somewhere
+    assert any(
+        v[3] != v[0] for v in got.values()
+    ), "keep-the-longest never disagreed with keep-min-id on this corpus"
+
+
+def test_bm25_eval_matches_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.retrieval import (
+        B,
+        K1,
+        QUERY_TERMS,
+        REL_MIN_TF,
+        TOP_K,
+        bm25_eval_mrr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().split() for r in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+
+    queries = sorted({q for q, _, _ in QUERY_TERMS})
+    expect = {}
+    for q in queries:
+        terms = [(p, t) for qq, p, t in QUERY_TERMS if qq == q]
+        postings = {
+            p: {d: tt.count(t) for d, tt in toks.items() if t in tt}
+            for p, t in terms
+        }
+        postings = {p: pl for p, pl in postings.items() if pl}
+        scores = {}
+        for p, pl in postings.items():
+            df = len(pl)
+            idf = (n - df + 0.5) / (df + 0.5)
+            for d, tf in pl.items():
+                dl = len(toks[d])
+                c = idf * (
+                    (tf * (K1 + 1))
+                    / (tf + K1 * ((1 - B) + B * (dl / avgdl)))
+                )
+                slots = scores.setdefault(d, {})
+                slots[p] = max(slots.get(p, 0.0), c)
+        total = {
+            d: round((s.get(1, 0.0) + s.get(2, 0.0)) + s.get(3, 0.0), 6)
+            for d, s in scores.items()
+        }
+        ranked = sorted(total, key=lambda d: (-total[d], d))
+        rank_of = {d: i + 1 for i, d in enumerate(ranked)}
+        rel = [
+            d
+            for d in toks
+            if all(
+                d in pl and pl[d] >= REL_MIN_TF for pl in postings.values()
+            )
+        ]
+        if rel:
+            expect[q] = (
+                len(rel),
+                min(rank_of[d] for d in rel),
+                sum(1 for d in rel if rank_of[d] <= TOP_K),
+            )
+
+    got = {
+        r["query_id"]: (r["n_relevant"], r["first_rel_rank"], r["hits_at_10"])
+        for r in bm25_eval_mrr(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # discriminative ground truth: not every query saturates hits@10
+    assert any(v[2] < TOP_K for v in got.values())
+
+
+def test_stream_boilerplate_mask_matches_batch(spark, sf_dir):
+    from beametrics_spark.operators.curation4 import boilerplate_block_mask
+    from beametrics_spark.operators.stream_parity import (
+        stream_boilerplate_mask_parity,
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r["doc_id"],
+                r["n_tokens"],
+                r["n_blocks"],
+                r["n_boiler_blocks"],
+                r["kept_tokens"],
+                round(r["boiler_frac"], 4),
+            )
+            for r in df.collect()
+        )
+
+    got = canon(stream_boilerplate_mask_parity(spark, sf_dir))
+    want = canon(boilerplate_block_mask(spark, sf_dir))
+    assert got == want
+    assert len(got) == 500
