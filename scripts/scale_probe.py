@@ -80,6 +80,13 @@ PROBE_QUERIES = [
     "user_contribution_capping",
     "brown_double_smoothing_error",
     "minhash_estimate_error_audit",
+    # round-7 waves 5-6: bigram LM (posting depth 10x on the replica),
+    # truncation audit (pure scan), quality keep-list (CC over the
+    # densified dup graph), BM25 eval (shares the matched-postings core)
+    "bigram_logprob_quality",
+    "embedding_truncation_fidelity",
+    "quality_aware_keep_list",
+    "bm25_eval_mrr",
 ]
 
 # quadratic-guard / hot-cap knobs stay at their shipped values: the probe
