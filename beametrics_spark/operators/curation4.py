@@ -317,3 +317,79 @@ def quality_aware_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("keep_id").cast("long").alias("keep_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifier combinations
+# ---------------------------------------------------------------------------
+
+K_ANON_LEVELS = (2, 5, 10, 25)
+K_ANON_VALUE_BUCKET = 50  # value quantized to width-50 buckets
+
+
+def _anon_level_sql(k: int) -> str:
+    return f"""
+SELECT {k} AS k,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(sum(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       round(sum(CASE WHEN n < {k} THEN n ELSE 0 END)
+             * CAST(1 AS DOUBLE) / sum(n), 4) AS risk_rate
+FROM g"""
+
+
+_K_ANON_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, hour(ts) AS hod, dayofweek(ts) AS dow,
+         CAST(floor(value / {K_ANON_VALUE_BUCKET}) AS BIGINT) AS vb,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3, 4
+)
+{" UNION ALL ".join(_anon_level_sql(k) for k in K_ANON_LEVELS)}
+"""
+
+
+@register("k_anonymity_audit", _K_ANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity of the event table under a fixed quasi-identifier
+    set — the privacy audit run BEFORE releasing or training on
+    behavioral data (companion to user_contribution_capping: capping
+    bounds one user's influence, k-anonymity measures whether a row is
+    re-identifiable from its attribute combination alone). Quasi
+    identifiers: (event_type, hour-of-day, day-of-week, value bucket);
+    a row in a group of fewer than k identical combinations is at
+    risk. Reported at k = {K_ANON_LEVELS} as exact integers plus one
+    rate division.
+
+    Plan: ONE hash aggregation builds the group-size table (map-side
+    combined, the quasi-key is low-cardinality by construction), then
+    four threshold rollups over that table — Spark plans the four as
+    one pass over the reused aggregate. Nothing scales with row count
+    but the first aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.dayofweek("ts").alias("dow"),
+        F.floor(F.col("value") / K_ANON_VALUE_BUCKET)
+        .cast("long")
+        .alias("vb"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def level(k: int) -> DataFrame:
+        below = F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0))
+        return g.agg(
+            F.lit(k).alias("k"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n") < k).cast("long")).alias("groups_below_k"),
+            F.sum(below).alias("rows_at_risk"),
+            F.round(F.sum(below) / F.sum("n"), 4).alias("risk_rate"),
+        )
+
+    out = level(K_ANON_LEVELS[0])
+    for k in K_ANON_LEVELS[1:]:
+        out = out.unionAll(level(k))
+    return out

@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     # checkpointed matched-postings core with bm25_topk_retrieval)
     "quality_aware_keep_list",
     "bm25_eval_mrr",
+    "k_anonymity_audit",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -275,3 +275,53 @@ def test_stream_boilerplate_mask_matches_batch(spark, sf_dir):
     want = canon(boilerplate_block_mask(spark, sf_dir))
     assert got == want
     assert len(got) == 500
+
+
+def test_k_anonymity_matches_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.curation4 import (
+        K_ANON_LEVELS,
+        K_ANON_VALUE_BUCKET,
+        k_anonymity_audit,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    import math as _math
+
+    groups = Counter(
+        (
+            r["event_type"],
+            r["ts"].hour,
+            r["ts"].isoweekday() % 7 + 1,  # Spark dayofweek: Sunday=1
+            _math.floor(r["value"] / K_ANON_VALUE_BUCKET),
+        )
+        for r in events
+    )
+    total = sum(groups.values())
+    expect = {}
+    for k in K_ANON_LEVELS:
+        below = [n for n in groups.values() if n < k]
+        expect[k] = (
+            len(groups),
+            len(below),
+            sum(below),
+            round(sum(below) / total, 4),
+        )
+
+    got = {
+        r["k"]: (
+            r["n_groups"],
+            r["groups_below_k"],
+            r["rows_at_risk"],
+            round(r["risk_rate"], 4),
+        )
+        for r in k_anonymity_audit(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the audit must find real risk AND real safety at this SF (at
+    # k=25 every sf0.01 group is below threshold - that row is the
+    # all-at-risk boundary case, checked by equality above)
+    assert got[2][1] > 0 and got[2][3] < 1.0
