@@ -393,3 +393,192 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in K_ANON_LEVELS[1:]:
         out = out.unionAll(level(k))
     return out
+
+
+# ---------------------------------------------------------------------------
+# curation pipeline v2: boilerplate verdicts ∧ dup verdicts → source budget
+# ---------------------------------------------------------------------------
+
+BOILER_DROP_NUM = 1  # drop iff boiler_frac > 1/2  ⇔  2·P·n_boiler > n_tokens
+BOILER_DROP_DEN = 2
+
+
+_PIPELINE_V2_ORACLE = rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         unnest(generate_series(1, n - {PASSAGE_WIDTH} + 1, {PASSAGE_WIDTH}))
+           AS st
+  FROM d WHERE n >= {PASSAGE_WIDTH}
+),
+blk AS (
+  SELECT o.doc_id,
+         md5(array_to_string(
+           list_slice(d.toks, o.st, o.st + {PASSAGE_WIDTH} - 1), ' ')) AS h
+  FROM occ o JOIN d USING (doc_id)
+),
+dfreq AS (SELECT h, count(DISTINCT doc_id) AS ddf FROM blk GROUP BY h),
+boiler AS (
+  SELECT blk.doc_id,
+         sum(CASE WHEN dfreq.ddf >= {BOILER_DF_MIN} THEN 1 ELSE 0 END)
+           AS n_boiler_blocks
+  FROM blk JOIN dfreq USING (h)
+  GROUP BY 1
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(n - {SHINGLE_WIDTH - 1}, 0)),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_WIDTH - 1}), ' ')
+         )) AS grams
+  FROM d
+),
+ex AS (SELECT doc_id, unnest(grams) AS s, len(grams) AS ng FROM sh),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS c, any_value(a.ng) AS na, any_value(b.ng) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM pr
+  WHERE c * 1.0 / (na + nb - c) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+ranked AS (
+  SELECT roots.id AS doc_id,
+         row_number() OVER (PARTITION BY roots.root
+                            ORDER BY d.n_chars DESC, roots.id ASC) AS rk
+  FROM roots JOIN (SELECT doc_id, n_chars FROM documents) d
+    ON d.doc_id = roots.id
+),
+dup_losers AS (SELECT doc_id FROM ranked WHERE rk > 1),
+verdicts AS (
+  SELECT d.doc_id, d.source, d.n,
+         d.n - {PASSAGE_WIDTH} * coalesce(b.n_boiler_blocks, 0)
+           AS kept_tokens,
+         CASE WHEN {BOILER_DROP_DEN} * {PASSAGE_WIDTH}
+                   * coalesce(b.n_boiler_blocks, 0)
+              <= {BOILER_DROP_NUM} * d.n THEN 1 ELSE 0 END AS pass_boiler,
+         CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS pass_dedup
+  FROM d
+  LEFT JOIN boiler b USING (doc_id)
+  LEFT JOIN dup_losers l USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pass_boiler) AS BIGINT) AS n_after_boiler,
+       CAST(sum(pass_boiler * pass_dedup) AS BIGINT) AS n_final,
+       CAST(sum(CASE WHEN pass_boiler * pass_dedup = 1
+                     THEN kept_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens_total
+FROM verdicts GROUP BY source
+"""
+
+
+@register("curation_pipeline_v2", _PIPELINE_V2_ORACLE)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 curation stages composed into one verdict pipeline:
+    corpus-frequency boilerplate masking, then keep-the-longest near-dup
+    resolution, rolled up into the per-source token budget a training
+    run draws from. A document survives iff (a) ≤ half its tokens are
+    boilerplate (integer cross-multiplied threshold — no float compare)
+    and (b) it is not a dup-cluster loser; survivors contribute their
+    POST-MASK token counts. This is the composition the individual
+    operators exist for — curation_pipeline (text.py) chains the
+    round-3 stages (length filter + exact dedup); v2 chains the
+    corpus-frequency and cluster-quality stages that subsume them.
+
+    Verdict tables are computed corpus-wide and intersected (the shape
+    of a production pipeline that materializes audit tables once and
+    joins them), so each stage reuses its standalone operator's exact
+    logic: boilerplate counts from the same block/df definitions,
+    clusters from the same LSH + pointer-jumping CC, keeper by the
+    same (n_chars desc, doc_id) order. At 100 TB the verdict joins are
+    doc-count-sized (ids + small integers), dwarfed by the stage
+    computations they summarize.
+    """
+    from pyspark.sql import Window
+
+    from beametrics_spark.operators.curation import (
+        _verified_pairs,
+        connected_components,
+    )
+
+    P = PASSAGE_WIDTH
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", tokens_expr(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+
+    blk = (
+        d.filter(F.col("n") >= P)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - P + 1, F.lit(P))
+            ).alias("st"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("st"), P))).alias("h"),
+        )
+    )
+    dfreq = blk.groupBy("h").agg(F.count_distinct("doc_id").alias("ddf"))
+    boiler = (
+        blk.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("ddf") >= BOILER_DF_MIN).cast("long")).alias(
+                "n_boiler_blocks"
+            )
+        )
+    )
+
+    cc = connected_components(_verified_pairs(docs)).select(
+        F.col("id").alias("doc_id"), "root"
+    )
+    members = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("root").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    dup_losers = (
+        members.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select("doc_id", F.lit(1).alias("_loser"))
+    )
+
+    nb = F.coalesce(F.col("n_boiler_blocks"), F.lit(0))
+    pass_boiler = (
+        BOILER_DROP_DEN * P * nb <= BOILER_DROP_NUM * F.col("n")
+    ).cast("long")
+    pass_dedup = F.col("_loser").isNull().cast("long")
+    kept_tokens = F.col("n") - P * nb
+    final = pass_boiler * pass_dedup
+    return (
+        d.select("doc_id", "source", "n")
+        .join(boiler, "doc_id", "left")
+        .join(F.broadcast(dup_losers), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(pass_boiler).alias("n_after_boiler"),
+            F.sum(final).alias("n_final"),
+            F.sum(
+                F.when(final == 1, kept_tokens).otherwise(F.lit(0))
+            ).alias("kept_tokens_total"),
+        )
+    )

@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "quality_aware_keep_list",
     "bm25_eval_mrr",
     "k_anonymity_audit",
+    "curation_pipeline_v2",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -250,6 +251,7 @@ CONSTRUCTION_TIMED = {
     "heavy_hitters_exact_twopass",  # candidate-pass localCheckpoint at build
     "minhash_estimate_error_audit", # pair-table checkpoint at build
     "quality_aware_keep_list",      # CC rounds checkpoint per iteration
+    "curation_pipeline_v2",         # composes the CC stage -> same checkpoints
     "bm25_eval_mrr",                # matched-postings checkpoint at build
     "semdedup_prune_list",          # r7: seed/coarse-assign/Lloyd checkpoints at build
 }

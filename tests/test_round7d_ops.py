@@ -325,3 +325,59 @@ def test_k_anonymity_matches_pure_python(spark, sf_dir):
     # k=25 every sf0.01 group is below threshold - that row is the
     # all-at-risk boundary case, checked by equality above)
     assert got[2][1] > 0 and got[2][3] < 1.0
+
+
+def test_curation_pipeline_v2_consistent_with_stage_operators(spark, sf_dir):
+    """v2 is the composition of two already pure-Python-verified
+    operators — check it agrees with them stage by stage."""
+    from beametrics_spark.operators.curation4 import (
+        BOILER_DROP_DEN,
+        BOILER_DROP_NUM,
+        boilerplate_block_mask,
+        curation_pipeline_v2,
+        quality_aware_keep_list,
+    )
+    from beametrics_spark.operators.dedup2 import PASSAGE_WIDTH as P
+
+    mask = {
+        r["doc_id"]: (r["n_tokens"], r["n_boiler_blocks"], r["kept_tokens"])
+        for r in boilerplate_block_mask(spark, sf_dir).collect()
+    }
+    losers = {
+        r["doc_id"]
+        for r in quality_aware_keep_list(spark, sf_dir).collect()
+        if r["decision"] == "drop"
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+
+    expect = {}
+    for d, (n_tok, n_boiler, kept) in mask.items():
+        s = src[d]
+        nd, nb, nf, kt = expect.get(s, (0, 0, 0, 0))
+        pass_boiler = BOILER_DROP_DEN * P * n_boiler <= BOILER_DROP_NUM * n_tok
+        final = pass_boiler and d not in losers
+        expect[s] = (
+            nd + 1,
+            nb + int(pass_boiler),
+            nf + int(final),
+            kt + (kept if final else 0),
+        )
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_after_boiler"],
+            r["n_final"],
+            r["kept_tokens_total"],
+        )
+        for r in curation_pipeline_v2(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # every stage must bite somewhere
+    assert any(v[0] > v[1] for v in got.values()), "boiler stage inert"
+    assert any(v[1] > v[2] for v in got.values()), "dedup stage inert"
