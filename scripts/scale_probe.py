@@ -87,6 +87,10 @@ PROBE_QUERIES = [
     "embedding_truncation_fidelity",
     "quality_aware_keep_list",
     "bm25_eval_mrr",
+    # round-7 wave 7: group-size rollup (fixed-size quasi-key space)
+    # and the composed verdict pipeline (CC + block-df stages)
+    "k_anonymity_audit",
+    "curation_pipeline_v2",
 ]
 
 # quadratic-guard / hot-cap knobs stay at their shipped values: the probe
