@@ -365,9 +365,11 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE hash aggregation builds the group-size table (map-side
     combined, the quasi-key is low-cardinality by construction), then
-    four threshold rollups over that table — Spark plans the four as
-    one pass over the reused aggregate. Nothing scales with row count
-    but the first aggregate.
+    ONE global aggregate computes every k-level's sums side by side and
+    an explode unpivots them into the 4 output rows — two exchanges
+    total, nothing recomputed per level (a naive per-k unionAll would
+    re-run the group aggregate 4x). Nothing scales with row count but
+    the first aggregate.
     """
     events = load_table(spark, sf_dir, "events")
     g = events.groupBy(
@@ -379,20 +381,32 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vb"),
     ).agg(F.count(F.lit(1)).alias("n"))
 
-    def level(k: int) -> DataFrame:
+    aggs = [
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+    ]
+    for k in K_ANON_LEVELS:
         below = F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0))
-        return g.agg(
-            F.lit(k).alias("k"),
-            F.count(F.lit(1)).alias("n_groups"),
-            F.sum((F.col("n") < k).cast("long")).alias("groups_below_k"),
-            F.sum(below).alias("rows_at_risk"),
-            F.round(F.sum(below) / F.sum("n"), 4).alias("risk_rate"),
+        aggs.append(
+            F.sum((F.col("n") < k).cast("long")).alias(f"gb_{k}")
         )
-
-    out = level(K_ANON_LEVELS[0])
-    for k in K_ANON_LEVELS[1:]:
-        out = out.unionAll(level(k))
-    return out
+        aggs.append(F.sum(below).alias(f"rr_{k}"))
+    row = g.agg(*aggs)
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col("n_groups").alias("n_groups"),
+                F.col(f"gb_{k}").alias("groups_below_k"),
+                F.col(f"rr_{k}").alias("rows_at_risk"),
+                F.round(F.col(f"rr_{k}") / F.col("n_rows"), 4).alias(
+                    "risk_rate"
+                ),
+            )
+            for k in K_ANON_LEVELS
+        ]
+    )
+    return row.select(F.explode(levels).alias("l")).select("l.*")
 
 
 # ---------------------------------------------------------------------------
