@@ -1210,3 +1210,60 @@ def stream_boilerplate_mask_parity(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(P * n_boiler / F.col("n_tokens"), 4).alias("boiler_frac"),
         )
     )
+
+
+from beametrics_spark.operators.curation4 import (
+    _K_ANON_ORACLE,
+    K_ANON_LEVELS,
+    K_ANON_VALUE_BUCKET,
+)
+
+
+@register("stream_k_anonymity_parity", _K_ANON_ORACLE)
+def stream_k_anonymity_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k_anonymity_audit as a STREAMING operator — privacy monitoring at
+    INGEST: the quasi-identifier group sizes accumulate as streaming
+    state (one counter per (type, hour-of-day, day-of-week, value
+    bucket) — a FIXED-size key space, so state is bounded by schema,
+    not volume), and the per-k risk rollups finalize batch-side over
+    the drained counters, the identical second half of the batch twin
+    against the same oracle. This is the alerting shape: a release
+    gate watches rows_at_risk climb as events arrive instead of
+    auditing after the fact.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    stream, stream_dir = _file_stream(
+        spark, path, "events", "beametrics_stream_kanon_"
+    )
+    agg = stream.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.dayofweek("ts").alias("dow"),
+        F.floor(F.col("value") / K_ANON_VALUE_BUCKET).cast("long").alias("vb"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    g = _drain_to_table(spark, agg, "k_anon", "complete", stream_dir)
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+    ]
+    for k in K_ANON_LEVELS:
+        below = F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0))
+        aggs.append(F.sum((F.col("n") < k).cast("long")).alias(f"gb_{k}"))
+        aggs.append(F.sum(below).alias(f"rr_{k}"))
+    row = g.agg(*aggs)
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col("n_groups").alias("n_groups"),
+                F.col(f"gb_{k}").alias("groups_below_k"),
+                F.col(f"rr_{k}").alias("rows_at_risk"),
+                F.round(F.col(f"rr_{k}") / F.col("n_rows"), 4).alias(
+                    "risk_rate"
+                ),
+            )
+            for k in K_ANON_LEVELS
+        ]
+    )
+    return row.select(F.explode(levels).alias("l")).select("l.*")

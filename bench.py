@@ -213,6 +213,7 @@ STREAMING_QUERIES = [
     "stream_weighted_sample_parity",
     "stream_contribution_cap_parity",
     "stream_boilerplate_mask_parity",
+    "stream_k_anonymity_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric

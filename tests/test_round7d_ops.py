@@ -381,3 +381,26 @@ def test_curation_pipeline_v2_consistent_with_stage_operators(spark, sf_dir):
     # every stage must bite somewhere
     assert any(v[0] > v[1] for v in got.values()), "boiler stage inert"
     assert any(v[1] > v[2] for v in got.values()), "dedup stage inert"
+
+
+def test_stream_k_anonymity_matches_batch(spark, sf_dir):
+    from beametrics_spark.operators.curation4 import k_anonymity_audit
+    from beametrics_spark.operators.stream_parity import (
+        stream_k_anonymity_parity,
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r["k"],
+                r["n_groups"],
+                r["groups_below_k"],
+                r["rows_at_risk"],
+                round(r["risk_rate"], 4),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(stream_k_anonymity_parity(spark, sf_dir)) == canon(
+        k_anonymity_audit(spark, sf_dir)
+    )
