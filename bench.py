@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "bm25_eval_mrr",
     "k_anonymity_audit",
     "curation_pipeline_v2",
+    "multimodal_avi_frame_index",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

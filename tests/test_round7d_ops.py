@@ -404,3 +404,65 @@ def test_stream_k_anonymity_matches_batch(spark, sf_dir):
     assert canon(stream_k_anonymity_parity(spark, sf_dir)) == canon(
         k_anonymity_audit(spark, sf_dir)
     )
+
+
+def test_avi_codec_roundtrip_and_corruption():
+    import struct
+
+    from beametrics_spark.operators.videocodec import (
+        decode_avi_index,
+        encode_avi,
+        fixture_frame_plan,
+    )
+
+    for doc_id in (0, 1, 7, 123, 4999):
+        payload = encode_avi(doc_id)
+        assert decode_avi_index(payload) == fixture_frame_plan(doc_id)
+
+    # structural violations must raise, not guess
+    good = encode_avi(42)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_avi_index(good[:-4])  # truncated
+    with _pytest.raises(ValueError):
+        decode_avi_index(b"RIFF" + good[4:8] + b"WAVE" + good[12:])
+    # a LYING index: flip one idx1 size field -> cross-check must catch
+    idx_pos = good.rfind(b"idx1")
+    size_off = idx_pos + 8 + 12  # first entry's size field
+    (orig,) = struct.unpack_from("<I", good, size_off)
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, size_off, orig + 2)
+    with _pytest.raises(ValueError):
+        decode_avi_index(bytes(bad))
+
+
+def test_avi_frame_index_matches_pure_python(spark, sf_dir):
+    from beametrics_spark.operators.multimodal import (
+        multimodal_avi_frame_index,
+    )
+    from beametrics_spark.operators.videocodec import fixture_frame_plan
+
+    doc_ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    expect = {}
+    for d in doc_ids:
+        plan = fixture_frame_plan(d)
+        sizes = [s for s, _ in plan]
+        keys = [i for i, (_s, k) in enumerate(plan) if k]
+        gaps = [b - a for a, b in zip(keys, keys[1:])]
+        expect[d] = (len(plan), len(keys), sum(sizes), max(sizes), max(gaps))
+
+    got = {
+        r["doc_id"]: (
+            r["n_frames"],
+            r["n_keyframes"],
+            r["total_frame_bytes"],
+            r["max_frame_bytes"],
+            r["max_key_gap"],
+        )
+        for r in multimodal_avi_frame_index(spark, sf_dir).collect()
+    }
+    assert got == expect
