@@ -91,6 +91,8 @@ PROBE_QUERIES = [
     # and the composed verdict pipeline (CC + block-df stages)
     "k_anonymity_audit",
     "curation_pipeline_v2",
+    # round-7 wave 8: Python-stage container parse (Arrow batch cost)
+    "multimodal_avi_frame_index",
 ]
 
 # quadratic-guard / hot-cap knobs stay at their shipped values: the probe
