@@ -550,9 +550,7 @@ _AVI_INDEX_SCHEMA = (
 )
 
 
-@register(
-    "multimodal_avi_frame_index",
-    """
+_AVI_INDEX_ORACLE = """
     WITH n AS (SELECT doc_id, 8 + doc_id % 13 AS nf FROM documents),
     fr AS (
       SELECT n.doc_id, n.nf, i.i,
@@ -574,8 +572,10 @@ _AVI_INDEX_SCHEMA = (
            CAST(any_value(kgm.max_gap) AS BIGINT) AS max_key_gap
     FROM fr JOIN kgm USING (doc_id)
     GROUP BY fr.doc_id
-    """,
-)
+    """
+
+
+@register("multimodal_avi_frame_index", _AVI_INDEX_ORACLE)
 def multimodal_avi_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container parse, value-oracled: synthesized RIFF/AVI →
     full chunk walk (hdrl/avih, movi frame chunks, idx1 index) with an

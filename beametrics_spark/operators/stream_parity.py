@@ -1267,3 +1267,74 @@ def stream_k_anonymity_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.explode(levels).alias("l")).select("l.*")
+
+
+from beametrics_spark.operators.multimodal import MEDIA_SCHEMA as _MEDIA_SCHEMA
+from beametrics_spark.operators.multimodal import (
+    _AVI_INDEX_ORACLE,
+    _AVI_INDEX_SCHEMA,
+)
+
+
+@register("stream_avi_ingest_parity", _AVI_INDEX_ORACLE)
+def stream_avi_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_avi_frame_index as a STREAMING operator — continuous
+    MEDIA ingest: documents arrive as a file stream and the
+    encode-container + parse-index Python stages run as Arrow-batched
+    mapInPandas ON THE STREAM (stateless per-row transforms are
+    streaming-legal; this is the one twin exercising the binary/Python
+    path under the micro-batch scheduler — every other twin is
+    JVM-expression or applyInPandasWithState). Per-doc frame-index
+    stats append to the sink with no aggregation state at all; parity
+    against the same value oracle as the batch twin.
+    """
+    import pandas as _pd
+
+    from beametrics_spark.operators.videocodec import (
+        decode_avi_index,
+        encode_avi,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    stream, stream_dir = _file_stream(
+        spark, path, "documents", "beametrics_stream_avi_"
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            payloads = [encode_avi(int(d)) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["video/avi"] * len(payloads),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "n_keyframes": [],
+                "total_frame_bytes": [],
+                "max_frame_bytes": [],
+                "max_key_gap": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                plan = decode_avi_index(bytes(payload))
+                sizes = [s for s, _ in plan]
+                keys = [i for i, (_s, k) in enumerate(plan) if k]
+                gaps = [b - a for a, b in zip(keys, keys[1:])]
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(plan))
+                out["n_keyframes"].append(len(keys))
+                out["total_frame_bytes"].append(sum(sizes))
+                out["max_frame_bytes"].append(max(sizes))
+                out["max_key_gap"].append(max(gaps))
+            yield _pd.DataFrame(out)
+
+    media = stream.select("doc_id").mapInPandas(_encode, schema=_MEDIA_SCHEMA)
+    stats = media.mapInPandas(_stats, schema=_AVI_INDEX_SCHEMA)
+    return _drain_to_table(spark, stats, "avi_ingest", "append", stream_dir)

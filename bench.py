@@ -215,6 +215,7 @@ STREAMING_QUERIES = [
     "stream_contribution_cap_parity",
     "stream_boilerplate_mask_parity",
     "stream_k_anonymity_parity",
+    "stream_avi_ingest_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric

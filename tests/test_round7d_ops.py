@@ -466,3 +466,19 @@ def test_avi_frame_index_matches_pure_python(spark, sf_dir):
         for r in multimodal_avi_frame_index(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_stream_avi_ingest_matches_batch(spark, sf_dir):
+    from beametrics_spark.operators.multimodal import (
+        multimodal_avi_frame_index,
+    )
+    from beametrics_spark.operators.stream_parity import (
+        stream_avi_ingest_parity,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(stream_avi_ingest_parity(spark, sf_dir)) == canon(
+        multimodal_avi_frame_index(spark, sf_dir)
+    )
