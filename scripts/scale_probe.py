@@ -225,11 +225,12 @@ def main() -> int:
     only = [a for a in sys.argv[1:] if a in qs]
     probe = only or PROBE_QUERIES
 
-    prebuilt = os.environ.get("SPARK_GRAFT_SF1_DIR")
-    out_dir = prebuilt or tempfile.mkdtemp(prefix="beametrics_sf1_")
-    # a named dir that does not hold tables yet is a build TARGET, not a
-    # prebuilt replica
-    if prebuilt and not os.path.exists(os.path.join(prebuilt, "lineitem.parquet")):
+    named = os.environ.get("SPARK_GRAFT_SF1_DIR")
+    out_dir = named or tempfile.mkdtemp(prefix="beametrics_sf1_")
+    # a named dir that does not hold tables yet is a build TARGET (built
+    # into AND kept at the named path), not a prebuilt replica
+    prebuilt = named
+    if named and not os.path.exists(os.path.join(named, "lineitem.parquet")):
         prebuilt = None
     try:
         if not prebuilt:
@@ -272,7 +273,7 @@ def main() -> int:
         for name, a, b, g in rows:
             print(f"| {name} | {a:.3f} | {b:.3f} | {g:.1f}x |")
     finally:
-        if not prebuilt:
+        if not named:
             shutil.rmtree(out_dir, ignore_errors=True)
     return 0
 
