@@ -110,3 +110,137 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: MERGE INTO (upsert + delete) with a row-content checksum
+# ---------------------------------------------------------------------------
+
+# change feed synthesized deterministically from the documents table so
+# the oracle rebuilds the identical feed: doc_id % 13 == 0 → DELETE;
+# else doc_id % 7 == 0 → UPDATE (text gets a " v2" suffix); plus
+# CDC_INSERTS new docs with formula-derived keys and content.
+CDC_INSERTS = 50
+# checksum terms are 40-bit md5 prefixes (10 hex chars): 10^6-row sums
+# stay under 2^60, far inside int64 in both engines
+
+
+_CDC_MERGE_ORACLE = f"""
+WITH base AS (SELECT doc_id, source, text FROM documents),
+maxid AS (SELECT max(doc_id) AS m FROM base),
+deletes AS (SELECT doc_id FROM base WHERE doc_id % 13 = 0),
+updates AS (
+  SELECT doc_id, source, text || ' v2' AS text
+  FROM base WHERE doc_id % 13 != 0 AND doc_id % 7 = 0
+),
+inserts AS (
+  SELECT maxid.m + i.i AS doc_id,
+         'src' || CAST((maxid.m + i.i) % 20 AS VARCHAR) AS source,
+         'inserted doc ' || CAST(maxid.m + i.i AS VARCHAR) AS text
+  FROM maxid, (SELECT unnest(generate_series(1, {CDC_INSERTS})) AS i) i
+),
+survivors AS (
+  SELECT b.doc_id, b.source, b.text FROM base b
+  WHERE b.doc_id % 13 != 0 AND NOT (b.doc_id % 7 = 0)
+),
+merged AS (
+  SELECT * FROM survivors
+  UNION ALL SELECT * FROM updates
+  UNION ALL SELECT * FROM inserts
+),
+stats AS (
+  SELECT m.source,
+         count(*) AS n_final,
+         sum(('0x' || substring(md5(m.text), 1, 10))::UBIGINT::BIGINT)
+           AS checksum
+  FROM merged m GROUP BY 1
+),
+feed AS (
+  SELECT b.source,
+         sum(CASE WHEN b.doc_id % 13 = 0 THEN 1 ELSE 0 END) AS n_deleted,
+         sum(CASE WHEN b.doc_id % 13 != 0 AND b.doc_id % 7 = 0
+                  THEN 1 ELSE 0 END) AS n_updated,
+         count(*) AS n_base
+  FROM base b GROUP BY 1
+),
+ins AS (SELECT source, count(*) AS n_inserted FROM inserts GROUP BY 1)
+SELECT s.source,
+       CAST(coalesce(f.n_base, 0) AS BIGINT) AS n_base,
+       CAST(coalesce(f.n_deleted, 0) AS BIGINT) AS n_deleted,
+       CAST(coalesce(f.n_updated, 0) AS BIGINT) AS n_updated,
+       CAST(coalesce(ins.n_inserted, 0) AS BIGINT) AS n_inserted,
+       CAST(s.n_final AS BIGINT) AS n_final,
+       CAST(s.checksum AS BIGINT) AS content_checksum
+FROM stats s
+LEFT JOIN feed f USING (source)
+LEFT JOIN ins USING (source)
+"""
+
+
+@register("cdc_upsert_merge_audit", _CDC_MERGE_ORACLE)
+def cdc_upsert_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO (the lakehouse upsert): apply a change feed
+    (deletes, updates, inserts) to the base table and audit the merged
+    snapshot per source — row counts for every CDC verb plus a
+    CONTENT checksum over the merged rows (sum of 40-bit md5 prefixes:
+    order-insensitive, overflow-safe, and sensitive to any lost,
+    duplicated, or mis-updated row body — count parity alone can't see
+    a wrong-version row survive). snapshot_diff_documents is the
+    read-side reconciliation; this is the write side that produces the
+    next snapshot.
+
+    Plan shape: the merge is survivors (two pushdown-able NOT-filters,
+    no join needed because the feed is key-derived; with a real feed
+    table these become one anti join and one join on doc_id — bucketed
+    layout makes them exchange-free, sources/layout.py) unioned with
+    updated and inserted rows; ONE map-side-combined aggregate computes
+    all per-source counts and the checksum. At 100 TB the checksum is
+    the cheap invariant both sides of a migration compute to certify a
+    merge without comparing bodies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "text")
+    max_id = base.agg(F.max("doc_id")).first()[0]  # one scalar (job metadata)
+
+    is_del = F.col("doc_id") % 13 == 0
+    is_upd = (F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 0)
+    survivors = base.filter(~is_del & ~is_upd)
+    updates = base.filter(is_upd).select(
+        "doc_id", "source", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    inserts = spark.range(1, CDC_INSERTS + 1).select(
+        (F.col("id") + max_id).alias("doc_id"),
+        F.concat(F.lit("src"), ((F.col("id") + max_id) % 20).cast("string")).alias(
+            "source"
+        ),
+        F.concat(
+            F.lit("inserted doc "), (F.col("id") + max_id).cast("string")
+        ).alias("text"),
+    )
+    merged = survivors.unionAll(updates).unionAll(inserts)
+
+    term = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    stats = merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(term).alias("content_checksum"),
+    )
+    feed = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum(is_del.cast("long")).alias("n_deleted"),
+        F.sum(is_upd.cast("long")).alias("n_updated"),
+    )
+    ins = inserts.groupBy("source").agg(F.count(F.lit(1)).alias("n_inserted"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        stats.join(F.broadcast(feed), "source", "left")
+        .join(F.broadcast(ins), "source", "left")
+        .select(
+            "source",
+            z("n_base").alias("n_base"),
+            z("n_deleted").alias("n_deleted"),
+            z("n_updated").alias("n_updated"),
+            z("n_inserted").alias("n_inserted"),
+            F.col("n_final").cast("long").alias("n_final"),
+            F.col("content_checksum").cast("long").alias("content_checksum"),
+        )
+    )

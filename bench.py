@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "curation_pipeline_v2",
     "multimodal_avi_frame_index",
+    "cdc_upsert_merge_audit",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -482,3 +482,69 @@ def test_stream_avi_ingest_matches_batch(spark, sf_dir):
     assert canon(stream_avi_ingest_parity(spark, sf_dir)) == canon(
         multimodal_avi_frame_index(spark, sf_dir)
     )
+
+
+def test_cdc_merge_matches_pure_python(spark, sf_dir):
+    import hashlib
+
+    from beametrics_spark.operators.curation3 import (
+        CDC_INSERTS,
+        cdc_upsert_merge_audit,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    max_id = max(r["doc_id"] for r in rows)
+
+    def h40(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:10], 16)
+
+    stats = {}
+
+    def bump(src, **kw):
+        d = stats.setdefault(
+            src,
+            dict(
+                n_base=0, n_deleted=0, n_updated=0, n_inserted=0,
+                n_final=0, content_checksum=0,
+            ),
+        )
+        for k, v in kw.items():
+            d[k] += v
+
+    for r in rows:
+        d, s, t = r["doc_id"], r["source"], r["text"]
+        bump(s, n_base=1)
+        if d % 13 == 0:
+            bump(s, n_deleted=1)
+        elif d % 7 == 0:
+            bump(s, n_updated=1, n_final=1, content_checksum=h40(t + " v2"))
+        else:
+            bump(s, n_final=1, content_checksum=h40(t))
+    for i in range(1, CDC_INSERTS + 1):
+        did = max_id + i
+        s = f"src{did % 20}"
+        bump(s, n_inserted=1, n_final=1,
+             content_checksum=h40(f"inserted doc {did}"))
+
+    got = {
+        r["source"]: (
+            r["n_base"], r["n_deleted"], r["n_updated"],
+            r["n_inserted"], r["n_final"], r["content_checksum"],
+        )
+        for r in cdc_upsert_merge_audit(spark, sf_dir).collect()
+    }
+    expect = {
+        s: (
+            d["n_base"], d["n_deleted"], d["n_updated"],
+            d["n_inserted"], d["n_final"], d["content_checksum"],
+        )
+        for s, d in stats.items()
+    }
+    assert got == expect
+    # every CDC verb must fire at this SF
+    tot = [sum(v[i] for v in got.values()) for i in range(6)]
+    assert tot[1] > 0 and tot[2] > 0 and tot[3] == CDC_INSERTS
