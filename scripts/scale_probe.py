@@ -93,6 +93,7 @@ PROBE_QUERIES = [
     "curation_pipeline_v2",
     # round-7 wave 8: Python-stage container parse (Arrow batch cost)
     "multimodal_avi_frame_index",
+    "cdc_upsert_merge_audit",
 ]
 
 # quadratic-guard / hot-cap knobs stay at their shipped values: the probe
