@@ -105,3 +105,87 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# merge application: realized compression of a frozen merge list
+# ---------------------------------------------------------------------------
+
+# frozen rank-ordered merge list (top corpus bigrams at freeze time —
+# constants, like a shipped tokenizer's merges.txt; the audit is about
+# APPLYING a merge table, so the list must not be re-derived per run)
+MERGES: tuple[tuple[str, str], ...] = (
+    ("table", "hash"),
+    ("part", "filter"),
+    ("customer", "join"),
+    ("merge", "group"),
+    ("slow", "key"),
+)
+
+
+def _apply_sql(col: str) -> str:
+    """Nested replace() chain: greedy non-overlapping left-to-right per
+    merge, merges applied in rank order (WordPiece-style greedy — NOT
+    canonical BPE on runs of a repeated token, where replace consumes
+    the boundary; both engines share replace() semantics exactly)."""
+    expr = f"' ' || {col} || ' '"
+    for a, b in MERGES:
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}_{b} ')"
+    return expr
+
+
+_MERGE_APPLY_ORACLE = f"""
+WITH applied AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_before,
+         len(regexp_split_to_array(trim({_apply_sql("trim(text)")}), '\\s+'))
+           AS n_after
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_before AS BIGINT) AS n_before,
+       CAST(n_after AS BIGINT) AS n_after,
+       CAST(n_before - n_after AS BIGINT) AS n_merged,
+       round((n_before - n_after) * CAST(1 AS DOUBLE) / n_before, 4)
+         AS compression
+FROM applied
+"""
+
+
+@register("bpe_merge_apply_compression", _MERGE_APPLY_ORACLE)
+def bpe_merge_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a frozen merge table and measure the realized per-document
+    compression — the missing half of the tokenizer-training story:
+    bpe_merge_candidates (text5) proposes merges from pair counts; this
+    operator audits what a shipped merge list actually SAVES when
+    applied to text (candidates with high counts concentrated in few
+    docs compress the corpus less than their count suggests).
+
+    Application semantics: greedy non-overlapping left-to-right
+    replace per merge, merges in rank order — the exact semantics of
+    SQL replace(), shared verbatim by both engines, and a legitimate
+    greedy-tokenizer variant. (Canonical BPE differs only on runs of a
+    repeated token, where the consumed boundary space prevents the
+    immediately-adjacent re-match; documented, not hidden.)
+
+    Plan: pure per-row string expressions in whole-stage codegen — one
+    scan, zero shuffles, zero joins. At 100 TB this is the map-only
+    shape tokenization itself has; a real merges.txt of 32k rules runs
+    the same plan with the chain generated from the file.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.trim(F.col("text")), F.lit(" "))
+    applied = padded
+    for a, b in MERGES:
+        applied = F.replace(
+            applied, F.lit(f" {a} {b} "), F.lit(f" {a}_{b} ")
+        )
+    n_before = F.size(tokens_expr(F.col("text")))
+    n_after = F.size(F.split(F.trim(applied), r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_before.cast("long").alias("n_before"),
+        n_after.cast("long").alias("n_after"),
+        (n_before - n_after).cast("long").alias("n_merged"),
+        F.round((n_before - n_after) / n_before, 4).alias("compression"),
+    )

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "curation_pipeline_v2",
     "multimodal_avi_frame_index",
     "cdc_upsert_merge_audit",
+    "bpe_merge_apply_compression",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness

@@ -548,3 +548,41 @@ def test_cdc_merge_matches_pure_python(spark, sf_dir):
     # every CDC verb must fire at this SF
     tot = [sum(v[i] for v in got.values()) for i in range(6)]
     assert tot[1] > 0 and tot[2] > 0 and tot[3] == CDC_INSERTS
+
+
+def test_bpe_merge_apply_matches_pure_python(spark, sf_dir):
+    import math as _math
+
+    from beametrics_spark.operators.text7 import (
+        MERGES,
+        bpe_merge_apply_compression,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    expect = {}
+    saved_total = 0
+    for r in docs:
+        t = " " + r["text"].strip() + " "
+        for a, b in MERGES:
+            t = t.replace(f" {a} {b} ", f" {a}_{b} ")
+        before = len(r["text"].strip().split())
+        after = len(t.strip().split())
+        saved_total += before - after
+        # SQL round() is half-up; Python round() is banker's (1/32 =
+        # .03125 rounds differently) — mirror half-up explicitly
+        frac = _math.floor((before - after) / before * 10000 + 0.5) / 10000
+        expect[r["doc_id"]] = (before, after, before - after, frac)
+
+    got = {
+        r["doc_id"]: (
+            r["n_before"],
+            r["n_after"],
+            r["n_merged"],
+            round(r["compression"], 4),
+        )
+        for r in bpe_merge_apply_compression(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the frozen merge list must actually compress this corpus
+    assert saved_total > 50
