@@ -745,12 +745,30 @@ def _guarded(a: Column, b: Column, dim, fast: Column, slow: Column) -> Column:
     return F.when(ok, fast).otherwise(slow)
 
 
-def dot_expr(a: Column, b: Column, dim: int | None = EMB_DIM) -> Column:
+def dot_expr(a: Column | str, b: Column | str, dim: int | None = EMB_DIM) -> Column:
     """Dot product of two array<double> columns. With a known width the
     sum unrolls into a whole-stage-codegen expression chain — measured
     ~40x faster than the interpreted HOF fold on 64-dim vectors — with
     a per-row size guard falling back to the fold (bit-identical
-    addition order, see _sum_chain) for any other width."""
+    addition order, see _sum_chain) for any other width.
+
+    Pass column NAMES (str) when possible: the unrolled chain is then
+    built as ONE ``F.expr`` SQL string — a single py4j round-trip —
+    instead of ~4·dim Column-API calls, each of which is a driver
+    socket round-trip (profiled at ~0.5 s of pure driver time PER CALL
+    SITE at dim=64; this dominated ann_ivf_recall_audit's wall clock
+    before round 8). The SQL text parses to the identical expression
+    tree: left-associative ``+`` chain, 0-based ``[]`` array indexing,
+    ``0.0D`` double literal seeding the fold."""
+    if isinstance(a, str) and isinstance(b, str) and dim is not None:
+        fast = " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim))
+        return F.expr(
+            f"CASE WHEN size({a})={dim} AND size({b})={dim} THEN {fast} "
+            f"ELSE aggregate(zip_with({a},{b},(x,y)->x*y), 0.0D, "
+            f"(acc,w)->acc+w) END"
+        )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     slow = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -760,8 +778,15 @@ def dot_expr(a: Column, b: Column, dim: int | None = EMB_DIM) -> Column:
     return _guarded(a, b, dim, fast, slow)
 
 
-def norm_expr(a: Column, dim: int | None = EMB_DIM) -> Column:
-    """L2 norm of an array<double> column — unrolled like dot_expr."""
+def norm_expr(a: Column | str, dim: int | None = EMB_DIM) -> Column:
+    """L2 norm of an array<double> column — unrolled like dot_expr
+    (and like dot_expr, one F.expr parse when given a column name)."""
+    if isinstance(a, str) and dim is not None:
+        fast = " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(dim))
+        return F.expr(
+            f"CASE WHEN size({a})={dim} THEN sqrt({fast}) "
+            f"ELSE sqrt(aggregate({a}, 0.0D, (acc,w)->acc+w*w)) END"
+        )
     slow = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     if dim is None:
         return slow
@@ -769,7 +794,7 @@ def norm_expr(a: Column, dim: int | None = EMB_DIM) -> Column:
     return _guarded(a, None, dim, fast, slow)
 
 
-def cosine_expr(a: Column, b: Column, dim: int | None = EMB_DIM) -> Column:
+def cosine_expr(a: Column | str, b: Column | str, dim: int | None = EMB_DIM) -> Column:
     """Cosine similarity of two array<double> columns — JVM-side, no
     UDF. Whole-stage-codegen unrolled at the known embedding width,
     interpreted zip_with/aggregate fold for any other width."""

