@@ -290,9 +290,10 @@ def passage_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. SemDeDup — cluster-then-prune semantic dedup
 # ---------------------------------------------------------------------------
 
-# The two-level trained quantizer below is generated ONCE as SQL text
-# and once as DataFrame code from the same protocol so they cannot
-# drift; every argmax / tie / fallback rule is mirrored line-for-line.
+# The quantizer-tree protocol below exists twice — once as generated
+# SQL text (_sem_oracle_sql) and once as DataFrame code — mirrored
+# rule-for-rule so they cannot drift; every argmax / tie / fallback /
+# self-routing rule is identical.
 #
 # Cross-engine float caveat (ADVICE r6 #4, accepted risk): Spark's
 # unrolled left-associative sum chains (dedup.dot_expr/_sum_chain) add
@@ -301,101 +302,191 @@ def passage_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # other doesn't — a sub-ulp divergence that could in principle flip an
 # argmax between two near-identical centroids or a cos == SEM_TAU
 # boundary row. No such near-tie exists in the test corpora (hash-green
-# r6 and the fixture sweep in tests/test_round6_ops.py); accepted and
-# documented rather than tolerance-banded because the outputs are
-# integer ids, not values a band could absorb.
+# r6/r7 and the fixture sweep in tests/test_round6_ops.py); accepted
+# and documented rather than tolerance-banded because the outputs are
+# integer ids, not values a band could absorb. The tree's self-routing
+# rule ("a centroid already present in a level routes to itself") is
+# part of the PROTOCOL in both engines, so it never depends on a
+# cos(c, c) == 1 tie resolving a particular way.
 
-_SEMDEDUP_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-prm AS (
-  SELECT GREATEST({SEM_MIN_CLUSTERS},
-                  CAST(ceil(count(*) / {SEM_TARGET_CLUSTER}.0) AS BIGINT)) AS k,
-         CAST(ceil(sqrt(GREATEST({SEM_MIN_CLUSTERS},
-                  ceil(count(*) / {SEM_TARGET_CLUSTER}.0)))) AS BIGINT) AS k1
-  FROM e
-),
-sd AS (
+SEM_BRANCH = 8  # constant tree branching B (VERDICT r7 #2)
+SEM_UPPER_LEVELS = 5  # static unroll depth; level sizes self-degenerate
+
+
+def _sem_argmax_cte(out, items, item_id, vec, lvl, prev=None, id_out=None):
+    """One descent step as a SQL CTE: argmax list_dot_product over the
+    level's centroids, restricted to children of the item's previous
+    node when ``prev`` is given (level tables carry a parent column),
+    ties to the lowest fid."""
+    ido = id_out or item_id
+    if prev is None:
+        src = f"FROM {items} i CROSS JOIN {lvl} t"
+    else:
+        src = (
+            f"FROM {items} i JOIN {prev} d ON d.{ido} = i.{item_id} "
+            f"JOIN {lvl} t ON t.parent = d.node"
+        )
+    return f"""{out} AS MATERIALIZED (
+  SELECT {ido}, node FROM (
+    SELECT i.{item_id} AS {ido}, t.fid AS node,
+           row_number() OVER (PARTITION BY i.{item_id}
+                              ORDER BY list_dot_product(i.{vec}, t.fv) DESC,
+                                       t.fid ASC) AS rn
+    {src}) WHERE rn = 1
+)"""
+
+
+def _sem_oracle_sql() -> str:
+    """Generate the DuckDB twin of semdedup_prune_list: the same
+    constant-branching frozen quantizer tree, unrolled to
+    SEM_UPPER_LEVELS static levels. Levels whose size formula repeats
+    (LEAST(B^l, cap) stops growing at cap) degenerate to identity —
+    every centroid is its own parent, so each vector's candidate set at
+    that level is the singleton it already chose — which keeps one
+    static SQL string correct at every scale factor."""
+    B, L = SEM_BRANCH, SEM_UPPER_LEVELS
+    u_cols = ", ".join(
+        f"LEAST({B ** lvl}, cap) AS u{lvl}" for lvl in range(1, L + 1)
+    )
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""prm AS MATERIALIZED (
+  SELECT k, GREATEST({B}, CAST(ceil(k / {B}.0) AS BIGINT)) AS cap
+  FROM (SELECT GREATEST({SEM_MIN_CLUSTERS},
+                 CAST(ceil(count(*) / {SEM_TARGET_CLUSTER}.0) AS BIGINT)) AS k
+        FROM e)
+)""",
+        f"u AS MATERIALIZED (SELECT k, {u_cols} FROM prm)",
+        f"""sd AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY (vec_id * {SEM_SEED_MULT}) % 4294967296,
                             vec_id) - 1 AS fid, v
   FROM e
   QUALIFY row_number() OVER (ORDER BY (vec_id * {SEM_SEED_MULT}) % 4294967296,
-                             vec_id) <= (SELECT k FROM prm)
-),
-f0 AS (
+                             vec_id) <= (SELECT k FROM u)
+)""",
+        """f0 AS MATERIALIZED (
   SELECT fid,
          list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))
            AS fv
   FROM sd
-),
-coarse AS (SELECT fid AS cid, fv AS cv FROM f0 WHERE fid < (SELECT k1 FROM prm)),
-r0 AS (
-  SELECT fid, cid FROM (
-    SELECT f.fid, c.cid,
-           row_number() OVER (PARTITION BY f.fid
-                              ORDER BY list_dot_product(f.fv, c.cv) DESC,
-                                       c.cid ASC) AS rn
-    FROM f0 f CROSS JOIN coarse c) WHERE rn = 1
-),
-vcoarse AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_dot_product(e.v, c.cv) DESC,
-                                       c.cid ASC) AS rn
-    FROM e CROSS JOIN coarse c) WHERE rn = 1
-),
-a0 AS (
+)""",
+        "l1 AS MATERIALIZED (SELECT fid, fv FROM f0 WHERE fid < (SELECT u1 FROM u))",
+    ]
+    # upper levels 2..L: new centroids descend the tree built so far;
+    # retained centroids parent themselves (protocol rule)
+    for lvl in range(2, L + 1):
+        ctes.append(
+            f"n{lvl} AS MATERIALIZED (SELECT fid, fv FROM f0 "
+            f"WHERE fid >= (SELECT u{lvl - 1} FROM u) "
+            f"AND fid < (SELECT u{lvl} FROM u))"
+        )
+        prev = None
+        for m in range(1, lvl):
+            ctes.append(
+                _sem_argmax_cte(
+                    f"n{lvl}d{m}", f"n{lvl}", "fid", "fv", f"l{m}", prev
+                )
+            )
+            prev = f"n{lvl}d{m}"
+        ctes.append(
+            f"""p{lvl} AS MATERIALIZED (
+  SELECT fid, fid AS parent FROM f0 WHERE fid < (SELECT u{lvl - 1} FROM u)
+  UNION ALL SELECT fid, node AS parent FROM n{lvl}d{lvl - 1}
+)"""
+        )
+        ctes.append(
+            f"l{lvl} AS MATERIALIZED (SELECT p.fid, p.parent, f0.fv "
+            f"FROM p{lvl} p JOIN f0 USING (fid))"
+        )
+    # vector descent through the L upper levels
+    prev = None
+    for lvl in range(1, L + 1):
+        ctes.append(
+            _sem_argmax_cte(f"v{lvl}", "e", "vec_id", "v", f"l{lvl}", prev)
+        )
+        prev = f"v{lvl}"
+    # leaf routing of the SEED fine centroids: tree members self-route,
+    # the rest descend all L levels
+    ctes.append(
+        f"r0n AS MATERIALIZED (SELECT fid, fv FROM f0 WHERE fid >= (SELECT u{L} FROM u))"
+    )
+    prev = None
+    for m in range(1, L + 1):
+        ctes.append(
+            _sem_argmax_cte(f"r0d{m}", "r0n", "fid", "fv", f"l{m}", prev)
+        )
+        prev = f"r0d{m}"
+    ctes.append(
+        f"""r0 AS MATERIALIZED (
+  SELECT fid, fid AS parent FROM f0 WHERE fid < (SELECT u{L} FROM u)
+  UNION ALL SELECT fid, node AS parent FROM r0d{L}
+)"""
+    )
+    ctes.append(
+        f"""a0 AS MATERIALIZED (
   SELECT vec_id, fid FROM (
-    SELECT vc.vec_id, r.fid,
-           row_number() OVER (PARTITION BY vc.vec_id
+    SELECT vv.vec_id, r.fid,
+           row_number() OVER (PARTITION BY vv.vec_id
                               ORDER BY list_dot_product(e.v, f.fv) DESC,
                                        r.fid ASC) AS rn
-    FROM vcoarse vc
-    JOIN e USING (vec_id)
-    JOIN r0 r ON r.cid = vc.cid
+    FROM v{L} vv
+    JOIN e ON e.vec_id = vv.vec_id
+    JOIN r0 r ON r.parent = vv.node
     JOIN f0 f ON f.fid = r.fid) WHERE rn = 1
-),
-dv AS (
+)"""
+    )
+    # one Lloyd pass on the leaf centroids (empty cells keep their seed)
+    ctes += [
+        """dv AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM e
-),
-md AS (
+)""",
+        """md AS MATERIALIZED (
   SELECT a.fid, dv.dim, avg(dv.val) AS m
   FROM dv JOIN a0 a USING (vec_id) GROUP BY 1, 2
-),
-mc AS (SELECT fid, list(m ORDER BY dim) AS c FROM md GROUP BY 1),
-mu AS (
+)""",
+        "mc AS MATERIALIZED (SELECT fid, list(m ORDER BY dim) AS c FROM md GROUP BY 1)",
+        """mu AS MATERIALIZED (
   SELECT fid,
          list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y*y))))
            AS c
   FROM mc
-),
-f1 AS (SELECT f0.fid, COALESCE(mu.c, f0.fv) AS fv FROM f0 LEFT JOIN mu USING (fid)),
-r1 AS (
-  SELECT fid, cid FROM (
-    SELECT f.fid, c.cid,
-           row_number() OVER (PARTITION BY f.fid
-                              ORDER BY list_dot_product(f.fv, c.cv) DESC,
-                                       c.cid ASC) AS rn
-    FROM f1 f CROSS JOIN coarse c) WHERE rn = 1
-),
-a1 AS (
+)""",
+        "f1 AS MATERIALIZED (SELECT f0.fid, COALESCE(mu.c, f0.fv) AS fv FROM f0 LEFT JOIN mu USING (fid))",
+    ]
+    # re-route ALL trained leaf centroids (they are new vectors) and
+    # re-assign
+    prev = None
+    for m in range(1, L + 1):
+        ctes.append(
+            _sem_argmax_cte(f"r1d{m}", "f1", "fid", "fv", f"l{m}", prev)
+        )
+        prev = f"r1d{m}"
+    ctes.append(
+        f"""a1 AS MATERIALIZED (
   SELECT vec_id, fid FROM (
-    SELECT vc.vec_id, r.fid,
-           row_number() OVER (PARTITION BY vc.vec_id
+    SELECT vv.vec_id, r.fid,
+           row_number() OVER (PARTITION BY vv.vec_id
                               ORDER BY list_dot_product(e.v, f.fv) DESC,
                                        r.fid ASC) AS rn
-    FROM vcoarse vc
-    JOIN e USING (vec_id)
-    JOIN r1 r ON r.cid = vc.cid
+    FROM v{L} vv
+    JOIN e ON e.vec_id = vv.vec_id
+    JOIN r1d{L} r ON r.node = vv.node
     JOIN f1 f ON f.fid = r.fid) WHERE rn = 1
-),
-ev AS (SELECT a.vec_id, a.fid, e.v FROM a1 a JOIN e USING (vec_id)),
-pairs AS (
+)"""
+    )
+    ctes += [
+        "ev AS MATERIALIZED (SELECT a.vec_id, a.fid, e.v FROM a1 a JOIN e USING (vec_id))",
+        f"""pairs AS MATERIALIZED (
   SELECT a.fid AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
          list_cosine_similarity(a.v, b.v) AS cos_ab
   FROM ev a JOIN ev b ON a.fid = b.fid AND a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.v, b.v) >= {SEM_TAU}
-)
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
 SELECT CAST(cluster AS BIGINT) AS cluster,
        id_b AS pruned_vec_id, id_a AS keep_vec_id,
        ROUND(cos_ab, 6) AS cos_sim
@@ -404,6 +495,29 @@ FROM (
   FROM pairs
 ) WHERE rn = 1
 """
+    )
+
+
+_SEMDEDUP_ORACLE = _sem_oracle_sql()
+
+
+def _sem_tree_sizes(k: int) -> list[int]:
+    """Strictly-increasing upper-level sizes — the same
+    LEAST(B^l, GREATEST(B, ceil(k/B))) formula as the oracle's u CTE,
+    with the identity (repeated-size) levels dropped: an identity level
+    maps every centroid to itself, so each item's candidate set is the
+    singleton it already chose and the level provably cannot change any
+    assignment. The cap at ~k/B keeps the LEAF fan-out ~B, so a full
+    descent costs ~B·log_B(k) dots per item."""
+    import math
+
+    cap = max(SEM_BRANCH, math.ceil(k / SEM_BRANCH))
+    sizes: list[int] = []
+    for lvl in range(1, SEM_UPPER_LEVELS + 1):
+        u = min(SEM_BRANCH**lvl, cap)
+        if not sizes or u > sizes[-1]:
+            sizes.append(u)
+    return sizes
 
 
 def _unit(df: DataFrame, src: str, dst: str) -> DataFrame:
@@ -416,90 +530,165 @@ def _unit(df: DataFrame, src: str, dst: str) -> DataFrame:
     from beametrics_spark.operators.dedup import norm_expr
 
     return (
-        df.withColumn("_nrm", norm_expr(F.col(src)))
+        df.withColumn("_nrm", norm_expr(src))
         .withColumn(dst, F.transform(F.col(src), lambda x: x / F.col("_nrm")))
         .drop("_nrm", *([src] if src != dst else []))
     )
 
 
-def _argmax_assign(vecs: DataFrame, cents: DataFrame, id_col: str,
-                   cent_id: str, out: str) -> DataFrame:
-    """id -> argmax-dot centroid, ties to the lowest centroid id.
-
-    vecs(id_col, v) x broadcast cents(cent_id, cv) -> (id_col, out).
-    Raw vectors against UNIT centroids: argmax dot(v, c/|c|) == argmax
-    cos(v, c) for a fixed v — same convention as ivf.assign_cells."""
+def _root_assign(items: DataFrame, id_col: str, roots: DataFrame) -> DataFrame:
+    """items(id, v) × broadcast roots(fid, fv) → (id, v, node): argmax
+    dot over ALL roots, ties to the lowest fid. Raw vectors against
+    UNIT centroids: argmax dot(v, c/|c|) == argmax cos(v, c) for a
+    fixed v. The v payload rides through the window (its required
+    distribution is the id) so no caller ever re-joins the corpus."""
     from beametrics_spark.operators.dedup import dot_expr
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc(cent_id))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("fid"))
     return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("_s", dot_expr(F.col("v"), F.col("cv")))
+        items.crossJoin(F.broadcast(roots))
+        .withColumn("_s", dot_expr("v", "fv"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(id_col, F.col(cent_id).alias(out))
+        .select(id_col, "v", F.col("fid").alias("node"))
     )
 
 
-def _fine_assign(vcoarse: DataFrame, fine_routed: DataFrame) -> DataFrame:
-    """(vec_id, v, cid) x broadcast fine_routed(cid, fid, fv) ->
-    (vec_id, fid): argmax-dot fine centroid WITHIN the vector's coarse
-    cell only — the vector never sees the other cells' fine centroids.
-    Every coarse cell is non-empty (fine seed j routes to coarse cell j
-    for j < k1, cos(s_j, s_j) = 1), so the inner join drops nothing."""
+def _child_assign(items: DataFrame, id_col: str, lvl: DataFrame) -> DataFrame:
+    """items(id, v, node) × broadcast lvl(fid, parent, fv) → argmax dot
+    among the centroids whose parent is the item's current node — one
+    tree-descent step; ties to the lowest fid; v payload carried."""
     from beametrics_spark.operators.dedup import dot_expr
 
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("fid"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("fid"))
     return (
-        vcoarse.join(F.broadcast(fine_routed), "cid")
-        .withColumn("_s", dot_expr(F.col("v"), F.col("fv")))
+        items.alias("i")
+        .join(F.broadcast(lvl.alias("t")), F.col("i.node") == F.col("t.parent"))
+        .withColumn("_s", dot_expr("v", "fv"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("vec_id", "fid")
+        .select(f"i.{id_col}", "i.v", F.col("t.fid").alias("node"))
     )
+
+
+def _descend(items: DataFrame, id_col: str, levels: list[DataFrame]) -> DataFrame:
+    """Full tree descent: root argmax then one _child_assign per deeper
+    level — B·len(levels) dots per item instead of the flat quantizer's
+    k."""
+    cur = _root_assign(items, id_col, levels[0])
+    for lvl in levels[1:]:
+        cur = _child_assign(cur, id_col, lvl)
+    return cur
+
+
+def _sem_upper_tree(fine0: DataFrame, sizes: list[int]) -> list[DataFrame]:
+    """Build the frozen upper tree from the unit seed prefixes:
+    levels[0] = (fid, fv) roots; levels[i>0] = (fid, parent, fv) where
+    retained centroids parent THEMSELVES (protocol rule — exact, no
+    tie-dependence) and newly admitted centroids hierarchically descend
+    the tree built so far (~B·i dots each, never |level| — flat
+    adjacent-level routing would reintroduce a k²/B term at extreme
+    corpus sizes). Each level is k-row scale and localCheckpointed once
+    for its many consumers (deeper routing, vector descent, both leaf
+    routings)."""
+    levels = [fine0.filter(F.col("fid") < sizes[0]).select("fid", "fv")]
+    for i, u in enumerate(sizes[1:], start=1):
+        prev_u = sizes[i - 1]
+        new = fine0.filter(
+            (F.col("fid") >= prev_u) & (F.col("fid") < u)
+        ).select(F.col("fid").alias("_cid"), F.col("fv").alias("v"))
+        routed = _descend(new, "_cid", levels)
+        parent = (
+            fine0.filter(F.col("fid") < prev_u)
+            .select("fid", F.col("fid").alias("parent"))
+            .unionAll(
+                routed.select(
+                    F.col("_cid").alias("fid"), F.col("node").alias("parent")
+                )
+            )
+        )
+        levels.append(
+            parent.join(fine0, "fid")
+            .select("fid", "parent", "fv")
+            .localCheckpoint()
+        )
+    return levels
+
+
+def _leaf_route(
+    fine0: DataFrame, leaf: DataFrame, levels: list[DataFrame], top: int, trained: bool
+) -> DataFrame:
+    """Route leaf centroids under the frozen upper tree → (fid, parent,
+    fv). Seed leaves (trained=False) already inside the tree self-route
+    (protocol rule); trained leaves are new vectors, so ALL descend."""
+    if trained:
+        routed = _descend(
+            leaf.select(F.col("fid").alias("_cid"), F.col("fv").alias("v")),
+            "_cid",
+            levels,
+        ).select(F.col("_cid").alias("fid"), F.col("node").alias("parent"))
+    else:
+        new = _descend(
+            fine0.filter(F.col("fid") >= top).select(
+                F.col("fid").alias("_cid"), F.col("fv").alias("v")
+            ),
+            "_cid",
+            levels,
+        ).select(F.col("_cid").alias("fid"), F.col("node").alias("parent"))
+        routed = (
+            fine0.filter(F.col("fid") < top)
+            .select("fid", F.col("fid").alias("parent"))
+            .unionAll(new)
+        )
+    return routed.join(leaf, "fid").select("fid", "parent", "fv")
 
 
 @register("semdedup_prune_list", _SEMDEDUP_ORACLE)
 def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., 2023) at fixed cluster SIZE: a trained
-    two-level quantizer assigns every vector to one of k = n/64
-    clusters, then cosine-near pairs are pruned WITHIN clusters only.
+    constant-branching quantizer TREE assigns every vector to one of
+    k = n/64 clusters, then cosine-near pairs are pruned WITHIN
+    clusters only.
 
-    Cost algebra (VERDICT r6 #1 — the round-5 design held cluster COUNT
-    at sqrt(n), leaving both stages Theta(n^1.5)):
+    Cost algebra (VERDICT r7 #2 — the r7 two-level quantizer left an
+    n^1.5/4 assignment term; this round wires the constant-branching
+    deeper tree the r7 docstring only documented):
 
-      pair stage     sum_c |c|^2 ~ n * 64          -- LINEAR (c fixed)
-      assignment     n * (k1 + k/k1) = 2n*sqrt(k)  -- k1 = sqrt(k)
-                     = 2n*sqrt(n/64) = n^1.5 / 4
+      pair stage     sum_c |c|^2 ~ n * 64            -- LINEAR (unchanged)
+      assignment     n * B * ceil(log_B(k))          -- B = 8 constant
+                     = n * 8 * log8(n/64)            -- n log n
+      centroid side  k * B * depth ~ k log k         -- hierarchical
+                                                        routing, never k^2
 
-    The flat argmax the verdict's sketch implies (n x k with k ∝ n) is
-    n^2/64 — QUADRATIC; hierarchical routing is what makes k ∝ n
-    affordable: vectors score the k1 coarse cells, then only the fine
-    centroids routed to their coarse cell (~sqrt(k) of them). Two
-    levels cut assignment 8x per decade vs the r5 design at these
-    sizes; deeper trees (constant branching, log_B(k) levels) push it
-    to n log n and compose with this plan unchanged — each extra level
-    is one more broadcast-join + argmax window. At the measured scales
-    the pair stage dominates (crossover n ~ 64^3/4 ≈ 65k vectors), so
-    wall growth tracks the linear term (see SCALING.md sf0.1 -> sf1).
+    Upper-level sizes are LEAST(B^l, ceil(k/B)) seed prefixes — capping
+    at ~k/B keeps the leaf fan-out ~B. Per-vector work: B roots + ~B
+    candidates per deeper level + ~B leaf candidates. At sf1 (k=313)
+    the tree is [8, 40] + 313 leaves ≈ 21 dots/vector vs the r7
+    two-level design's 2·sqrt(313) ≈ 35; the gap compounds per decade
+    (sf10: 30 vs 112, sf100: 39 vs 354 — the decade growth tends to
+    10× as log8(10k)/log8(k) → 1, vs the fixed 31.6× of n^1.5).
 
-    Training (mirrored line-for-line in the oracle, like ivf.py's
-    _IVF_AUDIT_ORACLE): k fine seeds = smallest Knuth-hash vec_ids,
-    unit-normalized; the first k1 of them double as the frozen coarse
-    quantizer; one Lloyd pass refines the fine centroids (mean of
-    assigned raw vectors, re-normalized; empty cells keep their seed),
-    then fine centroids re-route and vectors re-assign. The coarse
-    assignment of VECTORS is computed once — frozen coarse cells mean
-    it is identical in both passes.
+    Training (mirrored rule-for-rule in the generated oracle —
+    _sem_oracle_sql): k leaf seeds = smallest Knuth-hash vec_ids,
+    unit-normalized; seed PREFIXES form the frozen upper tree (new
+    centroids at each level hierarchically descend the tree built so
+    far; retained ones parent themselves — a protocol rule, not a
+    cos(c,c)=1 tie assumption); one Lloyd pass refines the leaf
+    centroids (mean of assigned raw vectors, re-normalized; empty
+    cells keep their seed); trained leaves re-route under the frozen
+    tree and vectors re-assign. Vectors descend the upper tree ONCE —
+    the frozen tree makes their upper path iteration-invariant, so one
+    materialization serves both leaf assignments.
 
-    Scale notes: centroid tables NEVER touch the driver (contrast
-    train_ivf_centroids' k<=16 collect — here k ∝ n); they flow as
-    broadcast DataFrames, and the one localCheckpoint (k rows) stops
-    the Lloyd aggregation subtree re-executing across its two
-    consumers. The only driver scalar is count() for k — the same
-    budget as curation.py's convergence scalars. Shuffles carry ids and
-    64-float arrays, never documents.
-    """
+    Scale notes: centroid tables NEVER touch the driver (k ∝ n); they
+    flow as broadcast DataFrames, localCheckpointed per level (k-row
+    scale). The only driver scalar is count() for k. Shuffles carry ids
+    and 64-float arrays, never documents. The oracle unrolls
+    SEM_UPPER_LEVELS=5 static levels whose repeated sizes degenerate to
+    identity, so one SQL string is correct at every sf; the Spark plan
+    skips identity levels (k is known at plan time) — provably the same
+    assignment, since an identity level's candidate set is the
+    singleton already chosen."""
     import math
 
     raw = load_table(spark, sf_dir, "embeddings")
@@ -510,7 +699,7 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata — no data read
     n = raw.count()
     k = max(SEM_MIN_CLUSTERS, math.ceil(n / SEM_TARGET_CLUSTER))
-    k1 = math.ceil(math.sqrt(k))
+    sizes = _sem_tree_sizes(k)
 
     hk = (F.col("vec_id").cast("long") * SEM_SEED_MULT) % F.lit(4294967296)
     w_seed = Window.orderBy("hk", "vec_id")  # k rows post-limit: tiny
@@ -521,63 +710,60 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fid", F.row_number().over(w_seed) - 1)
         .select("fid", "v")
     )
-    # k rows; consumed by coarse, route0, route-target joins, and the
+    # k rows; consumed by every tree level, both leaf routings, and the
     # empty-cell fallback — checkpointing stops each consumer re-running
     # the corpus TakeOrdered seed scan.
     fine0 = _unit(seeds, "v", "fv").localCheckpoint()
-    coarse = fine0.filter(F.col("fid") < k1).select(
-        F.col("fid").alias("cid"), F.col("fv").alias("cv")
-    )
+    levels = _sem_upper_tree(fine0, sizes)
 
-    # Repartition BEFORE the n x k1 expansion (single parquet file would
+    # Repartition BEFORE the n × B expansion (single parquet file would
     # pin the scoring to 1-2 input splits); hashing by vec_id also
-    # pre-satisfies both argmax windows' distribution.
+    # pre-satisfies every descent window's distribution.
     # explicit count: an AQE-coalescable exchange would shrink back to a
-    # few byte-sized partitions, starving the ×k1 scoring expansion
+    # few byte-sized partitions, starving the ×B scoring expansions
     embr = emb.repartition(
         spark.sparkContext.defaultParallelism, F.col("vec_id")
     )
-    # (vec_id, cid, v), consumed by BOTH fine-assignment passes — the
-    # frozen coarse quantizer makes it iteration-invariant, so one
-    # materialization (n narrow rows + the vector; on a cluster this is
-    # a persist to local disk) replaces two n x k1 scoring stages.
-    vcoarse = (
-        _argmax_assign(embr.select("vec_id", "v"), coarse, "vec_id", "cid", "cid")
-        .join(embr, "vec_id")
-        .localCheckpoint()
+    # (vec_id, v, node): the vector's node at the LAST upper level,
+    # consumed by BOTH leaf assignments — the frozen tree makes it
+    # iteration-invariant, so one materialization (n narrow rows + the
+    # vector; on a cluster a persist to local disk) replaces two full
+    # descents.
+    vupper = _descend(embr.select("vec_id", "v"), "vec_id", levels).localCheckpoint()
+
+    leaf0 = _leaf_route(fine0, fine0, levels, sizes[-1], trained=False)
+    a0v = _child_assign(vupper, "vec_id", leaf0).select(
+        "vec_id", "v", F.col("node").alias("fid")
     )
 
-    route0 = _argmax_assign(
-        fine0.select(F.col("fid").alias("_id"), F.col("fv").alias("v")),
-        coarse, "_id", "cid", "cid",
-    ).withColumnRenamed("_id", "fid")
-    a0 = _fine_assign(vcoarse, route0.join(fine0, "fid"))
+    # one Lloyd pass: elementwise means of assigned raw vectors — ONE
+    # hash aggregate (avg(v[i]) per known dimension, whole-stage
+    # codegen, k groups through a single exchange) instead of the
+    # posexplode -> (fid, dim) agg -> (fid) agg chain, which exploded
+    # n x 64 rows and paid two exchanges (same move as
+    # ivf.train_ivf_centroids dim=). a0 carries the vector payload out
+    # of the leaf descent, so no corpus re-join feeds the means.
+    from beametrics_spark.operators.dedup import EMB_DIM
 
-    # one Lloyd pass: per-dimension means of assigned raw vectors
-    dims = embr.select("vec_id", F.posexplode("v").alias("dim", "val"))
-    means = (
-        dims.join(a0, "vec_id")
-        .groupBy("fid", "dim")
-        .agg(F.avg("val").alias("m"))
-        .groupBy("fid")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
-        .select("fid", F.transform("ms", lambda s: s["m"]).alias("mv"))
-    )
+    mv = "array(" + ", ".join(f"avg(v[{i}])" for i in range(EMB_DIM)) + ")"
+    means = a0v.groupBy("fid").agg(F.expr(mv).alias("mv"))
     fine1 = (
         fine0.join(_unit(means, "mv", "mu"), "fid", "left")
         .select("fid", F.coalesce("mu", "fv").alias("fv"))
-        .localCheckpoint()  # k rows; 2 consumers (route + assign) below
+        .localCheckpoint()  # k rows; 2 consumers (route + fallback join)
     )
-    route1 = _argmax_assign(
-        fine1.select(F.col("fid").alias("_id"), F.col("fv").alias("v")),
-        coarse, "_id", "cid", "cid",
-    ).withColumnRenamed("_id", "fid")
-    a1 = _fine_assign(vcoarse, route1.join(fine1, "fid"))
+    leaf1 = _leaf_route(fine0, fine1, levels, sizes[-1], trained=True)
+    a1 = _child_assign(vupper, "vec_id", leaf1)
 
     from beametrics_spark.operators.dedup import dot_expr, norm_expr
 
-    assigned = a1.join(embr, "vec_id").select(
-        "vec_id", "fid", "v", norm_expr(F.col("v")).alias("nv")
+    # a1 carries the vector payload out of the descent — no corpus
+    # re-join before the pair stage
+    assigned = a1.select(
+        "vec_id",
+        F.col("node").alias("fid"),
+        "v",
+        norm_expr("v").alias("nv"),
     )
     # Per-cluster member lists + in-array upper triangle (not a
     # self-join, which would re-execute the whole assignment subtree on
@@ -587,7 +773,7 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = assigned.groupBy(F.col("fid").alias("cluster")).agg(
         F.collect_list(F.struct("vec_id", "v", "nv")).alias("ms")
     )
-    dot = dot_expr(F.col("a.v"), F.col("b.v"))
+    dot = dot_expr("a.v", "b.v")
     upper = F.filter("ms", lambda m: m["vec_id"] > F.col("a.vec_id"))
     pairs = (
         members.select("cluster", F.explode("ms").alias("a"), "ms")

@@ -187,10 +187,11 @@ def test_weighted_sample_rank_bounds(spark, sf_dir):
 
 
 def test_semdedup_matches_numpy_recompute(spark, sf_dir):
-    """Independent numpy re-implementation of the full two-level
-    trained quantizer + within-cluster prune — Knuth-hash seed pick,
-    frozen coarse prefix, hierarchical argmax assignment, one Lloyd
-    pass on the fine centroids, re-route, re-assign."""
+    """Independent numpy re-implementation of the full quantizer-TREE
+    protocol + within-cluster prune — Knuth-hash seed pick, frozen
+    constant-branching upper tree (retained centroids self-parent, new
+    centroids descend), hierarchical leaf assignment, one Lloyd pass on
+    the leaf centroids, re-route, re-assign."""
     np = pytest.importorskip("numpy")
     import math
 
@@ -198,6 +199,7 @@ def test_semdedup_matches_numpy_recompute(spark, sf_dir):
         SEM_MIN_CLUSTERS,
         SEM_SEED_MULT,
         SEM_TARGET_CLUSTER,
+        _sem_tree_sizes,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").collect()
@@ -206,7 +208,7 @@ def test_semdedup_matches_numpy_recompute(spark, sf_dir):
 
     n = len(ids)
     k = max(SEM_MIN_CLUSTERS, math.ceil(n / SEM_TARGET_CLUSTER))
-    k1 = math.ceil(math.sqrt(k))
+    sizes = _sem_tree_sizes(k)
     order = sorted(ids, key=lambda i: ((i * SEM_SEED_MULT) % 2**32, i))[:k]
 
     def unit(v):
@@ -216,23 +218,47 @@ def test_semdedup_matches_numpy_recompute(spark, sf_dir):
         return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
 
     fine = {fid: unit(V[vid]) for fid, vid in enumerate(order)}
-    coarse = {cid: fine[cid] for cid in range(min(k1, len(order)))}
 
     def argmax(v, cents):
         return min(((-float(v @ c), cid) for cid, c in cents.items()))[1]
 
-    def assign_all(fine_cents):
-        route = {}
-        for fid, fv in fine_cents.items():
-            route.setdefault(argmax(fv, coarse), []).append(fid)
+    # frozen upper tree: parents[level_index][fid] -> parent node
+    parents: list[dict] = [{fid: None for fid in range(sizes[0])}]
+
+    def descend(v, upto):
+        node = argmax(v, {f: fine[f] for f in range(sizes[0])})
+        for li in range(1, upto):
+            cands = {
+                f: fine[f] for f, par in parents[li].items() if par == node
+            }
+            node = argmax(v, cands)
+        return node
+
+    for li in range(1, len(sizes)):
+        pmap = {fid: fid for fid in range(sizes[li - 1])}
+        for fid in range(sizes[li - 1], sizes[li]):
+            pmap[fid] = descend(fine[fid], li)
+        parents.append(pmap)
+
+    top = sizes[-1]
+
+    def assign_all(leaf_cents, routes):
+        by_node = {}
+        for fid, node in routes.items():
+            by_node.setdefault(node, []).append(fid)
         out = {}
         for i in ids:
-            cid = argmax(V[i], coarse)
-            cands = {fid: fine_cents[fid] for fid in route[cid]}
+            node = descend(V[i], len(sizes))
+            cands = {fid: leaf_cents[fid] for fid in by_node[node]}
             out[i] = argmax(V[i], cands)
         return out
 
-    a0 = assign_all(fine)
+    # seed-leaf routing: tree members self-route, the rest descend
+    route0 = {
+        fid: (fid if fid < top else descend(fine[fid], len(sizes)))
+        for fid in fine
+    }
+    a0 = assign_all(fine, route0)
     sums, cnts = {}, {}
     for i, fid in a0.items():
         sums[fid] = sums.get(fid, 0) + V[i]
@@ -241,7 +267,9 @@ def test_semdedup_matches_numpy_recompute(spark, sf_dir):
         fid: (unit(sums[fid] / cnts[fid]) if fid in cnts else fv)
         for fid, fv in fine.items()
     }
-    assign = assign_all(fine1)
+    # trained leaves are new vectors: ALL re-route by full descent
+    route1 = {fid: descend(fv, len(sizes)) for fid, fv in fine1.items()}
+    assign = assign_all(fine1, route1)
     clusters = {}
     for i, c in assign.items():
         clusters.setdefault(c, []).append(i)
