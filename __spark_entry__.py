@@ -148,6 +148,24 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "semdedup_prune_list", "stream_salted_fanout_parity",
         "stream_topk_per_window_parity", "weighted_sample_wor",
         "zorder_layout_pruning_audit",
+        # --- round 7 (CORRECTNESS_r07.json): 50/50 green via
+        # scripts/update_certified.py — the first fully clean round.
+        "bigram_logprob_quality", "bm25_eval_mrr", "bm25_topk_retrieval",
+        "boilerplate_block_mask", "bpe_merge_apply_compression",
+        "brown_double_smoothing_error",
+        "budget_apportion_largest_remainder", "cdc_upsert_merge_audit",
+        "compaction_bin_packing", "curation_pipeline_v2",
+        "embedding_truncation_fidelity", "event_debounce_rate",
+        "ewma_forecast_error", "k_anonymity_audit", "kcore_trade_graph",
+        "knn_label_vote_audit", "label_prop_communities",
+        "lang_id_agreement_audit", "minhash_estimate_error_audit",
+        "multimodal_avi_frame_index", "phrase_search_topk",
+        "quality_aware_keep_list", "retrieval_rank_fusion",
+        "seasonal_adjusted_anomalies", "stream_avi_ingest_parity",
+        "stream_boilerplate_mask_parity", "stream_contribution_cap_parity",
+        "stream_debounce_parity", "stream_ewma_parity",
+        "stream_k_anonymity_parity", "stream_passage_dedup_parity",
+        "stream_weighted_sample_parity", "user_contribution_capping",
     }
 )
 
@@ -209,14 +227,15 @@ _FAMILY_PRIORITY = {
 # mapped through the registry's module->query index.
 RECERTIFY: frozenset[str] = frozenset(
     {
-        # round 7: dedup2.py rewrite (trained-quantizer SemDeDup +
-        # passage refactor shared with the streaming twin)
-        "semdedup_prune_list", "passage_dedup_rate", "dedup_substring_runs",
-        # mining.py Apriori prefilter + shuffled pair self-join
-        "basket_part_pair_lift",
-        # ivf.py Lloyd restructure + explicit-count repartition
+        # round 8: quantizer-TREE SemDeDup rewrite (dedup2.py) with the
+        # regenerated MATERIALIZED-CTE oracle
+        "semdedup_prune_list",
+        # round 8: ivf.py fused-action audit restructure (one scoring
+        # pass, single window, payload-carrying assignment)
         "ann_ivf_recall_audit",
-        # multimodal.py media-table explicit-count repartition
+        # round 8: mining.py packed pair key + ok-partitioned distinct
+        "basket_part_pair_lift",
+        # round 8: audiocodec/imagecodec numpy batch vectorization
         "multimodal_bmp_ppm_decode", "multimodal_wav_frame_rms",
         "multimodal_image_patch_pool",
     }
@@ -225,9 +244,9 @@ RECERTIFY: frozenset[str] = frozenset(
 
 # The 48 queries whose ONLY driver certification predates round 3
 # (green in CORRECTNESS_r01/r02). These are the stalest rows in the
-# registry, so a rotating 12-slot window over this tuple is pinned to
-# the head of the certified block every round (VERDICT r6 #5: keep
-# >=10 oldest-first rotation slots per round) — the general rotation
+# registry, so a rotating 16-slot window over this tuple is pinned to
+# the head of the certified block every round (VERDICT r7 #4: raise
+# the quota from 12 so the r1/r2 backlog clears in ~2 rounds) — the general rotation
 # alone walks alphabetically and can under-serve them in any given
 # round. Ordered tuple: the window is _ROUND_INDEX-rotated, so the
 # full set re-greens once every 4 rounds.
@@ -257,7 +276,7 @@ _OLDEST_CERTIFIED: tuple[str, ...] = (
     "value_histogram_per_type", "value_quantiles_exact_per_type",
 )
 
-_OLDEST_QUOTA = 12
+_OLDEST_QUOTA = 16
 
 
 # Pinned rotation index for the certified-block rotation (ADVICE r6 #1:
@@ -266,7 +285,7 @@ _OLDEST_QUOTA = 12
 # the moment the driver writes its artifact). Bumped by hand each round
 # alongside the DRIVER_CERTIFIED append; SPARK_GRAFT_ROUND overrides for
 # experiments.
-_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "7"))
+_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "8"))
 
 
 def _round_index() -> int:
@@ -295,7 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from beametrics_spark.registry import load_all
 
     items = list(load_all().items())
-    # oldest-first quota: a 12-slot rotating window over the r1/r2-only
+    # oldest-first quota: a 16-slot rotating window over the r1/r2-only
     # certified tuple, pinned ahead of the general rotation
     o_off = (_round_index() * _OLDEST_QUOTA) % len(_OLDEST_CERTIFIED)
     wrapped = _OLDEST_CERTIFIED[o_off:] + _OLDEST_CERTIFIED[:o_off]
