@@ -435,6 +435,37 @@ def main() -> int:
             print(f"# {name}: {out[name]:.3f}s{suffix}", file=sys.stderr)
         return out
 
+    # Host-floor calibration (VERDICT r7 #7): a constant one-partition
+    # no-op job and a constant tiny fixed-shuffle job, timed with the
+    # same min-of-N protocol. These measure the box's per-action
+    # scheduling floor and per-stage shuffle floor ON THIS RUN, so a
+    # future reader can separate host drift from plan regressions
+    # arithmetically (r7's +21% total turned out to be drift — proven
+    # then by DuckDB co-movement, now measurable directly).
+    def _calibration() -> dict[str, float]:
+        from pyspark.sql import functions as F
+
+        noop = spark.range(1, numPartitions=1)
+        shuf = (
+            spark.range(10000, numPartitions=8)
+            .groupBy((F.col("id") % 97).alias("k"))
+            .count()
+        )
+        out = {}
+        for label, df in (("noop_1part", noop), ("shuffle_8part", shuf)):
+            df.write.format("noop").mode("overwrite").save()  # warm
+            trials = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                trials.append(time.perf_counter() - t0)
+            out[label + "_min"] = round(min(trials), 4)
+            out[label + "_median"] = round(sorted(trials)[2], 4)
+        return out
+
+    calibration = _calibration()
+    print(f"# calibration: {calibration}", file=sys.stderr)
+
     timings = timed(BENCH_QUERIES)
     # Streaming-parity entries run the WHOLE micro-batch harness during
     # plan construction (readStream → drain → memory sink), so they must
@@ -451,6 +482,7 @@ def main() -> int:
                 "metric": "headline_query_set_wall",
                 "value": total,
                 "unit": "sec",
+                "calibration": calibration,
                 "queries": timings,
                 "streaming_parity_queries": streaming,
                 "streaming_parity_wall": round(sum(streaming.values()), 3),
