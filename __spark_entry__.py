@@ -235,9 +235,10 @@ RECERTIFY: frozenset[str] = frozenset(
         "ann_ivf_recall_audit",
         # round 8: mining.py packed pair key + ok-partitioned distinct
         "basket_part_pair_lift",
-        # round 8: audiocodec/imagecodec numpy batch vectorization
-        "multimodal_bmp_ppm_decode", "multimodal_wav_frame_rms",
-        "multimodal_image_patch_pool",
+        # (multimodal codecs deliberately NOT re-listed: the r7 #5
+        # vectorization item closed with a measurement, not a code
+        # change — the Python loop is ~3% of the query wall; see the
+        # round-8 BENCH_COMPARE note.)
     }
 )
 

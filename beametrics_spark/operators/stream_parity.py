@@ -1338,3 +1338,152 @@ def stream_avi_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = stream.select("doc_id").mapInPandas(_encode, schema=_MEDIA_SCHEMA)
     stats = media.mapInPandas(_stats, schema=_AVI_INDEX_SCHEMA)
     return _drain_to_table(spark, stats, "avi_ingest", "append", stream_dir)
+
+
+from beametrics_spark.operators.curation3 import _CDC_MERGE_ORACLE, CDC_INSERTS
+
+
+@register("stream_cdc_merge_parity", _CDC_MERGE_ORACLE)
+def stream_cdc_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_upsert_merge_audit as CONTINUOUS CDC (VERDICT r7 #6): the
+    change feed (delete / update / insert verbs) arrives as four files
+    fed one per trigger, and foreachBatch applies MERGE-INTO semantics
+    per micro-batch against an external base table — matched keys drop
+    out (anti join), update/insert rows land — exactly the lakehouse
+    upsert loop a real deployment runs against Delta/Iceberg. The feed
+    is key-disjoint across micro-batches (each doc_id carries one
+    verb), so chunked application provably equals the one-shot batch
+    MERGE, and the drained snapshot audits against the SAME
+    content-checksum oracle verbatim — count parity alone can't see a
+    wrong-version row survive; the 40-bit md5-prefix checksum can.
+
+    State is the full base table in an external parquet dir (the
+    production shape: the table IS the state; nothing rides in the
+    state store). Per-batch cost: one anti join + one union + one
+    rewrite — on a lakehouse the rewrite is file-level (copy-on-write /
+    merge-on-read), not a full table scan; the audit aggregates per
+    source are batch-side, computed once after the drain."""
+    from beametrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    is_del = F.col("doc_id") % 13 == 0
+    is_upd = (F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 0)
+    inserts = spark.range(1, CDC_INSERTS + 1).select(
+        (F.col("id") + max_id).alias("doc_id"),
+        F.concat(
+            F.lit("src"), ((F.col("id") + max_id) % 20).cast("string")
+        ).alias("source"),
+        F.concat(
+            F.lit("inserted doc "), (F.col("id") + max_id).cast("string")
+        ).alias("text"),
+    )
+    feed = (
+        docs.filter(is_del)
+        .select(
+            "doc_id",
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("D").alias("verb"),
+        )
+        .unionAll(
+            docs.filter(is_upd).select(
+                "doc_id",
+                "source",
+                F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+                F.lit("U").alias("verb"),
+            )
+        )
+        .unionAll(
+            inserts.select(
+                "doc_id", "source", "text", F.lit("I").alias("verb")
+            )
+        )
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_cdc_")
+    base_dir = _scratch("beametrics_cdc_state_")
+    ckpt = _scratch("beametrics_cdc_ckpt_")
+    try:
+        # initial snapshot = the base table
+        docs.write.mode("overwrite").parquet(base_dir)
+        # feed chopped into 4 key-range files, one per trigger
+        hi = max_id + CDC_INSERTS + 1
+        step = (hi + 3) // 4
+        for i in range(4):
+            chunk = feed.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            tmp = os.path.join(stream_dir, f"_build_{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        state_schema = "doc_id long, source string, text string"
+
+        def merge_epoch(mb: DataFrame, _epoch_id: int) -> None:
+            prev = spark.read.schema(state_schema).parquet(base_dir)
+            keys = mb.select("doc_id")
+            upserts = mb.filter(F.col("verb").isin("U", "I")).select(
+                "doc_id", "source", "text"
+            )
+            merged = (
+                prev.join(keys, "doc_id", "left_anti")
+                .unionByName(upserts)
+                .localCheckpoint(eager=True)  # free the dir for overwrite
+            )
+            merged.write.mode("overwrite").parquet(base_dir)
+
+        schema = spark.read.parquet(stream_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_epoch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        final = spark.read.schema(state_schema).parquet(base_dir)
+        term = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+        stats = final.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum(term).alias("content_checksum"),
+        )
+        feed_counts = docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum(is_del.cast("long")).alias("n_deleted"),
+            F.sum(is_upd.cast("long")).alias("n_updated"),
+        )
+        ins_counts = inserts.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_inserted")
+        )
+        z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+        return (
+            stats.join(F.broadcast(feed_counts), "source", "left")
+            .join(F.broadcast(ins_counts), "source", "left")
+            .select(
+                "source",
+                z("n_base").alias("n_base"),
+                z("n_deleted").alias("n_deleted"),
+                z("n_updated").alias("n_updated"),
+                z("n_inserted").alias("n_inserted"),
+                F.col("n_final").cast("long").alias("n_final"),
+                F.col("content_checksum").cast("long").alias("content_checksum"),
+            )
+            .localCheckpoint(eager=True)  # materialize before dir cleanup
+        )
+    finally:
+        for d in (stream_dir, base_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

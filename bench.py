@@ -218,6 +218,7 @@ STREAMING_QUERIES = [
     "stream_boilerplate_mask_parity",
     "stream_k_anonymity_parity",
     "stream_avi_ingest_parity",
+    "stream_cdc_merge_parity",
 ]
 
 # Iterative workloads, timed with an iteration-normalized metric
