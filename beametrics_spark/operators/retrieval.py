@@ -195,12 +195,53 @@ def bm25_ranked(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 @register("bm25_topk_retrieval", _BM25_ORACLE)
-def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_topk_retrieval(
+    spark: SparkSession, sf_dir: str, *, use_cutoff_rank: bool = False
+) -> DataFrame:
     """Top-10 documents per query under rational-idf BM25 (k1=1.2,
     b=0.75) for a fixed 4-query workload over the corpus — see the
-    module docstring for the bit-exactness and 100 TB design notes."""
+    module docstring for the bit-exactness and 100 TB design notes.
+
+    ``use_cutoff_rank=True`` switches the per-query top-k from the
+    window sort to the broadcast-cutoff two-scan shape
+    (functions.order_boundary_rows) — the stop-word skew path: a
+    common query term makes ONE query's candidate set corpus-sized,
+    and the default window then single-task-sorts it. The cutoff path
+    finds each query's K-th (score desc, doc_id) boundary key with no
+    full sort (width_bucket binning + straddling-bin rank), broadcasts
+    the per-query boundaries, keeps survivors by a scan-local struct
+    comparison, and window-sorts only the ≤K survivors per query —
+    bit-identical output (pinned by
+    tests/test_round8_ops.py::test_bm25_cutoff_path_matches_window)."""
     docs = load_table(spark, sf_dir, "documents")
-    return bm25_ranked(spark, docs).filter(F.col("rk") <= TOP_K)
+    if not use_cutoff_rank:
+        return bm25_ranked(spark, docs).filter(F.col("rk") <= TOP_K)
+
+    from beametrics_spark.functions import key_struct, order_boundary_rows
+
+    _matched, scored = bm25_matched_and_scored(spark, docs)
+    # one materialization: each query's boundary subtree + the survivor
+    # scan would otherwise re-run the scoring join per consumer
+    scored = scored.select(
+        "query_id", "doc_id", F.round("score", 6).alias("bm25")
+    ).localCheckpoint(eager=True)
+    keys = [-F.col("bm25"), F.col("doc_id")]
+    surv = None
+    for q in sorted({qid for qid, _, _ in QUERY_TERMS}):
+        part = scored.filter(F.col("query_id") == q)
+        bnd = order_boundary_rows(
+            part, keys, [(0, lambda n: F.least(F.lit(TOP_K), n))]
+        )
+        hit = (
+            part.crossJoin(F.broadcast(bnd.select("_bnds")))
+            .filter(key_struct(keys) <= F.col("_bnds")[0]["_key"])
+            .drop("_bnds")
+        )
+        surv = hit if surv is None else surv.unionAll(hit)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return surv.select(
+        "query_id", F.row_number().over(w).alias("rk"), "doc_id", "bm25"
+    )
 
 
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant

@@ -91,6 +91,11 @@ PROBE_QUERIES = [
     # and the composed verdict pipeline (CC + block-df stages)
     "k_anonymity_audit",
     "curation_pipeline_v2",
+    # round-8: retrieval one more decade (VERDICT r7 #8) — posting-list
+    # depth on the near-dup replica corpus is the failure mode; the
+    # query terms hit ~every replica, so matched sets deepen 10x
+    "bm25_topk_retrieval",
+    "retrieval_rank_fusion",
     # round-7 wave 8: Python-stage container parse (Arrow batch cost)
     "multimodal_avi_frame_index",
     "cdc_upsert_merge_audit",

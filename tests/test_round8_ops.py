@@ -94,3 +94,30 @@ def test_sem_tree_assignment_bounded_fanout(spark, sf_dir):
         r["cluster"] for r in semdedup_prune_list(spark, sf_dir).collect()
     }
     assert clusters and all(0 <= c < k for c in clusters)
+
+
+def test_bm25_cutoff_path_matches_window(spark, sf_dir):
+    """The broadcast-cutoff top-k (stop-word skew path) must be
+    bit-identical to the default per-query window sort — same rows,
+    same ranks, same rounded scores."""
+    from beametrics_spark.operators.retrieval import bm25_topk_retrieval
+
+    base = sorted(tuple(r) for r in bm25_topk_retrieval(spark, sf_dir).collect())
+    cut = sorted(
+        tuple(r)
+        for r in bm25_topk_retrieval(
+            spark, sf_dir, use_cutoff_rank=True
+        ).collect()
+    )
+    assert base == cut and base
+
+
+def test_bm25_cutoff_plan_has_no_full_candidate_sort(spark, sf_dir):
+    """The cutoff plan must show the width_bucket binning and rank only
+    boundary-straddling bins + survivors — no window over the full
+    per-query candidate set before the cutoff filter."""
+    from beametrics_spark.operators.retrieval import bm25_topk_retrieval
+
+    df = bm25_topk_retrieval(spark, sf_dir, use_cutoff_rank=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "width_bucket" in plan
