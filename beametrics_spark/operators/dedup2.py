@@ -643,52 +643,12 @@ def _leaf_route(
     return routed.join(leaf, "fid").select("fid", "parent", "fv")
 
 
-@register("semdedup_prune_list", _SEMDEDUP_ORACLE)
-def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al., 2023) at fixed cluster SIZE: a trained
-    constant-branching quantizer TREE assigns every vector to one of
-    k = n/64 clusters, then cosine-near pairs are pruned WITHIN
-    clusters only.
-
-    Cost algebra (VERDICT r7 #2 — the r7 two-level quantizer left an
-    n^1.5/4 assignment term; this round wires the constant-branching
-    deeper tree the r7 docstring only documented):
-
-      pair stage     sum_c |c|^2 ~ n * 64            -- LINEAR (unchanged)
-      assignment     n * B * ceil(log_B(k))          -- B = 8 constant
-                     = n * 8 * log8(n/64)            -- n log n
-      centroid side  k * B * depth ~ k log k         -- hierarchical
-                                                        routing, never k^2
-
-    Upper-level sizes are LEAST(B^l, ceil(k/B)) seed prefixes — capping
-    at ~k/B keeps the leaf fan-out ~B. Per-vector work: B roots + ~B
-    candidates per deeper level + ~B leaf candidates. At sf1 (k=313)
-    the tree is [8, 40] + 313 leaves ≈ 21 dots/vector vs the r7
-    two-level design's 2·sqrt(313) ≈ 35; the gap compounds per decade
-    (sf10: 30 vs 112, sf100: 39 vs 354 — the decade growth tends to
-    10× as log8(10k)/log8(k) → 1, vs the fixed 31.6× of n^1.5).
-
-    Training (mirrored rule-for-rule in the generated oracle —
-    _sem_oracle_sql): k leaf seeds = smallest Knuth-hash vec_ids,
-    unit-normalized; seed PREFIXES form the frozen upper tree (new
-    centroids at each level hierarchically descend the tree built so
-    far; retained ones parent themselves — a protocol rule, not a
-    cos(c,c)=1 tie assumption); one Lloyd pass refines the leaf
-    centroids (mean of assigned raw vectors, re-normalized; empty
-    cells keep their seed); trained leaves re-route under the frozen
-    tree and vectors re-assign. Vectors descend the upper tree ONCE —
-    the frozen tree makes their upper path iteration-invariant, so one
-    materialization serves both leaf assignments.
-
-    Scale notes: centroid tables NEVER touch the driver (k ∝ n); they
-    flow as broadcast DataFrames, localCheckpointed per level (k-row
-    scale). The only driver scalar is count() for k. Shuffles carry ids
-    and 64-float arrays, never documents. The oracle unrolls
-    SEM_UPPER_LEVELS=5 static levels whose repeated sizes degenerate to
-    identity, so one SQL string is correct at every sf; the Spark plan
-    skips identity levels (k is known at plan time) — provably the same
-    assignment, since an identity level's candidate set is the
-    singleton already chosen."""
+def sem_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ASSIGNMENT stage of semdedup_prune_list in isolation —
+    (vec_id, v, node=leaf fid) after seed pick, frozen-tree build, one
+    Lloyd pass, re-route, re-assign. Exposed so the scaling probe can
+    time the n·B·log_B(k) stage separately from the linear pair stage
+    (VERDICT r7 #2's Done criterion is assignment-stage growth)."""
     import math
 
     raw = load_table(spark, sf_dir, "embeddings")
@@ -753,9 +713,59 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # k rows; 2 consumers (route + fallback join)
     )
     leaf1 = _leaf_route(fine0, fine1, levels, sizes[-1], trained=True)
-    a1 = _child_assign(vupper, "vec_id", leaf1)
+    return _child_assign(vupper, "vec_id", leaf1)
 
+
+@register("semdedup_prune_list", _SEMDEDUP_ORACLE)
+def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023) at fixed cluster SIZE: a trained
+    constant-branching quantizer TREE assigns every vector to one of
+    k = n/64 clusters, then cosine-near pairs are pruned WITHIN
+    clusters only.
+
+    Cost algebra (VERDICT r7 #2 — the r7 two-level quantizer left an
+    n^1.5/4 assignment term; this round wires the constant-branching
+    deeper tree the r7 docstring only documented):
+
+      pair stage     sum_c |c|^2 ~ n * 64            -- LINEAR (unchanged)
+      assignment     n * B * ceil(log_B(k))          -- B = 8 constant
+                     = n * 8 * log8(n/64)            -- n log n
+      centroid side  k * B * depth ~ k log k         -- hierarchical
+                                                        routing, never k^2
+
+    Upper-level sizes are LEAST(B^l, ceil(k/B)) seed prefixes — capping
+    at ~k/B keeps the leaf fan-out ~B. Per-vector work: B roots + ~B
+    candidates per deeper level + ~B leaf candidates. At sf1 (k=313)
+    the tree is [8, 40] + 313 leaves ≈ 21 dots/vector vs the r7
+    two-level design's 2·sqrt(313) ≈ 35; the gap compounds per decade
+    (sf10: 30 vs 112, sf100: 39 vs 354 — the decade growth tends to
+    10× as log8(10k)/log8(k) → 1, vs the fixed 31.6× of n^1.5).
+
+    Training (mirrored rule-for-rule in the generated oracle —
+    _sem_oracle_sql): k leaf seeds = smallest Knuth-hash vec_ids,
+    unit-normalized; seed PREFIXES form the frozen upper tree (new
+    centroids at each level hierarchically descend the tree built so
+    far; retained ones parent themselves — a protocol rule, not a
+    cos(c,c)=1 tie assumption); one Lloyd pass refines the leaf
+    centroids (mean of assigned raw vectors, re-normalized; empty
+    cells keep their seed); trained leaves re-route under the frozen
+    tree and vectors re-assign. Vectors descend the upper tree ONCE —
+    the frozen tree makes their upper path iteration-invariant, so one
+    materialization serves both leaf assignments.
+
+    Scale notes: centroid tables NEVER touch the driver (k ∝ n); they
+    flow as broadcast DataFrames, localCheckpointed per level (k-row
+    scale). The only driver scalar is count() for k. Shuffles carry ids
+    and 64-float arrays, never documents. The oracle unrolls
+    SEM_UPPER_LEVELS=5 static levels whose repeated sizes degenerate to
+    identity, so one SQL string is correct at every sf; the Spark plan
+    skips identity levels (k is known at plan time) — provably the same
+    assignment, since an identity level's candidate set is the
+    singleton already chosen."""
     from beametrics_spark.operators.dedup import dot_expr, norm_expr
+
+    a1 = sem_assign(spark, sf_dir)
+
 
     # a1 carries the vector payload out of the descent — no corpus
     # re-join before the pair stage
