@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from beametrics_spark.operators.dedup import cosine_expr, dot_expr, norm_expr
+from beametrics_spark.operators.dedup import dot_expr, norm_expr
 from beametrics_spark.operators.similarity import N_QUERIES, TOP_K
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
