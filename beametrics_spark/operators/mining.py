@@ -86,12 +86,11 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem/part ≈ 300 — so the filter's value shows on skewed
     real-world catalogs, not these tables.)
 
-    Pair generation is a self-equi-join of the pruned table on the
-    order key (a.pk < b.pk): both sides are the SAME exchange, so the
-    join costs one shuffle total plus the reuse — measured 2.2x faster
-    at sf1 than rebuilding per-order arrays and double-Generate
-    exploding them (1.59 s vs 3.46 s), because collect_set buffers and
-    array copies disappear. Item counts are a map-side-combined hash
+    Pair generation builds each order's sorted part array (an
+    EXCHANGE-FREE aggregation — the distinct table is already
+    ok-partitioned) and emits a<b pairs through two codegen Generates;
+    see the inline note for the r8 A/B that retired the earlier
+    self-equi-join. Item counts are a map-side-combined hash
     aggregation off the distinct exchange; the per-item count table
     (|parts| rows, KB-MB at any corpus size relative to the pair table)
     broadcasts into the prefilter and the lift join; the order total
@@ -143,15 +142,30 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fatal at scale. A shuffle join keys both sides on ok, and since
     # they are the same subtree the second exchange is a ReusedExchange:
     # one shuffle total.
+    # Pair emission via per-order sorted arrays + nested Generate, not
+    # the r5-r7 self-join: with dp ALREADY ok-partitioned the
+    # collect_list aggregation is exchange-free, and the two codegen
+    # Generates (posexplode + slice-explode of the strictly-greater
+    # suffix) emit each a<b pair exactly once without building and
+    # probing a 6M-row hash table. Interleaved sf1 A/B, 5 trials each:
+    # join median 3.16 s, arrays median 2.36 s. (The r6 measurement
+    # that favored the join — 1.59 vs 3.46 s — predates the
+    # ok-partitioned distinct: back then collect_list paid its own full
+    # exchange.) Arrays are basket-size-bounded (TPC-H ≤7 items); a
+    # catalog with mega-baskets caps per-basket fan-out first — the
+    # same C(k,2) bound either formulation needs.
+    baskets = dpf.groupBy("ok").agg(
+        F.sort_array(F.collect_list("pk")).alias("parts")
+    )
     pairs = (
-        dpf.alias("a")
-        .join(
-            dpf.alias("b").hint("shuffle_hash"),
-            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
-        )
+        baskets.select(F.posexplode("parts").alias("i", "a"), "parts")
         .select(
-            (F.col("a.pk") * F.lit(4294967296) + F.col("b.pk")).alias("pkey")
+            "a",
+            F.explode(
+                F.slice("parts", F.col("i") + 2, F.size("parts"))
+            ).alias("b"),
         )
+        .select((F.col("a") * F.lit(4294967296) + F.col("b")).alias("pkey"))
         .groupBy("pkey")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
