@@ -374,25 +374,38 @@ def test_watermark_audit_partitions_arrival_sort_by_source(spark, sf_dir):
     assert "hashpartitioning(source_id" not in gplan
 
 
-def test_basket_lift_prefilters_before_shuffled_pair_join(spark, sf_dir):
-    """Apriori shape (VERDICT r6 #3): the frequent-item broadcast
-    semi-join must sit BELOW the pair-generating self-join, and that
-    join must be a shuffled join on the order key — the planner's
-    post-semi-join size estimate would otherwise broadcast the entire
-    pruned fact table, which is fatal at scale."""
+def test_basket_lift_pair_stage_plan(spark, sf_dir):
+    """Round-8 pair-stage shape: the per-order array aggregation must be
+    EXCHANGE-FREE (the distinct table is already ok-partitioned, so no
+    hashpartitioning(ok) exchange may appear above the explicit
+    repartition), the frequent-item Apriori prefilter (a
+    BroadcastHashJoin on pk, VERDICT r6 #3) must sit below the pair
+    Generates, and the packed-pair partial aggregation must fire before
+    the pkey exchange (VERDICT r7 #3's plan pin)."""
     from beametrics_spark.operators.mining import basket_part_pair_lift
 
     df = basket_part_pair_lift(spark, sf_dir)
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
-    pair_join = re.search(r"(ShuffledHashJoin|SortMergeJoin) \[ok", plan)
-    assert pair_join, plan
-    # the frequent-item prefilter (a BroadcastHashJoin on pk) appears
-    # below the pair join in the tree (later in the printed plan)
+    # pair emission is two Generates, not a self-join on ok
+    assert plan.count("Generate") >= 2, plan
+    assert not re.search(r"(ShuffledHashJoin|SortMergeJoin) \[ok", plan), plan
+    # the only exchange clustering by ok is the explicit repartition:
+    # the basket collect_list and the dedup both ride it, so NO
+    # planner-inserted (ENSURE_REQUIREMENTS) ok-exchange may appear
+    assert not re.search(
+        r"Exchange hashpartitioning\(ok[^)]*\), ENSURE_REQUIREMENTS", plan
+    ), plan
+    assert re.search(
+        r"Exchange hashpartitioning\(ok[^)]*\), REPARTITION_BY_NUM", plan
+    ), plan
+    # the Apriori prefilter survives, below the Generates
+    gen = re.search(r"Generate posexplode", plan)
     prefilter = re.search(r"BroadcastHashJoin \[pk", plan)
-    assert prefilter and prefilter.start() > pair_join.start(), plan
-    # both pair-join inputs come from one exchange: the b side reuses
-    assert "ReusedExchange" in plan, plan
+    assert gen and prefilter and prefilter.start() > gen.start(), plan
+    # partial aggregation on the packed key before the pkey exchange
+    fplan = formatted_plan(df)
+    assert "partial_count" in fplan, fplan
 
 
 def test_contribution_cap_pure_aggregation_plan(spark, sf_dir):
