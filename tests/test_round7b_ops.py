@@ -330,15 +330,17 @@ def _plan_of(df) -> str:
 
 
 def test_bm25_plan_shape(spark, sf_dir):
-    """100 TB pins: the scored pipeline must reuse the CHECKPOINTED
-    matched-postings set (ExistingRDD scans, not corpus re-tokenizes),
-    keep exactly one residual parquet scan (the N/avgdl stats pass),
-    and broadcast every dimension join — no sort-merge join anywhere."""
+    """100 TB pins (round-9 shape): exactly two parquet scans — the
+    pruned-postings pass and the N/avgdl stats pass — with NO
+    materialization barrier (no checkpointed ExistingRDD scan), every
+    dimension join broadcast, no sort-merge join anywhere."""
     df = bm25_topk_retrieval(spark, sf_dir)
     plan = _plan_of(df)
-    assert plan.count("Scan parquet") == 1, plan
-    assert "Scan ExistingRDD" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Scan ExistingRDD" not in plan, plan
+    # term-at-a-time scan: no per-token Generate/explode of the corpus
+    # and exactly ONE hash exchange (the matched repartition by query)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan, plan
 
 
