@@ -249,8 +249,6 @@ ITERATIVE_QUERIES = [
 # way (scaling_check.py already imports ITERATIVE_QUERIES from here).
 CONSTRUCTION_TIMED = {
     "supplier_cotrade_triangles",   # backbone edge checkpoint
-    "bm25_topk_retrieval",          # matched-postings checkpoint at build
-    "retrieval_rank_fusion",        # composes bm25 -> same checkpoint at build
     "dedup_minhash_lsh",            # candidate-set checkpoint
     "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
     "ann_ivf_recall_audit",         # centroid training collects at build
@@ -258,8 +256,11 @@ CONSTRUCTION_TIMED = {
     "minhash_estimate_error_audit", # pair-table checkpoint at build
     "quality_aware_keep_list",      # CC rounds checkpoint per iteration
     "curation_pipeline_v2",         # composes the CC stage -> same checkpoints
-    "bm25_eval_mrr",                # matched-postings checkpoint at build
-    "semdedup_prune_list",          # r7: seed/coarse-assign/Lloyd checkpoints at build
+    # r9: the BM25 family dropped its build-time checkpoints (pure lazy
+    # plans now — plan-reuse timing is honest again, like other queries);
+    # semdedup swapped checkpoints for lazy persist() caches, which makes
+    # REBUILD the honest protocol (plan reuse would time warm cache reads).
+    "semdedup_prune_list",
 }
 
 
