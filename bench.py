@@ -258,9 +258,11 @@ CONSTRUCTION_TIMED = {
     "curation_pipeline_v2",         # composes the CC stage -> same checkpoints
     # r9: the BM25 family dropped its build-time checkpoints (pure lazy
     # plans now — plan-reuse timing is honest again, like other queries);
-    # semdedup swapped checkpoints for lazy persist() caches, which makes
-    # REBUILD the honest protocol (plan reuse would time warm cache reads).
+    # semdedup and bigram_pmi swapped checkpoints/rescans for lazy
+    # persist() caches, which makes REBUILD the honest protocol (plan
+    # reuse would time warm cache reads).
     "semdedup_prune_list",
+    "bigram_pmi_top",
 }
 
 
