@@ -227,30 +227,37 @@ _FAMILY_PRIORITY = {
 # mapped through the registry's module->query index.
 RECERTIFY: frozenset[str] = frozenset(
     {
-        # round 8: quantizer-TREE SemDeDup rewrite (dedup2.py) with the
-        # regenerated MATERIALIZED-CTE oracle
+        # round 9: BM25 family restructured around the term-at-a-time
+        # scan + single query_id repartition (retrieval.py)
+        "bm25_topk_retrieval",
+        "retrieval_rank_fusion",
+        "bm25_eval_mrr",
+        # round 9: SemDeDup barrier cut — lazy persist() caches replace
+        # the per-level eager localCheckpoints; codegen pair triangle
+        # (dedup2.py)
         "semdedup_prune_list",
-        # round 8: ivf.py fused-action audit restructure (one scoring
-        # pass, single window, payload-carrying assignment)
+        # round 9: one-scan rollup rewrite (text3.py)
+        "bigram_pmi_top",
+        # round 9: single doc_id repartition, exchange-free aggregates
+        # (text2.py)
+        "quality_repetition_signals",
+        # round 9: train_ivf_centroids keeps centroids distributed
+        # between Lloyd rounds, one collect at the end (ivf.py) — the
+        # audit certifies the shared training path bit-for-bit
         "ann_ivf_recall_audit",
-        # round 8: mining.py packed pair key + ok-partitioned distinct
-        "basket_part_pair_lift",
-        # (multimodal codecs deliberately NOT re-listed: the r7 #5
-        # vectorization item closed with a measurement, not a code
-        # change — the Python loop is ~3% of the query wall; see the
-        # round-8 BENCH_COMPARE note.)
     }
 )
 
 
 # The 48 queries whose ONLY driver certification predates round 3
 # (green in CORRECTNESS_r01/r02). These are the stalest rows in the
-# registry, so a rotating 16-slot window over this tuple is pinned to
-# the head of the certified block every round (VERDICT r7 #4: raise
-# the quota from 12 so the r1/r2 backlog clears in ~2 rounds) — the general rotation
-# alone walks alphabetically and can under-serve them in any given
-# round. Ordered tuple: the window is _ROUND_INDEX-rotated, so the
-# full set re-greens once every 4 rounds.
+# registry, so a rotating 20-slot window over this tuple is pinned to
+# the head of the certified block every round (VERDICT r8 #6: bump the
+# quota 16 → 20 so the remaining 19 r2-latest rows all re-green in
+# round 9) — the general rotation alone walks alphabetically and can
+# under-serve them in any given round. Ordered tuple: the window is
+# _ROUND_INDEX-rotated, so the full set re-greens once every ~2.5
+# rounds at quota 20.
 _OLDEST_CERTIFIED: tuple[str, ...] = (
     "asof_last_click_before_purchase", "conditional_aggregation",
     "correlated_scalar_price_ratio", "cube_order_counts",
@@ -277,7 +284,23 @@ _OLDEST_CERTIFIED: tuple[str, ...] = (
     "value_histogram_per_type", "value_quantiles_exact_per_type",
 )
 
-_OLDEST_QUOTA = 16
+_OLDEST_QUOTA = 20
+
+# The names in _OLDEST_CERTIFIED whose latest green row is STILL r2
+# after CORRECTNESS_r08 (computed from the artifacts, hand-refreshed
+# like DRIVER_CERTIFIED). Pinned to the FRONT of the round's oldest
+# window — the plain arithmetic rotation can skip over exactly the rows
+# it exists to refresh (at round 9 it would have missed 10 of these).
+_STILL_R2: tuple[str, ...] = (
+    "asof_last_click_before_purchase", "conditional_aggregation",
+    "correlated_scalar_price_ratio", "cube_order_counts",
+    "customers_with_orders_semi", "customers_without_orders_anti",
+    "date_function_rollup", "pivot_user_event_values",
+    "range_join_purchases_after_order", "ranking_variants",
+    "ref_contains_count", "ref_equals_count", "ref_grouped_labels",
+    "ref_json_field_count", "ref_match_all_count",
+    "ref_missing_field_sum", "ref_multi_condition_count",
+)
 
 
 # Pinned rotation index for the certified-block rotation (ADVICE r6 #1:
@@ -286,7 +309,7 @@ _OLDEST_QUOTA = 16
 # the moment the driver writes its artifact). Bumped by hand each round
 # alongside the DRIVER_CERTIFIED append; SPARK_GRAFT_ROUND overrides for
 # experiments.
-_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "8"))
+_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "9"))
 
 
 def _round_index() -> int:
@@ -319,7 +342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # certified tuple, pinned ahead of the general rotation
     o_off = (_round_index() * _OLDEST_QUOTA) % len(_OLDEST_CERTIFIED)
     wrapped = _OLDEST_CERTIFIED[o_off:] + _OLDEST_CERTIFIED[:o_off]
-    oldest_window = {name: i for i, name in enumerate(wrapped[:_OLDEST_QUOTA])}
+    # still-r2 rows first (guaranteed slots), rotation fills the rest
+    ordered = list(_STILL_R2) + [n for n in wrapped if n not in _STILL_R2]
+    oldest_window = {name: i for i, name in enumerate(ordered[:_OLDEST_QUOTA])}
     certified_sorted = sorted(n for n, _ in items if n in DRIVER_CERTIFIED)
     rot = {}
     if certified_sorted:

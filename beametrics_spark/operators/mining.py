@@ -111,8 +111,9 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       pkey)) probes a single-long-key map, and the exchange row
       shrinks to 16 bytes. Keys unpack with shiftright/mask after the
       support floor (exact integer ops). Packing assumes part keys
-      < 2³² — true for any real catalog; beyond that revert to the
-      two-column key.
+      < 2³¹ — a·2³² must stay below the signed-long bound, so the top
+      bit is NOT usable (ADVICE r8); still true for any real catalog,
+      and beyond that revert to the two-column key.
     Honest sf1 loopback measurement (interleaved A/B, 5 trials each,
     same session): old median 3.09 s, new median 3.08 s — locally the
     stage is bound by JOIN ROW GENERATION (12M pair emissions), which
