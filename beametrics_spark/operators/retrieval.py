@@ -44,9 +44,10 @@ even for df > N/2, where classic ln-BM25 goes negative.)
   the one residual parquet re-scan (tokenize+size only, no explode,
   no shuffle).
 - Multiple consumers of the matched set (scoring + coverage in rank
-  fusion; scoring + relevance in the MRR eval) share the ONE matched
-  exchange via ReusedExchange — lineage reuse instead of a
-  materialization barrier.
+  fusion; scoring + relevance in the MRR eval) share it through a LAZY
+  persist() cache — per-branch column pruning defeats ReusedExchange
+  here, and the r8 eager localCheckpoint was a barrier job; the cache
+  is neither.
 - Ranking partitions by query_id (|Q| partitions). A stop-word query
   term at 100 TB makes one query's candidate set huge; the flag-gated
   exact-ranking broadcast-cutoff helper (functions/__init__.py) is the
@@ -127,15 +128,22 @@ SELECT query_id, rk, doc_id, bm25 FROM rk WHERE rk <= {TOP_K}
 """
 
 
-def bm25_matched_and_scored(spark: SparkSession, docs: DataFrame):
-    """(matched, scored): the shared BM25 core — matched postings
-    (query-term-pruned BEFORE the tf aggregate) and the per-(query,
-    doc) order-fixed score table — used by the top-k operator, the
-    rank-fusion operator, and the MRR eval (one definition, no drift).
+def bm25_matched_and_scored(
+    spark: SparkSession, docs: DataFrame, *, share: bool = False
+):
+    """(matched, scored): the shared BM25 core — the term-at-a-time
+    matched postings and the per-(query, doc) order-fixed score table —
+    used by the top-k operator, the rank-fusion operator, and the MRR
+    eval (one definition, no drift).
 
-    No materialization barrier: consumers that touch the matched set
-    more than once share its ONE aggregate exchange via ReusedExchange
-    (pinned by tests/test_round9_ops.py)."""
+    ``share=True`` (fusion/eval, which consume matched through several
+    branches) lazily persist()s the matched set: per-branch column
+    pruning rewrites the repartition subtree, so ReusedExchange cannot
+    unify the branches and each would otherwise re-run the corpus scan
+    — the cache (Σ_t df(t) narrow rows) is the multi-consumer answer,
+    with NO eager barrier job (the r8 localCheckpoint). Pinned by
+    tests/test_round9_ops.py. The single-consumer top-k path skips the
+    cache entirely."""
     split_once = docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
     stats = split_once.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("s")
@@ -187,10 +195,13 @@ def bm25_matched_and_scored(spark: SparkSession, docs: DataFrame):
         # (query, doc), rank window on query) — so this |matched|-row
         # repartition is the ONLY exchange in the whole family;
         # everything after is sorts and hash aggregates inside the same
-        # partitioning, and multi-consumer callers (fusion, eval) share
-        # it via ReusedExchange.
+        # partitioning.
         .repartition("query_id")
     )
+    if share:
+        from pyspark import StorageLevel
+
+        matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
     # df(query, slot) as a count window over the bounded matched set —
     # no broadcast-back self-join, no second postings pass
     w_df = Window.partitionBy("query_id", "pos")
@@ -358,11 +369,11 @@ def retrieval_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-pruned-postings formulation the oracle states, because matched
     holds one row per (query, term, doc)). The r8 design re-tokenized
     the corpus for the coverage branch and re-ran the whole BM25
-    operator for the other — three corpus passes; now the matched
-    exchange is built once and reused. The fusion joins two ≤|Q|·top-k
+    operator for the other — three corpus passes; now the matched set
+    is built once into a lazy cache. The fusion joins two ≤|Q|·top-k
     row lists — driver-free, broadcast-sized at any corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    matched, scored = bm25_matched_and_scored(spark, docs)
+    matched, scored = bm25_matched_and_scored(spark, docs, share=True)
     w_bm = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", 6)), F.asc("doc_id")
     )
@@ -598,15 +609,15 @@ def bm25_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the operator that catches how often.
 
     Plan: the SAME shared core as the top-k operator
-    (bm25_matched_and_scored — one pruned-postings pass, ReusedExchange
-    across the scoring/relevance/coverage consumers); relevance and
-    coverage derive from the matched table (bounded by posting sizes),
-    the ranking window partitions by query_id, and the final rollup is
+    (bm25_matched_and_scored — one pruned-postings pass, cached across
+    the scoring/relevance/coverage consumers); relevance and coverage
+    derive from the matched table (bounded by posting sizes), the
+    ranking window partitions by query_id, and the final rollup is
     |relevant| rows. The eval adds NO new corpus scan beyond the stats
     pass.
     """
     docs = load_table(spark, sf_dir, "documents")
-    matched, scored = bm25_matched_and_scored(spark, docs)
+    matched, scored = bm25_matched_and_scored(spark, docs, share=True)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", 6)), F.asc("doc_id")
     )

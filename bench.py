@@ -256,13 +256,14 @@ CONSTRUCTION_TIMED = {
     "minhash_estimate_error_audit", # pair-table checkpoint at build
     "quality_aware_keep_list",      # CC rounds checkpoint per iteration
     "curation_pipeline_v2",         # composes the CC stage -> same checkpoints
-    # r9: the BM25 family dropped its build-time checkpoints (pure lazy
-    # plans now — plan-reuse timing is honest again, like other queries);
-    # semdedup and bigram_pmi swapped checkpoints/rescans for lazy
-    # persist() caches, which makes REBUILD the honest protocol (plan
-    # reuse would time warm cache reads).
+    # r9: queries that swapped eager checkpoints / repeated scans for
+    # lazy persist() caches — REBUILD is the honest protocol for them
+    # (plan reuse would time warm cache reads). bm25_topk_retrieval is
+    # cache-free and pure-lazy now, so it moves to plan-reuse timing.
     "semdedup_prune_list",
     "bigram_pmi_top",
+    "retrieval_rank_fusion",
+    "bm25_eval_mrr",
 }
 
 

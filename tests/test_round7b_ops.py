@@ -334,6 +334,10 @@ def test_bm25_plan_shape(spark, sf_dir):
     pruned-postings pass and the N/avgdl stats pass — with NO
     materialization barrier (no checkpointed ExistingRDD scan), every
     dimension join broadcast, no sort-merge join anywhere."""
+    # rank_fusion/eval persist the shared matched set; the CacheManager
+    # would substitute it into this identical plan fragment and change
+    # the node counts — clear it so the pin checks the COLD shape
+    spark.catalog.clearCache()
     df = bm25_topk_retrieval(spark, sf_dir)
     plan = _plan_of(df)
     assert plan.count("Scan parquet") == 2, plan
