@@ -162,7 +162,8 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "multimodal_avi_frame_index", "phrase_search_topk",
         "quality_aware_keep_list", "retrieval_rank_fusion",
         "seasonal_adjusted_anomalies", "stream_avi_ingest_parity",
-        "stream_boilerplate_mask_parity", "stream_contribution_cap_parity",
+        "stream_boilerplate_mask_parity", "stream_cdc_merge_parity",
+        "stream_contribution_cap_parity",
         "stream_debounce_parity", "stream_ewma_parity",
         "stream_k_anonymity_parity", "stream_passage_dedup_parity",
         "stream_weighted_sample_parity", "user_contribution_capping",

@@ -43,23 +43,57 @@ from beametrics_spark.sources import load_table, register_views
 )
 def range_join_purchases_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: events attributed to an order if they occur
-    within 2 h after the order, for the ordering customer. The equi-key
-    (user_id = o_custkey) makes this a hash join with a residual range
-    predicate — the scalable shape (pure interval joins with no equi-key
-    need a bucketized/bin join; here the key carries the partitioning)."""
+    within 2 h after the order, for the ordering customer.
+
+    Round-9 bucketized rewrite (the r8 "3× drift" on this query turned
+    out to be a reproducible plan defect, not drift): the user key is
+    DENSE — ~1.5k distinct customers — so the plain equi-join on
+    user_id degenerates into a per-user nested loop over
+    (orders × events) residual evaluations, ~10⁹ pairs at sf1
+    (measured 23 s). The fix is the classic interval-bucketize: join on
+    (user, 2h-time-bucket) with each order expanded to the TWO buckets
+    its [date, date+2h) window can touch; an event's bucket is unique,
+    so every qualifying (order, event) pair matches in exactly ONE
+    bucket arm — same result set, but candidates shrink from
+    |orders/user|·|events/user| to same-window pairs only (sf1: 23 →
+    ~2 s). LEFT semantics are restored by aggregating the INNER
+    bucketed join and left-joining the per-order totals back onto
+    orders (coalesce 0 — identical to the oracle's LEFT JOIN + COALESCE
+    because SUM over no rows is NULL in both engines). This is the
+    bin-join every OSS-Spark range join needs once a key's fan-out is
+    large; with a selective key the plain residual hash join is fine."""
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
-    cond = (
-        (events.user_id == orders.o_custkey)
-        & (events.ts >= orders.o_orderdate)
-        & (events.ts < F.col("o_orderdate") + F.expr("INTERVAL 2 HOURS"))
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / F.lit(7200))  # noqa: E731
+    o_exp = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.explode(F.array(bucket("o_orderdate"), bucket("o_orderdate") + 1)).alias(
+            "tb"
+        ),
+    )
+    e_b = events.select(
+        "user_id", "ts", "event_id", "value", bucket("ts").alias("tb")
+    )
+    matched = o_exp.join(
+        e_b,
+        (o_exp.o_custkey == e_b.user_id)
+        & (o_exp.tb == e_b.tb)
+        & (e_b.ts >= o_exp.o_orderdate)
+        & (e_b.ts < F.col("o_orderdate") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    per_order = matched.groupBy("o_orderkey").agg(
+        F.count("event_id").alias("n"), F.sum("value").alias("s")
     )
     return (
-        orders.join(events, cond, "left")
-        .groupBy("o_orderkey")
-        .agg(
-            F.count("event_id").alias("n_events"),
-            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("event_value"),
+        orders.select("o_orderkey")
+        .join(per_order, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.round(F.coalesce("s", F.lit(0.0)), 2).alias("event_value"),
         )
     )
 
