@@ -44,6 +44,9 @@ REPLICAS = 10
 def build_docs10(spark, src: str, out_dir: str) -> None:
     from beametrics_spark.sources import load_table
 
+    # multiple row groups inside the single file — a coalesce(1) write
+    # otherwise emits ONE row group, capping scan parallelism at 1 task
+    spark.conf.set("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
     docs = load_table(spark, src, "documents")
     max_did = docs.agg(F.max("doc_id")).first()[0] + 1
     parts = [

@@ -108,9 +108,15 @@ PROBE_QUERIES = [
 def build_sf1(spark, out_dir: str) -> None:
     """Materializes each table as a SINGLE parquet FILE (matching the
     /root/testdata layout — the streaming-parity harness symlinks
-    <table>.parquet as one file, so a Spark directory-write here would
-    break bench.py's streaming section at sf1)."""
+    <table>.parquet as one file). NOTE on row groups: a coalesce(1)
+    Spark write defaults to ONE row group per file, which caps scan
+    parallelism at 1 task in every engine (measured 3-18x slower on
+    lineitem-heavy queries vs a 16 MB-row-group build of the same
+    rows); parquet.block.size is lowered so the single file still
+    carries multiple row groups."""
     from beametrics_spark.sources import load_table
+
+    spark.conf.set("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
 
     li = load_table(spark, SRC, "lineitem")
     orders = load_table(spark, SRC, "orders")
