@@ -244,3 +244,166 @@ def cdc_upsert_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("content_checksum").cast("long").alias("content_checksum"),
         )
     )
+
+
+# --- merge-on-read: the delta-log counterpart of the COW merge above ---------
+
+_MOR_ORACLE = f"""
+WITH base AS (SELECT doc_id, source, text FROM documents),
+maxid AS (SELECT max(doc_id) AS m FROM base),
+log AS (
+  SELECT 1 AS seq, doc_id, 'U' AS verb, source, text || ' v2' AS text
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 2 AS seq, doc_id, 'D' AS verb,
+         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS text
+  FROM base WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT 3 AS seq, maxid.m + i.i AS doc_id, 'I' AS verb,
+         'src' || CAST((maxid.m + i.i) % 20 AS VARCHAR) AS source,
+         'inserted doc ' || CAST(maxid.m + i.i AS VARCHAR) AS text
+  FROM maxid, (SELECT unnest(generate_series(1, {CDC_INSERTS})) AS i) i
+  UNION ALL
+  SELECT 4 AS seq, doc_id, 'U' AS verb, source, text || ' v3' AS text
+  FROM base WHERE doc_id % 21 = 0 AND doc_id % 13 != 0
+),
+latest AS (
+  SELECT seq, doc_id, verb, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT b.doc_id, b.source, b.text FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM log l WHERE l.doc_id = b.doc_id)
+  UNION ALL
+  SELECT doc_id, source, text FROM latest WHERE verb != 'D'
+),
+stats AS (
+  SELECT m.source,
+         count(*) AS n_final,
+         sum(('0x' || substring(md5(m.text), 1, 10))::UBIGINT::BIGINT)
+           AS checksum
+  FROM merged m GROUP BY 1
+),
+bsrc AS (SELECT source, count(*) AS n_base FROM base GROUP BY 1),
+lsrc AS (
+  SELECT COALESCE(l.source, b.source) AS source, count(*) AS n_log
+  FROM log l LEFT JOIN base b USING (doc_id) GROUP BY 1
+)
+SELECT s.source,
+       CAST(coalesce(bsrc.n_base, 0) AS BIGINT) AS n_base,
+       CAST(coalesce(lsrc.n_log, 0) AS BIGINT) AS n_log,
+       CAST(s.n_final AS BIGINT) AS n_final,
+       CAST(s.checksum AS BIGINT) AS content_checksum
+FROM stats s
+LEFT JOIN bsrc USING (source)
+LEFT JOIN lsrc USING (source)
+"""
+
+
+@register("cdc_merge_on_read_audit", _MOR_ORACLE)
+def cdc_merge_on_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC: the delta-log counterpart of
+    cdc_upsert_merge_audit's copy-on-write MERGE, closing the write/read
+    trade from the other side (SCALING.md round-9: the COW loop rewrites
+    B·|base| bytes per drained feed; MOR appends O(|feed|) per batch and
+    pays the reconcile at READ time — this operator IS that reconcile,
+    audited with the same order-insensitive 40-bit-md5 content checksum
+    so a migration between the two layouts can certify equivalence).
+
+    The log carries four sequenced batches with OVERLAPPING keys so
+    last-writer-wins does real work: seq 1 updates every doc_id%7==0
+    (" v2"), seq 2 deletes doc_id%13==0 (including some seq-1 updatees —
+    the delete must win), seq 3 inserts new keys, seq 4 re-updates
+    doc_id%21==0 ∧ %13!=0 (" v3" over the seq-1 image). Reconcile =
+    per-key max-seq row image (verb != 'D' survives) unioned with the
+    base rows whose keys never appear in the log.
+
+    Plan shape: the three derived log waves come out of ONE base scan
+    (conditional structs stacked per row + explode — no per-wave
+    re-scan); the per-key latest image is a max_by(struct, seq) hash
+    aggregate (no window sort); the untouched-base side is one anti
+    join on doc_id. At 100 TB base and log hash-partition on doc_id —
+    with the bucketed layout (sources/layout.py) both the anti join and
+    the reconcile aggregate run exchange-free, which is exactly why
+    lakehouse MOR reads stay cheap until compaction."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "text")
+    max_id = base.agg(F.max("doc_id")).first()[0]  # one scalar
+
+    entry = lambda seq, verb, src, txt: F.struct(  # noqa: E731
+        F.lit(seq).alias("seq"),
+        F.lit(verb).alias("verb"),
+        src.alias("source"),
+        txt.alias("text"),
+    )
+    null_s = F.lit(None).cast("string")
+    waves = F.array(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            entry(1, "U", F.col("source"), F.concat(F.col("text"), F.lit(" v2"))),
+        ),
+        F.when(F.col("doc_id") % 13 == 0, entry(2, "D", null_s, null_s)),
+        F.when(
+            (F.col("doc_id") % 21 == 0) & (F.col("doc_id") % 13 != 0),
+            entry(4, "U", F.col("source"), F.concat(F.col("text"), F.lit(" v3"))),
+        ),
+    )
+    derived = base.select(
+        "doc_id",
+        F.explode(F.filter(waves, lambda e: e.isNotNull())).alias("e"),
+    ).select("doc_id", "e.seq", "e.verb", "e.source", "e.text")
+    inserts = spark.range(1, CDC_INSERTS + 1).select(
+        (F.col("id") + max_id).alias("doc_id"),
+        F.lit(3).alias("seq"),
+        F.lit("I").alias("verb"),
+        F.concat(F.lit("src"), ((F.col("id") + max_id) % 20).cast("string")).alias(
+            "source"
+        ),
+        F.concat(
+            F.lit("inserted doc "), (F.col("id") + max_id).cast("string")
+        ).alias("text"),
+    )
+    log = derived.unionByName(
+        inserts.select("doc_id", "seq", "verb", "source", "text")
+    )
+    latest = log.groupBy("doc_id").agg(
+        F.max_by(F.struct("verb", "source", "text"), F.col("seq")).alias("m")
+    )
+    untouched = base.join(log.select("doc_id"), "doc_id", "left_anti")
+    merged = untouched.unionByName(
+        latest.filter(F.col("m.verb") != "D").select(
+            "doc_id",
+            F.col("m.source").alias("source"),
+            F.col("m.text").alias("text"),
+        )
+    )
+    term = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    stats = merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(term).alias("content_checksum"),
+    )
+    bsrc = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_base"))
+    # log rows attributed to a source: derived waves carry the base
+    # row's source except deletes (null) — recover it via the base join,
+    # exactly as the oracle's lsrc CTE does
+    lsrc = (
+        log.join(base.select("doc_id", F.col("source").alias("bsource")),
+                 "doc_id", "left")
+        .select(F.coalesce("source", "bsource").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_log"))
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        stats.join(F.broadcast(bsrc), "source", "left")
+        .join(F.broadcast(lsrc), "source", "left")
+        .select(
+            "source",
+            z("n_base").alias("n_base"),
+            z("n_log").alias("n_log"),
+            F.col("n_final").cast("long").alias("n_final"),
+            F.col("content_checksum").cast("long").alias("content_checksum"),
+        )
+    )

@@ -132,3 +132,42 @@ def test_train_ivf_single_collect(spark):
     b = train_ivf_centroids(spark, corpus, cells=4, iters=2)
     assert a == b
     assert len(a) == 4
+
+
+def test_cdc_merge_on_read_last_writer_wins(spark):
+    """Hand-checked LWW reconcile: delete beats an earlier update,
+    a later update supersedes an earlier image, untouched rows pass
+    through, inserts land."""
+    import beametrics_spark.operators.curation3 as c3
+
+    # doc 91 = 7*13: updated in seq1 THEN deleted in seq2 -> gone
+    # doc 42 = 2*21: updated seq1 (" v2") then re-imaged seq4 (" v3")
+    # doc 7: plain seq1 update (" v2")
+    # doc 1: untouched
+    docs = spark.createDataFrame(
+        [(1, "sA", "one"), (7, "sA", "seven"), (42, "sB", "forty"),
+         (91, "sB", "ninetyone")],
+        ["doc_id", "source", "text"],
+    )
+    orig = c3.load_table
+    try:
+        c3.load_table = lambda spark, sf_dir, name: docs
+        rows = {
+            r["source"]: r
+            for r in c3.cdc_merge_on_read_audit(spark, "x").collect()
+        }
+    finally:
+        c3.load_table = orig
+    # sA: doc1 untouched + doc7 " v2" (inserts use source='src<k>', so
+    # they form their own groups and never land in sA/sB)
+    assert rows["sA"]["n_base"] == 2 and rows["sA"]["n_final"] == 2
+    # sB: doc42 survives (v3 image wins over v2), doc91 deleted (D at
+    # seq2 beats the U at seq1)
+    assert rows["sB"]["n_base"] == 2 and rows["sB"]["n_final"] == 1
+    # n_log: sA = doc7's one U; sB = doc42 (U seq1 + U seq4) + doc91
+    # (U seq1 + D seq2) = 4
+    assert rows["sA"]["n_log"] == 1
+    assert rows["sB"]["n_log"] == 4
+    # insert groups present with 1+ rows each
+    ins_rows = [r for s, r in rows.items() if s.startswith("src")]
+    assert sum(r["n_final"] for r in ins_rows) == c3.CDC_INSERTS
