@@ -87,7 +87,9 @@ def main() -> int:
             print(f"# {name}: DNF (> {TIMEOUT_S:.0f}s)", file=sys.stderr)
             continue
         trials = []
-        for _ in range(2):  # min-of-2, mirroring bench.py's methodology
+        for _ in range(2):  # min-of-2 (bench.py uses min-of-4 since r9 —
+            # that raise compensates HotSpot C2 warm-up, which DuckDB's
+            # precompiled vectorized kernels don't have)
             t0 = time.perf_counter()
             rows, dnf = run_sql(con, sql)
             trials.append(None if dnf else time.perf_counter() - t0)
