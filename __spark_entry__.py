@@ -167,6 +167,9 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "stream_debounce_parity", "stream_ewma_parity",
         "stream_k_anonymity_parity", "stream_passage_dedup_parity",
         "stream_weighted_sample_parity", "user_contribution_capping",
+        # --- round 9 (CORRECTNESS_r09.json): 50/50 green, third clean
+        # round; one new name.
+        "cdc_merge_on_read_audit",
     }
 )
 
@@ -228,80 +231,57 @@ _FAMILY_PRIORITY = {
 # mapped through the registry's module->query index.
 RECERTIFY: frozenset[str] = frozenset(
     {
-        # round 9: BM25 family restructured around the term-at-a-time
-        # scan + single query_id repartition (retrieval.py)
-        "bm25_topk_retrieval",
-        "retrieval_rank_fusion",
-        "bm25_eval_mrr",
-        # round 9: SemDeDup barrier cut — lazy persist() caches replace
-        # the per-level eager localCheckpoints; codegen pair triangle
-        # (dedup2.py)
-        "semdedup_prune_list",
-        # round 9: one-scan rollup rewrite (text3.py)
-        "bigram_pmi_top",
-        # round 9: single doc_id repartition, exchange-free aggregates
-        # (text2.py)
-        "quality_repetition_signals",
-        # round 9: train_ivf_centroids keeps centroids distributed
-        # between Lloyd rounds, one collect at the end (ivf.py) — the
-        # audit certifies the shared training path bit-for-bit
+        # round 10: fan_out rewrite (pipeline.py) — single-config fast
+        # path (no Generate, no interpreted ArrayFilter) + post-explode
+        # codegen null filter for the multi-config path. Every query
+        # built through build_metrics_pipeline re-greens.
+        "ref_equals_count", "ref_contains_count",
+        "ref_numeric_range_count", "ref_multi_condition_count",
+        "ref_windowed_sum", "ref_grouped_labels",
+        "ref_multi_metric_fanout", "ref_missing_field_sum",
+        "ref_match_all_count", "ref_json_field_count",
+        "ref_sliding_window_count", "ref_session_window_sum",
+        "stream_equals_count_parity", "stream_sliding_window_parity",
+        "stream_session_window_parity",
+        "stream_multi_metric_fanout_parity", "stream_salted_fanout_parity",
+        # round 10: part + EUROPE-supplier predicates pushed below the
+        # lineitem aggregate as broadcast semi joins (relational6.py)
+        "tpch_q2_min_cost_supplier",
+        # round 10: pair-stage rewrite (mining.py)
+        "basket_part_pair_lift",
+        # round 10: reconcile factored into mor_reconcile_audit, shared
+        # with the new streaming twin (curation3.py)
+        "cdc_merge_on_read_audit",
+        # round 10: train_ivf_centroids releases its per-round caches
+        # after the final collect (ivf.py, ADVICE r9)
         "ann_ivf_recall_audit",
     }
 )
 
 
-# The 48 queries whose ONLY driver certification predates round 3
-# (green in CORRECTNESS_r01/r02). These are the stalest rows in the
-# registry, so a rotating 20-slot window over this tuple is pinned to
-# the head of the certified block every round (VERDICT r8 #6: bump the
-# quota 16 → 20 so the remaining 19 r2-latest rows all re-green in
-# round 9) — the general rotation alone walks alphabetically and can
-# under-serve them in any given round. Ordered tuple: the window is
-# _ROUND_INDEX-rotated, so the full set re-greens once every ~2.5
-# rounds at quota 20.
+# The queries whose latest green driver row is the STALEST in the
+# registry. Round-10 refresh (VERDICT r9 #8): the r1/r2 backlog fully
+# cleared in round 9, so the tuple now holds the 21 queries whose
+# latest certification is round 3 (computed from the union of
+# CORRECTNESS_r01–r09 latest rows; tpch_q2_min_cost_supplier is the
+# 22nd r3-latest row but rides RECERTIFY this round — its operator
+# code changed — so it is excluded here rather than double-booked).
+# Quota 21 ⇒ the whole r3 tier re-greens in round 10 and the oldest
+# tier advances to r4 (19 rows) for round 11.
 _OLDEST_CERTIFIED: tuple[str, ...] = (
-    "asof_last_click_before_purchase", "conditional_aggregation",
-    "correlated_scalar_price_ratio", "cube_order_counts",
-    "customers_with_orders_semi", "customers_without_orders_anti",
-    "date_function_rollup", "distinct_parts_per_flag",
-    "embedding_vector_norms", "exists_subquery_big_spenders",
-    "full_outer_join_order_counts", "grouping_sets_revenue",
-    "in_subquery_order_status", "json_props_analysis",
-    "moving_avg_time_range", "pivot_user_event_values",
-    "range_join_purchases_after_order", "ranking_variants",
-    "ref_contains_count", "ref_equals_count", "ref_grouped_labels",
-    "ref_json_field_count", "ref_match_all_count",
-    "ref_missing_field_sum", "ref_multi_condition_count",
-    "ref_multi_metric_fanout", "ref_numeric_range_count",
-    "ref_windowed_sum", "revenue_by_nation", "rollup_lineitem_qty",
-    "running_order_totals", "scalar_function_showcase",
-    "sessions_per_user", "set_except_nonbuyers",
-    "set_intersect_building_buyers", "sliding_window_counts",
-    "stat_aggregates_per_flag", "token_frequencies_top100",
-    "top_orders_by_price", "topk_orders_per_priority",
-    "tpch_q10_returned_items", "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
-    "value_histogram_per_type", "value_quantiles_exact_per_type",
+    "contamination_ngram_overlap", "corpus_duplicate_ngram_fraction",
+    "curation_pipeline", "dataset_split_assign", "dedup_clusters",
+    "dedup_edit_distance_pairs", "dedup_embedding_cosine",
+    "dedup_incremental_batch", "dedup_simhash_pairs",
+    "multimodal_byte_stats", "multimodal_frame_sample",
+    "pii_detection_rates", "quality_filter_pass_rates", "redact_terms",
+    "tpch_q16_supplier_part_counts", "tpch_q18_large_volume",
+    "tpch_q20_potential_part_promotion", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_type_profit",
+    "unpivot_lineitem_measures",
 )
 
-_OLDEST_QUOTA = 20
-
-# The names in _OLDEST_CERTIFIED whose latest green row is STILL r2
-# after CORRECTNESS_r08 (computed from the artifacts, hand-refreshed
-# like DRIVER_CERTIFIED). Pinned to the FRONT of the round's oldest
-# window — the plain arithmetic rotation can skip over exactly the rows
-# it exists to refresh (at round 9 it would have missed 10 of these).
-_STILL_R2: tuple[str, ...] = (
-    "asof_last_click_before_purchase", "conditional_aggregation",
-    "correlated_scalar_price_ratio", "cube_order_counts",
-    "customers_with_orders_semi", "customers_without_orders_anti",
-    "date_function_rollup", "pivot_user_event_values",
-    "range_join_purchases_after_order", "ranking_variants",
-    "ref_contains_count", "ref_equals_count", "ref_grouped_labels",
-    "ref_json_field_count", "ref_match_all_count",
-    "ref_missing_field_sum", "ref_multi_condition_count",
-)
+_OLDEST_QUOTA = 21
 
 
 # Pinned rotation index for the certified-block rotation (ADVICE r6 #1:
@@ -310,7 +290,7 @@ _STILL_R2: tuple[str, ...] = (
 # the moment the driver writes its artifact). Bumped by hand each round
 # alongside the DRIVER_CERTIFIED append; SPARK_GRAFT_ROUND overrides for
 # experiments.
-_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "9"))
+_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "10"))
 
 
 def _round_index() -> int:
@@ -343,9 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # certified tuple, pinned ahead of the general rotation
     o_off = (_round_index() * _OLDEST_QUOTA) % len(_OLDEST_CERTIFIED)
     wrapped = _OLDEST_CERTIFIED[o_off:] + _OLDEST_CERTIFIED[:o_off]
-    # still-r2 rows first (guaranteed slots), rotation fills the rest
-    ordered = list(_STILL_R2) + [n for n in wrapped if n not in _STILL_R2]
-    oldest_window = {name: i for i, name in enumerate(ordered[:_OLDEST_QUOTA])}
+    oldest_window = {name: i for i, name in enumerate(wrapped[:_OLDEST_QUOTA])}
     certified_sorted = sorted(n for n, _ in items if n in DRIVER_CERTIFIED)
     rot = {}
     if certified_sorted:

@@ -368,6 +368,19 @@ def cdc_merge_on_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = derived.unionByName(
         inserts.select("doc_id", "seq", "verb", "source", "text")
     )
+    return mor_reconcile_audit(base, log)
+
+
+def mor_reconcile_audit(base: DataFrame, log: DataFrame) -> DataFrame:
+    """MOR read-side reconcile + per-source audit, shared verbatim by the
+    batch operator above and stream_cdc_mor_parity (which APPENDS the log
+    one micro-batch at a time and reconciles the drained log here) — the
+    shared plan is what lets the two layouts certify against the same
+    content-checksum oracle.
+
+    base: (doc_id, source, text); log: (doc_id, seq, verb, source, text).
+    Last-writer-wins per key via max_by(struct, seq) — a hash aggregate,
+    no window sort; untouched base keys via one anti join."""
     latest = log.groupBy("doc_id").agg(
         F.max_by(F.struct("verb", "source", "text"), F.col("seq")).alias("m")
     )

@@ -215,11 +215,13 @@ def train_ivf_centroids(
     from pyspark import StorageLevel
 
     cur = seedsn.select("cell", "cv")
+    cached_rounds = []
     for _ in range(iters):
         # each round reads its INPUT twice (assignment broadcast +
         # fallback join) — cache it; the last round's OUTPUT has a
         # single consumer (the collect), so it stays uncached
         cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        cached_rounds.append(cur)
         assigned = _top_cells(
             corpus.select("vec_id", "v"), cur, 1, payload=["v"]
         )
@@ -252,6 +254,14 @@ def train_ivf_centroids(
             )
         )
     rows = sorted(cur.collect(), key=lambda r: r["cell"])
+    # release every round's k-row cache now that training materialized —
+    # repeated calls (the recall audit, bench trials) otherwise leak
+    # `iters` cached tables per call into the CacheManager (ADVICE r9).
+    # Unpersisting MID-loop would be wrong: nothing executes until the
+    # collect above, so an earlier round's cache dropped before
+    # materialization forces exponential recomputation of the lineage.
+    for c in cached_rounds:
+        c.unpersist(blocking=False)
     return [list(r["cv"]) for r in rows]
 
 

@@ -128,6 +128,28 @@ def main() -> int:
     g_b = rows["sf10"][2] / rows["sf1"][2]
     g_s = rows["sf10"][3] / rows["sf1"][3]
     print(f"# growth on 10x docs: batch x{g_b:.1f}, streaming x{g_s:.1f}")
+
+    # --- MOR read side (VERDICT r9 #4): the reconcile's cost at the same
+    # decades. cdc_merge_on_read_audit IS the read-time merge (per-key
+    # max-seq LWW + base anti join over a 4-wave log), so its wall is the
+    # MOR read tax; stream_cdc_mor_parity is the O(|feed|)-per-batch
+    # append loop + one reconcile after the drain. Log rows are counted
+    # from the same derivation the operator uses.
+    print("\n# merge-on-read bracket")
+    for label, d in (("sf1", src), ("sf10", probe_dir)):
+        n_docs = rows[label][0]
+        # log rows: U(%7) + D(%13) + I(50) + U(%21 & !%13)
+        log_rows = (
+            n_docs // 7 + n_docs // 13 + 50
+            + (n_docs // 21 - n_docs // 273)
+        )
+        t_reconcile = timed_rebuild(qs, spark, "cdc_merge_on_read_audit", d)
+        t_mor_stream = timed_rebuild(qs, spark, "stream_cdc_mor_parity", d)
+        print(
+            f"| {label} | {n_docs} | {log_rows} | {t_reconcile:.2f} | "
+            f"{t_mor_stream:.2f} | appended O(|feed|) per batch; "
+            f"reconcile reads base+log once |"
+        )
     return 0
 
 

@@ -65,6 +65,11 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # drop any persisted intermediates the previous query left behind:
+        # CacheManager substitutes cached fragments into later plans with
+        # identical canonicalized subtrees, making gate results
+        # order-dependent otherwise (ADVICE r9)
+        spark.catalog.clearCache()
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = sdf.columns
