@@ -102,8 +102,14 @@ def fan_out(
     MetricConfig per pipeline is its documented common case): no array,
     no Generate — the config's predicate is a plain Filter (already the
     prefilter) and the contribution is a flat projection, so the whole
-    pre-aggregation stage is one codegen span over the scan (VERDICT r9
-    #3 — the plan audit for ref_grouped_labels).
+    pre-aggregation stage is one codegen span over the scan. Measured
+    decomposition for ref_grouped_labels at sf1 (VERDICT r9 #3, all
+    same-session min-of-3): full query 2.73 s, the bare
+    `get_json_object(props, '$.k')` scan alone 1.90 s, the same
+    window+aggregate with only the typed event_type label 0.48-0.65 s —
+    the remaining cost IS the per-row JSON parse the dynamic-label
+    semantics require, not the pipeline around it (from_json and
+    Spark-4 variant_get were A/B'd at 2.17 s / 2.07 s — no faster).
 
     Multi-config: one explode over the per-config struct array. The
     non-matching entries explode as NULL structs and are dropped by a

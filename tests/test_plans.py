@@ -375,18 +375,19 @@ def test_watermark_audit_partitions_arrival_sort_by_source(spark, sf_dir):
 
 
 def test_basket_lift_pair_stage_plan(spark, sf_dir):
-    """Round-8 pair-stage shape: the per-order array aggregation must be
-    EXCHANGE-FREE (the distinct table is already ok-partitioned, so no
-    hashpartitioning(ok) exchange may appear above the explicit
-    repartition), the frequent-item Apriori prefilter (a
-    BroadcastHashJoin on pk, VERDICT r6 #3) must sit below the pair
-    Generates, and the packed-pair partial aggregation must fire before
-    the pkey exchange (VERDICT r7 #3's plan pin)."""
+    """Round-10 pair-stage shape: ONE heavy pass builds the per-order
+    array table (superset Apriori prune as a BroadcastHashJoin on pk
+    BELOW the explicit ok repartition, then a single collect_set
+    aggregate — no separate dropDuplicates pass), shared via a lazy
+    cache by pair emission and item counts; the packed-pair partial
+    aggregation still fires before the pkey exchange (r7 #3 pin)."""
     from beametrics_spark.operators.mining import basket_part_pair_lift
 
     df = basket_part_pair_lift(spark, sf_dir)
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
+    # the basket array table is built once and shared through the cache
+    assert "InMemoryTableScan" in plan, plan
     # pair emission is two Generates, not a self-join on ok
     assert plan.count("Generate") >= 2, plan
     assert not re.search(r"(ShuffledHashJoin|SortMergeJoin) \[ok", plan), plan
