@@ -266,9 +266,6 @@ CONSTRUCTION_TIMED = {
     "bigram_pmi_top",
     "retrieval_rank_fusion",
     "bm25_eval_mrr",
-    # r10: basket pairs persist the per-order array table (one heavy
-    # collect_set pass shared by pair emission, item counts, lift sides)
-    "basket_part_pair_lift",
 }
 
 

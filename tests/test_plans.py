@@ -375,19 +375,21 @@ def test_watermark_audit_partitions_arrival_sort_by_source(spark, sf_dir):
 
 
 def test_basket_lift_pair_stage_plan(spark, sf_dir):
-    """Round-10 pair-stage shape: ONE heavy pass builds the per-order
-    array table (superset Apriori prune as a BroadcastHashJoin on pk
-    BELOW the explicit ok repartition, then a single collect_set
-    aggregate — no separate dropDuplicates pass), shared via a lazy
-    cache by pair emission and item counts; the packed-pair partial
-    aggregation still fires before the pkey exchange (r7 #3 pin)."""
+    """Round-10 pair-stage shape: ONE fact-table exchange builds the
+    per-order array table (superset Apriori prune as a BroadcastHashJoin
+    on pk BELOW the explicit ok repartition, then a single collect_set
+    aggregate — no separate dropDuplicates pass); the pair and
+    item-count consumers share that shuffle via ReusedExchange (a cache
+    was A/B'd slower than recomputation, mining.py docstring); the
+    packed-pair partial aggregation still fires before the pkey
+    exchange (r7 #3 pin)."""
     from beametrics_spark.operators.mining import basket_part_pair_lift
 
     df = basket_part_pair_lift(spark, sf_dir)
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
-    # the basket array table is built once and shared through the cache
-    assert "InMemoryTableScan" in plan, plan
+    # consumers share the single fact-table shuffle
+    assert "ReusedExchange" in plan, plan
     # pair emission is two Generates, not a self-join on ok
     assert plan.count("Generate") >= 2, plan
     assert not re.search(r"(ShuffledHashJoin|SortMergeJoin) \[ok", plan), plan
