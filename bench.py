@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "bpe_merge_apply_compression",
     # round 9: merge-on-read CDC (delta log + last-writer-wins reconcile)
     "cdc_merge_on_read_audit",
+    # round 10: the compaction leg (reconcile -> columnar write -> read
+    # -> checksum round-trip; construction-timed, the write is eager)
+    "cdc_mor_compaction_audit",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -266,6 +269,8 @@ CONSTRUCTION_TIMED = {
     "bigram_pmi_top",
     "retrieval_rank_fusion",
     "bm25_eval_mrr",
+    # r10: compaction writes the merged snapshot eagerly at build
+    "cdc_mor_compaction_audit",
 }
 
 

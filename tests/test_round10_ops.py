@@ -152,3 +152,18 @@ def test_ivf_training_releases_caches(spark, sf_dir):
     cents = train_ivf_centroids(spark, emb, dim=64)
     assert len(cents) > 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_mor_compaction_roundtrip_matches_reconcile(spark, sf_dir):
+    """Compaction (reconcile -> parquet write -> read back) must audit
+    identically to the pure read-side reconcile: same counts, same
+    content checksum — the invariant a compactor proves before swapping
+    the log away."""
+    from beametrics_spark.operators.curation3 import (
+        cdc_merge_on_read_audit,
+        cdc_mor_compaction_audit,
+    )
+
+    reconcile = {tuple(r) for r in cdc_merge_on_read_audit(spark, sf_dir).collect()}
+    compacted = {tuple(r) for r in cdc_mor_compaction_audit(spark, sf_dir).collect()}
+    assert reconcile == compacted and len(reconcile) > 0
