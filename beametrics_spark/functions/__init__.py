@@ -238,8 +238,6 @@ def order_boundary_rows(
     Broadcast it and compare key structs with ``cutoff_tile_expr`` /
     ``key_struct``.
     """
-    from functools import reduce
-
     from pyspark.sql import Window
 
     key = F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)])
@@ -262,20 +260,40 @@ def order_boundary_rows(
         F.sum("_cnt").over(wcum).alias("_cum"),
         F.sum("_cnt").over(Window.partitionBy()).alias("_n"),
     )
-    picks = []
-    for label, fn in targets:
-        pos = fn(F.col("_n")).cast("long")
-        picks.append(
-            cum.filter(
-                (F.col("_cum") >= pos) & (F.col("_cum") - F.col("_cnt") < pos)
-            ).select(
-                F.lit(int(label)).alias("_label"),
-                "_bin",
-                (pos - (F.col("_cum") - F.col("_cnt"))).alias("_local"),
-                "_n",
-            )
+    # all targets located in ONE subtree: explode a per-row array of
+    # (label, position) structs over the tiny cumulative bin table and
+    # keep the straddling (bin, target) rows. The r10 shape was a
+    # |targets|-way filter+unionAll, which re-instantiated the window
+    # subtree once per target — 9 extra query stages for ntile(10)
+    # (ReusedExchange saved the scan, not the stage scheduling).
+    tgt_structs = [
+        F.struct(
+            F.lit(int(label)).alias("_label"),
+            fn(F.col("_n")).cast("long").alias("_pos"),
         )
-    tgt = reduce(DataFrame.unionAll, picks)
+        for label, fn in targets
+    ]
+    tgt = (
+        cum.select(
+            F.explode(F.array(*tgt_structs)).alias("_t"),
+            "_bin",
+            "_cnt",
+            "_cum",
+            "_n",
+        )
+        .filter(
+            (F.col("_cum") >= F.col("_t._pos"))
+            & (F.col("_cum") - F.col("_cnt") < F.col("_t._pos"))
+        )
+        .select(
+            F.col("_t._label").alias("_label"),
+            "_bin",
+            (F.col("_t._pos") - (F.col("_cum") - F.col("_cnt"))).alias(
+                "_local"
+            ),
+            "_n",
+        )
+    )
     hit = binned.join(F.broadcast(tgt.select("_bin").distinct()), "_bin")
     ranked = hit.withColumn(
         "_rk",
@@ -298,12 +316,30 @@ def key_struct(keys: Sequence[Column]) -> Column:
     return F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)])
 
 
-def cutoff_tile_expr(key: Column, bnds: Column) -> Column:
+def cutoff_tile_expr(
+    key: Column, bnds: Column, n_boundaries: int | None = None
+) -> Column:
     """tile = 1 + #boundaries strictly below this row's key tuple.
 
     With boundaries at ntile end positions (``ntile_targets``) this
-    reproduces ntile() exactly for unique key tuples; the fold runs over
-    n_tiles-1 elements per row — constant work, scan-local."""
+    reproduces ntile() exactly for unique key tuples — constant work per
+    row, scan-local. Pass ``n_boundaries`` whenever the boundary count
+    is statically known (it always is for ntile_targets): the compare
+    chain then unrolls to ``n`` element_at + struct-GreaterThan terms,
+    all whole-stage-codegen. The default F.aggregate fold is a
+    higher-order function — CodegenFallback, interpreted PER ROW — fine
+    over a reduced thousands-row table, a 4× wall-time tax when the
+    expression runs over a base-table scan (measured on an
+    equi_depth_histogram_totalprice intermediate at sf1: 7.5 s folded
+    vs 4.1 s unrolled, same plan otherwise; that query has since
+    dropped the per-row assignment pass entirely)."""
+    if n_boundaries is not None:
+        total = F.lit(0)
+        for i in range(1, n_boundaries + 1):
+            total = total + F.when(
+                key > F.element_at(bnds, i)["_key"], 1
+            ).otherwise(0)
+        return (F.lit(1) + total).cast("int")
     return (
         F.lit(1)
         + F.aggregate(

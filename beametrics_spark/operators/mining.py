@@ -268,7 +268,7 @@ def rfm_customer_segments(
                 F.broadcast(bnd.select(F.col("_bnds").alias(f"_b_{out_col}")))
             ).withColumn(
                 out_col,
-                cutoff_tile_expr(key_struct(keys), F.col(f"_b_{out_col}")),
+                cutoff_tile_expr(key_struct(keys), F.col(f"_b_{out_col}"), 3),
             )
     else:
         scored = per_cust.select(
