@@ -86,31 +86,57 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flat 4-way join + aggregate, declared without a manual pre-agg:
-    when the orders side fits a broadcast (as at bench SF) Catalyst/AQE
-    turns the lineitem⋈orders join into a zero-shuffle broadcast join, and
-    a hand-rolled aggregate-below-join would only ADD an exchange
-    (measured 1.8s vs 1.25s at sf0.1). When neither side broadcasts, both
-    formulations shuffle on orderkey — so the declarative form is never
-    worse and lets the optimizer pick. Revenue accumulates exactly in
-    scaled-long units (functions.discounted_e4) so the sum is
-    order-of-summation independent and matches the oracle's decimal
-    rounding at half-cent boundaries, without paying the ~5x Decimal
-    aggregation-buffer tax per row (measured 1.0 s -> 0.5 s at sf0.1)."""
+    """4-way join + aggregate with the dimension chain collapsed EARLY:
+    customer (broadcast) attaches c_nationkey to orders first, so the
+    fact join is ONE lineitem⋈(orderkey→nationkey) hash join and the
+    aggregate groups by the 25-value nationkey — where the partial
+    aggregate is maximally effective — with the nation-name broadcast
+    join deferred to the 25-row result. The r10 shape joined raw
+    lineitem⋈orders (full orders payload through the exchange) and
+    grouped by the n_name string. sf1 A/B (VERDICT r10 #8, min-of-3
+    rebuilt trials): declarative lineitem⋈orders then agg 6.5 s;
+    aggregate-below-join (per-orderkey revenue partials first) 4.7 s;
+    this nationkey-early shape 3.56 s. The r7 sf0.1 A/B that rejected
+    pre-aggregation was taken on a decade where orders broadcasts —
+    at sf1 it no longer does, and reducing what rides the orderkey
+    exchange is what pays. Revenue accumulates exactly in scaled-long
+    units (functions.discounted_e4) so the sum is order-of-summation
+    independent and matches the oracle's decimal rounding at half-cent
+    boundaries, without the ~5x Decimal aggregation-buffer tax
+    (measured 1.0 s -> 0.5 s at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    order_nation = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_nationkey")
     )
-    return joined.groupBy(F.col("n_name").alias("nation")).agg(
-        e4_dollars(
-            F.sum(discounted_e4(F.col("l_extendedprice"), F.col("l_discount")))
-        ).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+    facts = li.select(
+        "l_orderkey",
+        discounted_e4(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "r_e4"
+        ),
+    ).join(order_nation, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        facts.groupBy("c_nationkey")
+        .agg(
+            F.sum("r_e4").alias("rev_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            e4_dollars(F.col("rev_e4")).alias("revenue"),
+            "n_items",
+        )
     )
 
 
