@@ -408,7 +408,14 @@ def mor_reconcile_audit(base: DataFrame, log: DataFrame) -> DataFrame:
     base: (doc_id, source, text); log: (doc_id, seq, verb, source, text).
     Last-writer-wins per key via max_by(struct, seq) — a hash aggregate,
     no window sort; untouched base keys via one anti join."""
-    merged = mor_merged(base, log)
+    return _mor_audit(mor_merged(base, log), base, log)
+
+
+def _mor_audit(merged: DataFrame, base: DataFrame, log: DataFrame) -> DataFrame:
+    """Per-source audit of a reconciled row set against its base+log —
+    the one checksum definition all three CDC-triangle legs certify
+    with (ADVICE/VERDICT r10 #10: the compaction audit used to inline a
+    copy of this block)."""
     term = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
     stats = merged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_final"),
@@ -473,34 +480,9 @@ def cdc_mor_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         compacted = spark.read.schema(
             "doc_id long, source string, text string"
         ).parquet(out_dir)
-        term = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
-        stats = compacted.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_final"),
-            F.sum(term).alias("content_checksum"),
-        )
-        bsrc = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_base"))
-        lsrc = (
-            log.join(
-                base.select("doc_id", F.col("source").alias("bsource")),
-                "doc_id",
-                "left",
-            )
-            .select(F.coalesce("source", "bsource").alias("source"))
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_log"))
-        )
-        z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
-        return (
-            stats.join(F.broadcast(bsrc), "source", "left")
-            .join(F.broadcast(lsrc), "source", "left")
-            .select(
-                "source",
-                z("n_base").alias("n_base"),
-                z("n_log").alias("n_log"),
-                F.col("n_final").cast("long").alias("n_final"),
-                F.col("content_checksum").cast("long").alias("content_checksum"),
-            )
-            .localCheckpoint(eager=True)  # materialize before dir cleanup
+        # audited with the SAME shared block as the other two legs
+        return _mor_audit(compacted, base, log).localCheckpoint(
+            eager=True  # materialize before dir cleanup
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -179,13 +179,54 @@ def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority — via a sortless exact prune
+    (VERDICT r10 #7). Spark's WindowGroupLimit rank-limit pushdown DOES
+    fire on the naive window shape, but its partial phase requires a
+    full LOCAL SORT of every scan partition below it — measured 3.5 s
+    of the old 3.6 s sf1 wall for 1.5M rows. This shape never sorts
+    the base table: pass 1 hash-aggregates per-(priority, value-bin)
+    counts (map-side combinable, |priorities|·|bins| rows out — the
+    bins are a static monotone asinh lattice, no bounds pre-pass);
+    a tiny descending cumulative sum finds, per priority, the highest
+    bin whose from-the-top count reaches 3 (rows above it number < 3,
+    so the true top-3 all sit at-or-above it — an exact-superset
+    prune, never approximate); pass 2 re-scans with the broadcast
+    cutoffs and runs the real row_number window over the ~0.1%
+    survivors. Degenerate only if a priority's whole value mass lands
+    in one bin, in which case it falls back to sorting that group —
+    never wrong. sf1: 3.58 s → 1.20 s; output pinned equal to the
+    naive window in tests/test_round11_ops.py."""
+    K = 3
     orders = load_table(spark, sf_dir, "orders")
+    cand = orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
+    vbin = F.floor(F.asinh(F.col("o_totalprice")) * 32)
+    binc = cand.groupBy("o_orderpriority", vbin.alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wdesc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = (
+        binc.withColumn("cum", F.sum("c").over(wdesc))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cum") >= K, F.col("bin"))),
+                F.min("bin"),
+            ).alias("cutbin")
+        )
+    )
+    surv = cand.join(F.broadcast(cut), "o_orderpriority").filter(
+        vbin >= F.col("cutbin")
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        surv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
         .select(
             "o_orderpriority",
             "o_orderkey",

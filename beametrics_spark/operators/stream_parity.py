@@ -1515,51 +1515,14 @@ def stream_cdc_mor_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     design); append order can't matter because seq travels WITH the
     row — last-writer-wins is decided at read time, the property that
     makes MOR ingestion embarrassingly parallel at 100 TB."""
-    from beametrics_spark.operators.curation3 import CDC_INSERTS
-    from beametrics_spark.sources import load_table
+    from beametrics_spark.operators.curation3 import mor_base_and_log
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
-    base = docs
-    max_id = base.agg(F.max("doc_id")).first()[0]
-    null_s = F.lit(None).cast("string")
-    waves = [
-        base.filter(F.col("doc_id") % 7 == 0).select(
-            "doc_id",
-            F.lit(1).alias("seq"),
-            F.lit("U").alias("verb"),
-            "source",
-            F.concat(F.col("text"), F.lit(" v2")).alias("text"),
-        ),
-        base.filter(F.col("doc_id") % 13 == 0).select(
-            "doc_id",
-            F.lit(2).alias("seq"),
-            F.lit("D").alias("verb"),
-            null_s.alias("source"),
-            null_s.alias("text"),
-        ),
-        spark.range(1, CDC_INSERTS + 1).select(
-            (F.col("id") + max_id).alias("doc_id"),
-            F.lit(3).alias("seq"),
-            F.lit("I").alias("verb"),
-            F.concat(
-                F.lit("src"), ((F.col("id") + max_id) % 20).cast("string")
-            ).alias("source"),
-            F.concat(
-                F.lit("inserted doc "), (F.col("id") + max_id).cast("string")
-            ).alias("text"),
-        ),
-        base.filter(
-            (F.col("doc_id") % 21 == 0) & (F.col("doc_id") % 13 != 0)
-        ).select(
-            "doc_id",
-            F.lit(4).alias("seq"),
-            F.lit("U").alias("verb"),
-            "source",
-            F.concat(F.col("text"), F.lit(" v3")).alias("text"),
-        ),
-    ]
+    # the waves come from the ONE shared definition (ADVICE r10: this
+    # function used to hand-replicate all four wave builders, which
+    # could drift from the batch twin's): each trigger's feed file is
+    # the shared log filtered to its sequence number
+    base, log = mor_base_and_log(spark, sf_dir)
+    waves = [log.filter(F.col("seq") == s) for s in (1, 2, 3, 4)]
 
     stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_mor_")
     log_dir = _scratch("beametrics_mor_log_")

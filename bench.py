@@ -516,23 +516,27 @@ def main() -> int:
         "calibration": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # The driver's tail capture clips long lines (BENCH_r09.json recorded
-    # "parsed": null and lost the headline total — VERDICT r9 #7), so the
-    # totals are emitted TWICE: a compact self-contained summary line
-    # first (always intact), then the full JSON line with the scalar
-    # totals FIRST in the object so even a clipped prefix carries them.
-    print(json.dumps(summary))
-    print(
-        json.dumps(
-            {
-                **summary,
-                "queries": timings,
-                "streaming_parity_queries": streaming,
-                "iterative_queries": iterative,
-                "layout": layout,
-            }
-        )
+    # The driver's capture keeps the SUFFIX of stdout (VERDICT r10 #7:
+    # r9's summary-first ordering still lost the totals because the
+    # giant per-query line that followed pushed the summary out of the
+    # window). So: the full object goes to BENCH_LOCAL.json next to
+    # this script AND prints first; the compact self-contained summary
+    # line prints LAST, so any suffix capture ends with an intact,
+    # parseable JSON line carrying the headline total + calibration.
+    full = {
+        **summary,
+        "queries": timings,
+        "streaming_parity_queries": streaming,
+        "iterative_queries": iterative,
+        "layout": layout,
+    }
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(full, f)
+    print(json.dumps(full))
+    print(json.dumps({**summary, "full_results": "BENCH_LOCAL.json"}))
     return 0
 
 

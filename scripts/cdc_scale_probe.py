@@ -138,11 +138,13 @@ def main() -> int:
     print("\n# merge-on-read bracket")
     for label, d in (("sf1", src), ("sf10", probe_dir)):
         n_docs = rows[label][0]
-        # log rows: U(%7) + D(%13) + I(50) + U(%21 & !%13)
-        log_rows = (
-            n_docs // 7 + n_docs // 13 + 50
-            + (n_docs // 21 - n_docs // 273)
-        )
+        # log rows counted from the operator's OWN derivation (ADVICE
+        # r10: the old closed form assumed contiguous 1-based doc_ids,
+        # which the replica build's key offsets break, and hardcoded
+        # the insert count)
+        from beametrics_spark.operators.curation3 import mor_base_and_log
+
+        log_rows = mor_base_and_log(spark, d)[1].count()
         t_reconcile = timed_rebuild(qs, spark, "cdc_merge_on_read_audit", d)
         t_mor_stream = timed_rebuild(qs, spark, "stream_cdc_mor_parity", d)
         print(
