@@ -170,6 +170,9 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         # --- round 9 (CORRECTNESS_r09.json): 50/50 green, third clean
         # round; one new name.
         "cdc_merge_on_read_audit",
+        # --- round 10 (CORRECTNESS_r10.json): 50/50 green, fourth clean
+        # round; two new names.
+        "cdc_mor_compaction_audit", "stream_cdc_mor_parity",
     }
 )
 
@@ -231,57 +234,43 @@ _FAMILY_PRIORITY = {
 # mapped through the registry's module->query index.
 RECERTIFY: frozenset[str] = frozenset(
     {
-        # round 10: fan_out rewrite (pipeline.py) — single-config fast
-        # path (no Generate, no interpreted ArrayFilter) + post-explode
-        # codegen null filter for the multi-config path. Every query
-        # built through build_metrics_pipeline re-greens.
-        "ref_equals_count", "ref_contains_count",
-        "ref_numeric_range_count", "ref_multi_condition_count",
-        "ref_windowed_sum", "ref_grouped_labels",
-        "ref_multi_metric_fanout", "ref_missing_field_sum",
-        "ref_match_all_count", "ref_json_field_count",
-        "ref_sliding_window_count", "ref_session_window_sum",
-        "stream_equals_count_parity", "stream_sliding_window_parity",
-        "stream_session_window_parity",
-        "stream_multi_metric_fanout_parity", "stream_salted_fanout_parity",
-        # round 10: part + EUROPE-supplier predicates pushed below the
-        # lineitem aggregate as broadcast semi joins (relational6.py)
-        "tpch_q2_min_cost_supplier",
-        # round 10: pair-stage rewrite (mining.py)
-        "basket_part_pair_lift",
-        # round 10: reconcile factored into mor_reconcile_audit, shared
-        # with the new streaming twin (curation3.py)
-        "cdc_merge_on_read_audit",
-        # round 10: train_ivf_centroids releases its per-round caches
-        # after the final collect (ivf.py, ADVICE r9)
-        "ann_ivf_recall_audit",
+        # round 11 (VERDICT r10 #1-#8): the five weak data-bound rows
+        # rewritten for sf1 + the two sf1 join A/Bs
+        "equi_depth_histogram_totalprice",  # boundary-row reshape, no sort
+        "table_profile_orders",  # split wide-hash + per-column dedup
+        "multi_touch_attribution",  # bucketized range join
+        "order_backlog_sweep",  # pre-aggregated join input
+        "basket_part_pair_lift",  # repartition-dedup n_orders
+        "topk_orders_per_priority",  # sortless bin-prune top-k
+        "revenue_by_nation",  # nationkey-early join order
+        "tpch_q18_large_volume",  # repartition-before-aggregate
+        # round 11: CDC-triangle wave/audit sharing refactor
+        # (curation3.py _mor_audit, stream twin filters the shared log)
+        "cdc_merge_on_read_audit", "cdc_mor_compaction_audit",
+        "stream_cdc_mor_parity",
     }
 )
 
 
 # The queries whose latest green driver row is the STALEST in the
-# registry. Round-10 refresh (VERDICT r9 #8): the r1/r2 backlog fully
-# cleared in round 9, so the tuple now holds the 21 queries whose
-# latest certification is round 3 (computed from the union of
-# CORRECTNESS_r01–r09 latest rows; tpch_q2_min_cost_supplier is the
-# 22nd r3-latest row but rides RECERTIFY this round — its operator
-# code changed — so it is excluded here rather than double-booked).
-# Quota 21 ⇒ the whole r3 tier re-greens in round 10 and the oldest
-# tier advances to r4 (19 rows) for round 11.
+# registry. Round-11 refresh (VERDICT r10 #9): the whole r3 tier
+# re-greened in round 10, so the tuple now holds the 18 queries whose
+# latest certification is round 4 (computed from the union of
+# CORRECTNESS_r01–r10 latest rows). Quota 18 ⇒ the entire r4 tier
+# re-greens this round and the oldest oracle tier advances to r5
+# (19 rows) for round 12.
 _OLDEST_CERTIFIED: tuple[str, ...] = (
-    "contamination_ngram_overlap", "corpus_duplicate_ngram_fraction",
-    "curation_pipeline", "dataset_split_assign", "dedup_clusters",
-    "dedup_edit_distance_pairs", "dedup_embedding_cosine",
-    "dedup_incremental_batch", "dedup_simhash_pairs",
-    "multimodal_byte_stats", "multimodal_frame_sample",
-    "pii_detection_rates", "quality_filter_pass_rates", "redact_terms",
-    "tpch_q16_supplier_part_counts", "tpch_q18_large_volume",
-    "tpch_q20_potential_part_promotion", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_type_profit",
-    "unpivot_lineitem_measures",
+    "ann_cosine_topk_bruteforce", "ann_cosine_topk_lsh",
+    "central_tendency_per_type", "corpus_dedup_keep_list",
+    "daily_anomaly_mad", "dataset_shard_assign", "ohlc_downsample",
+    "order_gap_lead_lag", "pagerank_customer_supplier",
+    "quality_rule_breakdown", "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue", "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity", "unigram_logprob_quality",
+    "value_trend_per_type", "vocab_growth_curve", "vocab_p90_coverage",
 )
 
-_OLDEST_QUOTA = 21
+_OLDEST_QUOTA = 18
 
 
 # Pinned rotation index for the certified-block rotation (ADVICE r6 #1:
@@ -290,7 +279,7 @@ _OLDEST_QUOTA = 21
 # the moment the driver writes its artifact). Bumped by hand each round
 # alongside the DRIVER_CERTIFIED append; SPARK_GRAFT_ROUND overrides for
 # experiments.
-_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "10"))
+_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "11"))
 
 
 def _round_index() -> int:
