@@ -248,6 +248,10 @@ RECERTIFY: frozenset[str] = frozenset(
         # (curation3.py _mor_audit, stream twin filters the shared log)
         "cdc_merge_on_read_audit", "cdc_mor_compaction_audit",
         "stream_cdc_mor_parity",
+        # round 11 wave 2: raw-key exchange before near-unique-key
+        # counting (profiling.py / profiling2.py)
+        "key_skew_profile", "shuffle_partition_estimate",
+        "join_cardinality_estimate",
     }
 )
 

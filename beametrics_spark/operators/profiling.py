@@ -52,12 +52,19 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     A ratio near 1 means a uniform key (shuffle partitions evenly); a
     ratio of 1000 means one reducer holds 1000x the average and the
     join wants salting or AQE skew handling. One scan, one count
-    aggregate, a scalar broadcast, and a top-k — profiling cost stays
-    O(|keys|) after the map-side combine regardless of table size.
+    aggregate, a scalar broadcast, and a top-k. The aggregate exchanges
+    RAW keys before counting (round 11): l_orderkey is near-unique, so
+    the default partial aggregate's per-task 1.5M-entry hash maps buy a
+    4x row cut but cost far more in allocation/GC churn than they save
+    — fresh-process sf1 min-of-4: 10.5 s (partial+final, trials
+    swinging to 30 s) vs 2.28 s with the explicit repartition.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    per_key = (
+        li.select(F.col("l_orderkey").alias("key"))
+        .repartition(spark.sparkContext.defaultParallelism, "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     stats = per_key.agg(
         F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
@@ -166,13 +173,18 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. Reported for the two workhorse TPC-H joins.
     """
 
-    def est(left: DataFrame, lkey: str, right: DataFrame, rkey: str, name: str):
-        lo = left.groupBy(F.col(lkey).alias("key")).agg(
-            F.count(F.lit(1)).alias("nl")
-        )
-        ro = right.groupBy(F.col(rkey).alias("key")).agg(
-            F.count(F.lit(1)).alias("nr")
-        )
+    def per_key(df: DataFrame, key: str, out: str, *, highcard: bool):
+        # near-unique keys exchange raw rows before counting (the
+        # key_skew_profile discipline); low-fanout keys keep the
+        # map-side combine, which genuinely reduces them
+        src = df.select(F.col(key).alias("key"))
+        if highcard:
+            src = src.repartition(
+                df.sparkSession.sparkContext.defaultParallelism, "key"
+            )
+        return src.groupBy("key").agg(F.count(F.lit(1)).alias(out))
+
+    def est(lo: DataFrame, ro: DataFrame, name: str):
         return lo.join(ro, "key").agg(
             F.lit(name).alias("join_name"),
             F.count(F.lit(1)).alias("n_join_keys"),
@@ -182,8 +194,16 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return est(orders, "o_custkey", customer, "c_custkey", "orders_x_customer").unionAll(
-        est(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_x_orders")
+    return est(
+        per_key(orders, "o_custkey", "nl", highcard=False),
+        per_key(customer, "c_custkey", "nr", highcard=False),
+        "orders_x_customer",
+    ).unionAll(
+        est(
+            per_key(lineitem, "l_orderkey", "nl", highcard=True),
+            per_key(orders, "o_orderkey", "nr", highcard=True),
+            "lineitem_x_orders",
+        )
     )
 
 

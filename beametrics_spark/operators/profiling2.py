@@ -67,8 +67,13 @@ def shuffle_partition_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle costs one narrow pass, and the answer tells you whether to
     pre-salt BEFORE paying for the real thing."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    # raw-key exchange before counting: near-unique key, the partial
+    # aggregate is GC-churn for a 4x row cut (see key_skew_profile)
+    per_key = (
+        li.select(F.col("l_orderkey").alias("key"))
+        .repartition(spark.sparkContext.defaultParallelism, "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     pid = (
         F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 15), 16, 10)
