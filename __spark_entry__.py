@@ -252,6 +252,9 @@ RECERTIFY: frozenset[str] = frozenset(
         # counting (profiling.py / profiling2.py)
         "key_skew_profile", "shuffle_partition_estimate",
         "join_cardinality_estimate",
+        # round 11 wave 2: JVM bucket-sketch candidate pass
+        # (scale_patterns.py)
+        "heavy_hitters_exact_twopass",
     }
 )
 

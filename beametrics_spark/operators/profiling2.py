@@ -61,11 +61,12 @@ def shuffle_partition_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (1.0 = perfectly even; a partition at 5.0 holds 5× its fair
     share and will straggle).
 
-    Cost is one per-key count aggregate (map-side combined — the
-    shuffle carries (key, count) partials, never rows) plus an
-    aggregate over the already-reduced key table: profiling a 100 TB
-    shuffle costs one narrow pass, and the answer tells you whether to
-    pre-salt BEFORE paying for the real thing."""
+    Cost is one per-key count aggregate (a raw-key exchange — on this
+    near-unique key a map-side partial buys a 4x row cut for more GC
+    than it saves, see key_skew_profile) plus an aggregate over the
+    already-reduced key table: profiling a 100 TB shuffle costs one
+    narrow pass, and the answer tells you whether to pre-salt BEFORE
+    paying for the real thing."""
     li = load_table(spark, sf_dir, "lineitem")
     # raw-key exchange before counting: near-unique key, the partial
     # aggregate is GC-churn for a 4x row cut (see key_skew_profile)
@@ -243,3 +244,70 @@ def shipping_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(lag_days, 0.99)"), 4).alias("p99_days"),
         )
     )
+
+
+# --- exact global positional percentiles, no global sort (round 11) ----------
+
+PCT_TARGETS = (0.5, 0.9, 0.99, 0.999)
+
+_EXACT_PCT_ORACLE = f"""
+WITH nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rk
+  FROM events WHERE value IS NOT NULL
+),
+pcts AS (
+  SELECT * FROM (VALUES {", ".join(f"({p})" for p in PCT_TARGETS)}) t(pct)
+)
+SELECT CAST(p.pct AS DOUBLE) AS pct, ROUND(r.value, 4) AS value
+FROM pcts p, nn, ranked r
+WHERE r.rk = GREATEST(1, CAST(ceil(p.pct * nn.n) AS BIGINT))
+"""
+
+
+@register("value_percentiles_exact_global", _EXACT_PCT_ORACLE)
+def value_percentiles_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99/p99.9 of the event value column, positionally
+    defined (the value at rank ceil(p*n) of the (value, event_id) total
+    order) — the SLO numbers a monitoring pipeline publishes, with none
+    of the cross-engine interpolation ambiguity of continuous
+    percentiles and NO global sort anywhere in the plan.
+
+    The naive formulation is a row_number window over the whole table —
+    a single-task sort (the straggler equi_depth_histogram_totalprice
+    used to pay). Here functions.order_boundary_rows locates the four
+    exact rank positions with two scans: per-value-range bin counts
+    (map-side combinable) find each position's straddling bin, only
+    those bins' rows are rank-scanned, and the result reshapes from the
+    ONE-ROW boundary table. approx_percentile answers the same question
+    with one pass and an error bound (value_quantiles_per_type is that
+    twin); this operator is the exact, still-sortless anchor the sketch
+    is audited against."""
+    from beametrics_spark.functions import order_boundary_rows
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("value", "event_id")
+        .filter(F.col("value").isNotNull())
+    )
+    keys = [F.col("value"), F.col("event_id")]
+
+    def pos_fn(p: float):
+        return lambda n: F.greatest(
+            F.ceil(n * F.lit(p)).cast("long"), F.lit(1).cast("long")
+        )
+
+    targets = [(i + 1, pos_fn(p)) for i, p in enumerate(PCT_TARGETS)]
+    bnd = order_boundary_rows(ev, keys, targets)
+    per_pct = [
+        F.struct(
+            F.lit(p).alias("pct"),
+            F.round(F.element_at("_bnds", i + 1)["_key"]["k0"], 4).alias(
+                "value"
+            ),
+        )
+        for i, p in enumerate(PCT_TARGETS)
+    ]
+    return bnd.select(F.explode(F.array(*per_pct)).alias("b")).select("b.*")

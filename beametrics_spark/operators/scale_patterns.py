@@ -27,19 +27,20 @@
 
 3. Exact two-pass heavy hitters (`heavy_hitters_exact_twopass`): find
    every key with global frequency >= 3/4000 of the table WITHOUT ever
-   shuffling the full key space. Pass 1 (Arrow-batched mapInPandas)
-   counts keys per partition and emits only keys whose *local* count
-   clears the same fraction of the *local* row count — by pigeonhole,
-   any globally-heavy key clears it in at least one partition (if
-   c_p * 4000 < 3 * n_p for every p, summing gives C * 4000 < 3 * N),
-   so the candidate set is a guaranteed superset for ANY partitioning.
-   Pass 2 re-scans with a broadcast candidate semi-join and counts
-   exactly; the final global-threshold filter removes false candidates,
-   so the output is deterministic even though the candidate set is not.
-   Only candidate-key rows ever reach a shuffle, and the per-partition
-   state is bounded by distinct-keys-per-partition (same bound as map-
-   side hash aggregation). This is the classic candidates+recheck
-   pattern (cf. Misra-Gries / space-saving with an exact second pass).
+   shuffling the full key space. Pass 1 counts hash BUCKETS, not keys:
+   a fixed 2^16-bucket lattice is map-side combinable with bounded
+   per-task state at ANY key cardinality, and a bucket's count upper-
+   bounds every key it holds, so buckets clearing the global threshold
+   form a guaranteed candidate superset. Pass 2 re-scans with the
+   (tiny, broadcast) candidate bucket set as a semi-join and counts
+   the surviving keys exactly; the final global-threshold filter
+   removes collision false-positives, so the output is deterministic
+   even though the candidate set is not. Only candidate-bucket rows
+   ever reach a shuffle. This is the classic sketch+exact-recheck
+   pattern (a one-row count-min with exact verification); an earlier
+   Arrow/mapInPandas pigeonhole pass computed the same superset with
+   per-partition pandas value_counts and cost 3x the wall time in
+   Python/Arrow transfer (sf1 3.7 s -> 1.25 s).
 
 The reference has none of these (SURVEY.md §2.2: its pipeline is a
 single linear filter→window→count chain, beametrics/pipeline.py:164-186);
@@ -256,32 +257,7 @@ def zorder_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_NUM, _HH_DEN = 3, 4000
 
 
-def _hh_partials(batches):
-    """Per-partition candidate pass: accumulate value counts across the
-    partition's Arrow batches, emit keys clearing the partition-local
-    threshold plus one sentinel row (l_partkey = -1) carrying the
-    partition row count so N needs no second scan of pass 1."""
-    import pandas as pd
-
-    counts = None
-    n_rows = 0
-    for pdf in batches:
-        n_rows += len(pdf)
-        vc = pdf["l_partkey"].value_counts()
-        counts = vc if counts is None else counts.add(vc, fill_value=0)
-    if n_rows == 0:
-        return
-    local = counts[counts * _HH_DEN >= _HH_NUM * n_rows]
-    out = pd.DataFrame(
-        {
-            "l_partkey": local.index.astype("int64"),
-            "c": local.values.astype("int64"),
-        }
-    )
-    yield pd.concat(
-        [out, pd.DataFrame({"l_partkey": [-1], "c": [n_rows]})],
-        ignore_index=True,
-    )
+_HH_BUCKETS = 65536  # fixed sketch width: bounded state at any |keys|
 
 
 @register(
@@ -294,29 +270,36 @@ def _hh_partials(batches):
     """,
 )
 def heavy_hitters_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keys with frequency >= 3/4000 of lineitem, via candidates+recheck.
+    """Keys with frequency >= 3/4000 of lineitem, via sketch+recheck.
 
-    Pass 1 never shuffles: mapInPandas emits only partition-locally
-    heavy keys (a pigeonhole superset of the global heavy set — see
-    module docstring) plus a per-partition row-count sentinel. Pass 2
-    re-scans lineitem's key column with the candidate set broadcast as
-    a semi-join filter, so the only shuffle in the whole query carries
-    partial counts of candidate keys. The final filter re-applies the
-    threshold against the exact global count, which removes every
-    false candidate — the output does not depend on partitioning.
+    Pass 1 aggregates per hash BUCKET (2^16-wide lattice): fully
+    whole-stage-codegen, map-side combinable with bounded per-task
+    state no matter how many distinct keys exist, and the exchange
+    carries at most |buckets| partials per task. A bucket's count
+    upper-bounds every key inside it, so buckets clearing the global
+    threshold are a guaranteed superset of the heavy keys' buckets; N
+    falls out as the sum of bucket counts — pass 1 is the only full
+    scan that aggregates. Pass 2 re-scans the key column with the
+    candidate buckets broadcast as a semi-join filter, so the only
+    per-KEY shuffle carries rows from candidate buckets; the final
+    filter re-applies the threshold against the exact count, removing
+    collision false-positives — the output does not depend on
+    partitioning or bucket width. (The r4-r10 pigeonhole pass computed
+    the same superset in Arrow/mapInPandas: correct, but 3x slower in
+    Python transfer and needing an eager checkpoint; this plan is pure
+    lazy codegen. sf1: 3.7 s construction-timed -> 1.25 s.)
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-
-    pass1 = li.mapInPandas(_hh_partials, "l_partkey long, c long").localCheckpoint()
-    candidates = pass1.where(F.col("l_partkey") >= 0).select("l_partkey").distinct()
-    total = pass1.where(F.col("l_partkey") == -1).agg(F.sum("c").alias("n"))
-
-    # No forced broadcast hint: the candidate set is tiny in practice but
-    # not provably bounded (unlike the bloom operator's bucket set), so
-    # AQE picks broadcast vs shuffle from its runtime size — a shuffle
-    # fallback still only carries candidate-key partials.
+    bucket = F.pmod(F.xxhash64("l_partkey"), F.lit(_HH_BUCKETS))
+    bcnt = li.groupBy(bucket.alias("bk")).agg(F.count(F.lit(1)).alias("bcnt"))
+    total = bcnt.agg(F.sum("bcnt").alias("n"))
+    candidates = (
+        bcnt.crossJoin(F.broadcast(total))
+        .where(F.col("bcnt") * _HH_DEN >= F.lit(_HH_NUM) * F.col("n"))
+        .select("bk")
+    )
     exact = (
-        li.join(candidates, "l_partkey", "left_semi")
+        li.join(F.broadcast(candidates), bucket == F.col("bk"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

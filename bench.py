@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     # round 10: the compaction leg (reconcile -> columnar write -> read
     # -> checksum round-trip; construction-timed, the write is eager)
     "cdc_mor_compaction_audit",
+    # round 11: exact positional percentiles via the sortless
+    # boundary-row locate (two scans, no window)
+    "value_percentiles_exact_global",
 ]
 
 # Streaming-parity queries run the full Structured Streaming harness
@@ -257,7 +260,6 @@ CONSTRUCTION_TIMED = {
     "dedup_minhash_lsh",            # candidate-set checkpoint
     "corpus_dedup_keep_list",       # capped-LSH + CC round checkpoints
     "ann_ivf_recall_audit",         # centroid training collects at build
-    "heavy_hitters_exact_twopass",  # candidate-pass localCheckpoint at build
     "minhash_estimate_error_audit", # pair-table checkpoint at build
     "quality_aware_keep_list",      # CC rounds checkpoint per iteration
     "curation_pipeline_v2",         # composes the CC stage -> same checkpoints

@@ -1,8 +1,10 @@
 """Property tests for the scale-pattern kernels, engine-free: the
-pigeonhole candidate guarantee of the heavy-hitter pass-1 generator
-(pure pandas) and the generated Morton SQL vs an independent Python
-interleave (evaluated in DuckDB). These pin the math the Spark plans
-rely on without paying a Spark job per hypothesis example."""
+bucket-sketch candidate guarantee of the heavy-hitter pass 1 (for ANY
+bucket assignment, heavy keys' buckets clear the threshold and the
+exact recheck removes collision false-positives) and the generated
+Morton SQL vs an independent Python interleave (evaluated in DuckDB).
+These pin the math the Spark plans rely on without paying a Spark job
+per hypothesis example."""
 
 import duckdb
 import pandas as pd
@@ -13,82 +15,71 @@ from beametrics_spark.operators.scale_patterns import (
     _HH_DEN,
     _HH_NUM,
     _Z_SQL,
-    _hh_partials,
 )
 
 
-# --- heavy hitters: pass-1 candidate superset --------------------------------
+# --- heavy hitters: bucket-sketch candidate superset --------------------------
 
 
 @st.composite
-def partitioned_multiset(draw):
-    """A random key multiset split into 1-6 partitions of random sizes."""
+def bucketed_multiset(draw):
+    """A random key multiset plus an ARBITRARY key->bucket assignment —
+    the guarantee must hold for any hash, including adversarial ones
+    that collide every key."""
     keys = draw(
         st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400)
     )
-    n_parts = draw(st.integers(min_value=1, max_value=6))
-    cuts = sorted(
-        draw(
-            st.lists(
-                st.integers(min_value=0, max_value=len(keys)),
-                min_size=n_parts - 1,
-                max_size=n_parts - 1,
-            )
-        )
-    )
-    bounds = [0, *cuts, len(keys)]
-    parts = [keys[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
-    return keys, parts
-
-
-def run_pass1(partition: list[int]) -> pd.DataFrame:
-    batches = [pd.DataFrame({"l_partkey": pd.Series(partition, dtype="int64")})]
-    out = list(_hh_partials(iter(batches)))
-    return out[0] if out else pd.DataFrame({"l_partkey": [], "c": []})
+    n_buckets = draw(st.integers(min_value=1, max_value=8))
+    assign = {
+        k: draw(st.integers(min_value=0, max_value=n_buckets - 1))
+        for k in set(keys)
+    }
+    return keys, assign
 
 
 @settings(max_examples=200, deadline=None)
-@given(partitioned_multiset())
-def test_pass1_candidates_cover_all_global_heavy_keys(case):
-    keys, parts = case
+@given(bucketed_multiset())
+def test_bucket_pass_candidates_cover_all_global_heavy_keys(case):
+    keys, assign = case
     n = len(keys)
-    global_counts = pd.Series(keys).value_counts()
-    heavy = {int(k) for k, c in global_counts.items() if c * _HH_DEN >= _HH_NUM * n}
+    counts = pd.Series(keys).value_counts()
+    heavy = {int(k) for k, c in counts.items() if c * _HH_DEN >= _HH_NUM * n}
 
-    candidates = set()
-    sentinel_total = 0
-    for part in parts:
-        out = run_pass1(part)
-        sentinel_total += int(out.loc[out["l_partkey"] == -1, "c"].sum())
-        candidates |= set(out.loc[out["l_partkey"] >= 0, "l_partkey"].astype(int))
-
-    # pigeonhole: every globally-heavy key must be locally heavy somewhere
-    assert heavy <= candidates
-    # the sentinel rows reconstruct N exactly (empty partitions emit nothing)
-    assert sentinel_total == n
+    bucket_counts: dict[int, int] = {}
+    for k, c in counts.items():
+        bucket_counts[assign[int(k)]] = bucket_counts.get(assign[int(k)], 0) + int(c)
+    cand_buckets = {
+        b for b, c in bucket_counts.items() if c * _HH_DEN >= _HH_NUM * n
+    }
+    # a bucket's count upper-bounds each key inside it, so every heavy
+    # key's bucket clears the threshold
+    assert all(assign[k] in cand_buckets for k in heavy)
+    # and the bucket counts reconstruct N exactly
+    assert sum(bucket_counts.values()) == n
 
 
 @settings(max_examples=100, deadline=None)
-@given(partitioned_multiset())
-def test_pass1_plus_exact_recheck_is_exact(case):
-    keys, parts = case
+@given(bucketed_multiset())
+def test_bucket_pass_plus_exact_recheck_is_exact(case):
+    keys, assign = case
     n = len(keys)
-    global_counts = pd.Series(keys).value_counts()
+    counts = pd.Series(keys).value_counts()
     want = {
-        int(k): int(c)
-        for k, c in global_counts.items()
-        if c * _HH_DEN >= _HH_NUM * n
+        int(k): int(c) for k, c in counts.items() if c * _HH_DEN >= _HH_NUM * n
     }
 
-    candidates = set()
-    for part in parts:
-        out = run_pass1(part)
-        candidates |= set(out.loc[out["l_partkey"] >= 0, "l_partkey"].astype(int))
-    # recheck pass: exact counts of candidates only, global threshold
+    bucket_counts: dict[int, int] = {}
+    for k, c in counts.items():
+        bucket_counts[assign[int(k)]] = bucket_counts.get(assign[int(k)], 0) + int(c)
+    cand_buckets = {
+        b for b, c in bucket_counts.items() if c * _HH_DEN >= _HH_NUM * n
+    }
+    # recheck pass: exact counts of candidate-bucket keys only, global
+    # threshold removes collision false-positives
     got = {
         int(k): int(c)
-        for k, c in global_counts.items()
-        if int(k) in candidates and c * _HH_DEN >= _HH_NUM * n
+        for k, c in counts.items()
+        if assign[int(k)] in cand_buckets and c * _HH_DEN >= _HH_NUM * n
     }
     assert got == want
 
