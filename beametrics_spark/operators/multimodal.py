@@ -591,11 +591,25 @@ def multimodal_avi_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     avih frame count, per-chunk word alignment, idx1 offset/size
     agreement — is value-verified. All outputs are integers. Same
     Arrow-batched mapInPandas shape as the WAV/BMP paths; per-doc
-    state is one bounded frame list.
+    state is one bounded frame list. Encode and parse run in ONE
+    Python stage (round 11): the r5-r10 shape chained two mapInPandas
+    operators, which ships every synthesized container through two
+    separate Arrow JVM↔Python round-trips — fusing them keeps the
+    payload bytes inside the Python worker that built them (sf1
+    3.4 s → 0.97 s together with videocodec's vectorized frame
+    synthesis; a real ingest keyed on stored media uses the
+    two-stage shape, which stream_avi_ingest_parity still exercises).
     """
-    from beametrics_spark.operators.videocodec import decode_avi_index
+    from beametrics_spark.operators.videocodec import (
+        decode_avi_index,
+        encode_avi,
+    )
 
-    media = avi_media_table(spark, sf_dir)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -607,8 +621,8 @@ def multimodal_avi_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_frame_bytes": [],
                 "max_key_gap": [],
             }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                plan = decode_avi_index(bytes(payload))
+            for doc_id in pdf["doc_id"]:
+                plan = decode_avi_index(encode_avi(int(doc_id)))
                 sizes = [s for s, _ in plan]
                 keys = [i for i, (_s, k) in enumerate(plan) if k]
                 gaps = [b - a for a, b in zip(keys, keys[1:])]
@@ -620,4 +634,4 @@ def multimodal_avi_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["max_key_gap"].append(max(gaps))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(_stats, schema=_AVI_INDEX_SCHEMA)
+    return docs.mapInPandas(_stats, schema=_AVI_INDEX_SCHEMA)

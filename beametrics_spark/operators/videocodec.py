@@ -75,17 +75,25 @@ def encode_avi(doc_id: int) -> bytes:
     )
     hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih))
 
-    movi_body = b"movi"
+    import numpy as np
+
+    parts = [b"movi"]
+    offset = 4  # past the 'movi' tag
     index = []
     for i, (size, key) in enumerate(plan):
         # offset convention: from the start of the 'movi' LIST body
         # (i.e. the position of the 4-char 'movi' tag), the most common
-        # writer convention
-        offset = len(movi_body)
-        frame = bytes(((doc_id + i + j) % 251 for j in range(size)))
-        movi_body += struct.pack("<4sI", b"00dc", size) + frame
+        # writer convention. Frame bytes are vectorized — the original
+        # per-byte generator was ~1.5 ms/container, 90 CPU-seconds at
+        # sf1's 50k docs.
+        frame = (
+            ((np.arange(size, dtype=np.int64) + doc_id + i) % 251)
+            .astype(np.uint8)
+            .tobytes()
+        )
+        chunk = struct.pack("<4sI", b"00dc", size) + frame
         if size & 1:
-            movi_body += b"\x00"
+            chunk += b"\x00"
         index.append(
             struct.pack(
                 "<4sIII",
@@ -95,7 +103,9 @@ def encode_avi(doc_id: int) -> bytes:
                 size,
             )
         )
-    movi = _chunk(b"LIST", movi_body)
+        parts.append(chunk)
+        offset += len(chunk)
+    movi = _chunk(b"LIST", b"".join(parts))
     idx1 = _chunk(b"idx1", b"".join(index))
 
     body = b"AVI " + hdrl + movi + idx1
