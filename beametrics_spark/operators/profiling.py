@@ -354,13 +354,18 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-space drift upstream).
 
     Each relationship is one left join against the (broadcast-sized)
-    parent key set + a null-count aggregate; the child tables are
+    parent key column + a null-count aggregate; the child tables are
     scanned once per relationship with only the key column read
     (pruning).  At 100 TB the parent key sets broadcast and the audit
-    costs one pass per child table."""
+    costs one pass per child table. The parent side is deliberately
+    NOT deduplicated (round 11): the oracle's LEFT JOIN is against the
+    raw parent too (identical duplicate-parent semantics), and the
+    .distinct() guard was a full dedup exchange of the orders key
+    column — the near-unique-key churn again — for keys that a parent
+    table holds uniquely by definition (sf1: 3.37 s → 1.84 s)."""
 
     def audit(child, ckey, parent, pkey, label):
-        p = parent.select(F.col(pkey).alias("_pk")).distinct()
+        p = parent.select(F.col(pkey).alias("_pk"))
         return (
             child.select(F.col(ckey).alias("_ck"))
             .join(F.broadcast(p), F.col("_ck") == F.col("_pk"), "left")
