@@ -255,6 +255,11 @@ RECERTIFY: frozenset[str] = frozenset(
         # round 11 wave 2: JVM bucket-sketch candidate pass
         # (scale_patterns.py)
         "heavy_hitters_exact_twopass",
+        # round 11 wave 2: raw parent join side (profiling.py), fused
+        # single-Python-stage AVI index + vectorized encoder
+        # (multimodal.py, videocodec.py — the streaming twin shares it)
+        "referential_integrity_audit", "multimodal_avi_frame_index",
+        "stream_avi_ingest_parity",
     }
 )
 
