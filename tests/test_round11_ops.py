@@ -231,3 +231,41 @@ def test_revenue_by_nation_groups_by_nationkey(spark, sf_dir):
     assert agg != -1, plan
     nation_join = plan.find("n_nationkey")
     assert nation_join != -1 and nation_join < agg, plan
+
+
+def test_exact_global_percentiles_match_naive_window(spark, sf_dir):
+    from beametrics_spark.operators.profiling2 import (
+        PCT_TARGETS,
+        value_percentiles_exact_global,
+    )
+    from beametrics_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, value_percentiles_exact_global(spark, sf_dir).collect())
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("value", "event_id")
+        .filter(F.col("value").isNotNull())
+    )
+    ranked = ev.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .alias("rk"),
+    )
+    n = ev.count()
+    import math
+
+    want = sorted(
+        (
+            p,
+            round(
+                ranked.filter(F.col("rk") == max(1, math.ceil(p * n)))
+                .collect()[0]["value"],
+                4,
+            ),
+        )
+        for p in PCT_TARGETS
+    )
+    assert got == want
