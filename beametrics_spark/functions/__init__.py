@@ -311,6 +311,129 @@ def order_boundary_rows(
     )
 
 
+def weighted_order_boundary_rows(
+    df: DataFrame,
+    keys: Sequence[Column],
+    weight: Column,
+    fracs: Sequence[tuple[int, float]],
+    *,
+    bins: int = 64,
+) -> DataFrame:
+    """Exact key tuples at weighted-prefix-share boundaries — the
+    cumulative-share analogue of :func:`order_boundary_rows`, without a
+    global single-task sort.
+
+    For each ``(label, frac)`` the boundary is the LAST key (in the
+    total order defined by ``keys``, all ascending, unique) whose
+    prefix share — sum of ``weight`` over strictly-earlier rows,
+    divided by the total as a DOUBLE, exactly the per-row arithmetic a
+    cumulative-window formulation uses — is ``< frac``.  Rows at or
+    below the boundary key are exactly the rows a
+    ``sum(weight) OVER (ORDER BY keys) - weight) / total < frac``
+    window predicate accepts, so ``cutoff_tile_expr`` over the returned
+    boundaries reproduces an ABC/Pareto-style cumulative classification
+    bit-for-bit (pinned by tests/test_round12_ops.py).
+
+    Mechanics: one pass bins rows by the leading key (width_bucket over
+    min/max), a tiny |bins| cumulative table locates each frac's
+    straddling bin, and only that bin's rows (≤ 2 bins for any frac
+    list) are sorted — partition-local — to find the exact boundary
+    row.  Requires 0 < frac < 1 and strictly positive weights (a zero
+    or negative weight makes the prefix share non-monotone across equal
+    prefixes and the straddle-bin search unsound).
+
+    Returns a ONE-ROW DataFrame with ``_tot`` (total weight) and
+    ``_bnds``: array<struct<_label:int, _key:struct<k0..>>> sorted by
+    label, ready for broadcast + ``cutoff_tile_expr``.
+    """
+    from pyspark.sql import Window
+
+    key = F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)])
+    base = df.select(
+        key.alias("_key"),
+        keys[0].cast("double").alias("_k0"),
+        weight.alias("_w"),
+    )
+    bounds = base.agg(F.min("_k0").alias("_lo"), F.max("_k0").alias("_hi"))
+    wb = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.width_bucket(F.col("_k0"), F.col("_lo"), F.col("_hi"), F.lit(bins)),
+    ).otherwise(F.lit(1))
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        "_key", "_w", wb.alias("_bin")
+    )
+    binc = binned.groupBy("_bin").agg(F.sum("_w").alias("_wsum"))
+    wcum = (
+        Window.orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binc.select(
+        "_bin",
+        "_wsum",
+        F.sum("_wsum").over(wcum).alias("_cum"),
+        F.sum("_wsum").over(Window.partitionBy()).alias("_tot"),
+    )
+    tgt_structs = [
+        F.struct(
+            F.lit(int(label)).alias("_label"),
+            F.lit(float(frac)).alias("_frac"),
+        )
+        for label, frac in fracs
+    ]
+    # straddle bin per target: bin-prefix share < frac ≤ bin-through
+    # share (shares computed with the same long/long→double division
+    # the per-row assignment uses, so boundary selection and row
+    # classification can never disagree on rounding)
+    tgt = (
+        cum.select(
+            F.explode(F.array(*tgt_structs)).alias("_t"),
+            "_bin",
+            "_wsum",
+            "_cum",
+            "_tot",
+        )
+        .filter(
+            ((F.col("_cum") - F.col("_wsum")) / F.col("_tot")
+             < F.col("_t._frac"))
+            & (F.col("_cum") / F.col("_tot") >= F.col("_t._frac"))
+        )
+        .select(
+            F.col("_t._label").alias("_label"),
+            F.col("_t._frac").alias("_frac"),
+            "_bin",
+            (F.col("_cum") - F.col("_wsum")).alias("_before_bin"),
+            "_tot",
+        )
+    )
+    hit = binned.join(F.broadcast(tgt.select("_bin").distinct()), "_bin")
+    wloc = (
+        Window.partitionBy("_bin")
+        .orderBy("_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = hit.withColumn("_through", F.sum("_w").over(wloc))
+    # boundary = FIRST row in the straddle bin whose through-share
+    # reaches frac (prefix shares before it are all < frac)
+    cand = local.alias("r").join(
+        F.broadcast(tgt).alias("t"),
+        (F.col("r._bin") == F.col("t._bin"))
+        & (
+            (F.col("t._before_bin") + F.col("r._through")) / F.col("t._tot")
+            >= F.col("t._frac")
+        ),
+    )
+    bnd = cand.groupBy(F.col("t._label").alias("_label")).agg(
+        F.min(F.col("r._key")).alias("_key"),
+        F.first(F.col("t._tot")).alias("_tot"),
+    )
+    return bnd.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_label"), F.col("_key")))
+        ).alias("_bnds"),
+        F.first("_tot").alias("_tot"),
+    )
+
+
 def key_struct(keys: Sequence[Column]) -> Column:
     """The row-side key tuple matching order_boundary_rows' boundaries."""
     return F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)])

@@ -423,7 +423,9 @@ GROUP BY 1
 
 
 @register("part_revenue_abc_classes", _PARETO_ORACLE)
-def part_revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def part_revenue_abc_classes(
+    spark: SparkSession, sf_dir: str, *, use_cumulative_window: bool = False
+) -> DataFrame:
     """ABC / Pareto inventory classification: parts ranked by discounted
     revenue, classed A (first 80% of cumulative revenue), B (next 15%),
     C (tail) — class membership decided by the cumulative share BEFORE
@@ -433,37 +435,70 @@ def part_revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Revenue reduces to one exact scaled-long row per part
     (functions.discounted_e4 — summation-order independent like the
-    decimal it replaces, without the per-row Decimal buffer tax) before
-    the single cumulative window; the window sums LONGS over only
-    |parts| rows. At extreme part cardinality the cutoffs come from the
-    broadcast-percentile two-scan shape instead of the global cumsum
-    sort."""
+    decimal it replaces, without the per-row Decimal buffer tax). The
+    default shape then finds the two class-boundary KEYS without any
+    global sort (functions.weighted_order_boundary_rows: bin the
+    reduced table by revenue, locate each share crossing in the tiny
+    cumulative bin table, sort only the ≤2 straddling bins), broadcasts
+    them, and classes every part with a scan-local struct comparison —
+    no single task ever holds more than one bin of the |parts| table,
+    so the shape survives billions of parts. ``use_cumulative_window=
+    True`` keeps the r5-r11 single cumulative window over the reduced
+    table (bit-identical output, pinned by tests/test_round12_ops.py::
+    test_abc_cutoff_path_matches_cumulative_window) for engines/sizes
+    where one sorted pass of |parts| rows is cheaper."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
             discounted_e4(F.col("l_extendedprice"), F.col("l_discount"))
         ).alias("revenue")
     )
-    w = (
-        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    all_rows = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "revenue",
-        (F.sum("revenue").over(w) - F.col("revenue")).alias("cum_before"),
-        F.sum("revenue").over(all_rows).alias("total_rev"),
-    )
-    share_before = F.col("cum_before") / F.col("total_rev")
-    classed = ranked.select(
-        "revenue",
-        "total_rev",
-        F.when(share_before < 0.80, "A")
-        .when(share_before < 0.95, "B")
-        .otherwise("C")
-        .alias("abc_class"),
-    )
+    if use_cumulative_window:
+        w = (
+            Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        all_rows = Window.partitionBy()
+        ranked = rev.select(
+            "l_partkey",
+            "revenue",
+            (F.sum("revenue").over(w) - F.col("revenue")).alias("cum_before"),
+            F.sum("revenue").over(all_rows).alias("total_rev"),
+        )
+        share_before = F.col("cum_before") / F.col("total_rev")
+        classed = ranked.select(
+            "revenue",
+            "total_rev",
+            F.when(share_before < 0.80, "A")
+            .when(share_before < 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    else:
+        from beametrics_spark.functions import (
+            cutoff_tile_expr,
+            key_struct,
+            weighted_order_boundary_rows,
+        )
+
+        # the reduced table feeds the boundary scans AND the assignment
+        # scan — materialize it once instead of re-aggregating lineitem
+        rev = rev.localCheckpoint()
+        keys = [-F.col("revenue"), F.col("l_partkey")]
+        bnd = weighted_order_boundary_rows(
+            rev, keys, F.col("revenue"), [(1, 0.80), (2, 0.95)]
+        )
+        tile = cutoff_tile_expr(key_struct(keys), F.col("_bnds"), 2)
+        classed = rev.crossJoin(
+            F.broadcast(bnd.select("_bnds", "_tot"))
+        ).select(
+            "revenue",
+            F.col("_tot").alias("total_rev"),
+            F.when(tile == 1, "A")
+            .when(tile == 2, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
         e4_dollars(F.sum("revenue")).alias("class_revenue"),

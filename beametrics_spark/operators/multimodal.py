@@ -263,9 +263,66 @@ def multimodal_bmp_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     swizzle, PPM header scan — is verified by value, not just shape.
     Channel sums are exact int64, so the double means are bit-identical
     regardless of summation order in either engine.
+
+    Encode and parse run in ONE Python stage (round 12, the AVI
+    treatment): the r5-r11 shape chained ``bmp_ppm_media_table``'s
+    encode mapInPandas into ``decode_media``'s mapInPandas, shipping
+    every synthesized image through two Arrow JVM↔Python round-trips.
+    The per-doc channel sum is also batch-vectorized: decoded pixel
+    planes concatenate into one (Σpx, 3) int64 matrix reduced per doc
+    with ``np.add.reduceat`` (exact int64, order-free). The stored-media
+    ingest shape (media table → decode_media) remains for real inputs.
     """
-    media = bmp_ppm_media_table(spark, sf_dir)
-    decoded = decode_media(media, fake=False)
+    import numpy as np
+
+    from beametrics_spark.operators.imagecodec import (
+        decode_image,
+        fixture_payload,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            if not len(ids):
+                continue
+            mts, ws, hs, planes = [], [], [], []
+            for d in ids:
+                mt, payload = fixture_payload(int(d))
+                w, h, px = decode_image(payload)
+                mts.append(mt)
+                ws.append(w)
+                hs.append(h)
+                planes.append(px.reshape(-1, 3))
+            ws = np.array(ws, dtype=np.int64)
+            hs = np.array(hs, dtype=np.int64)
+            n_px = ws * hs
+            flat = np.concatenate(planes).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(n_px)[:-1]))
+            sums = np.add.reduceat(flat, starts, axis=0)
+            means = sums / n_px[:, None] / 255.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": mts,
+                    "width": ws.astype("int32"),
+                    "height": hs.astype("int32"),
+                    "feature": [list(m) for m in means],
+                }
+            )
+
+    decoded = docs.mapInPandas(
+        _decode,
+        schema=(
+            "doc_id long, media_type string, width int, height int, "
+            "feature array<double>"
+        ),
+    )
     mr = F.element_at("feature", 1)
     mg = F.element_at("feature", 2)
     mb = F.element_at("feature", 3)
@@ -361,40 +418,78 @@ def multimodal_wav_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoy-chunk skipping, word alignment, LE int16 layout — is verified
     by value.  Square sums are exact int64 in both engines; the only
     doubles are final sqrt/divide on identical integers, so round(6) is
-    formality.  Arrow-batched mapInPandas, same 100 TB shape as the
-    image path: media stays binary + metadata, compute rides columnar
-    batches, no JVM→Python row churn.
+    formality.
+
+    Encode, parse, and frame energy run in ONE Python stage (round 12,
+    the AVI treatment from round 11): the r7-r11 shape chained
+    ``wav_media_table``'s encode mapInPandas into a second decode
+    mapInPandas, shipping every synthesized container through two
+    Arrow JVM↔Python round-trips — the container bytes now never leave
+    the Python worker that built them. The per-doc Python frame loop is
+    also gone: each Arrow batch concatenates its decoded samples into
+    one int64 vector and reduces per-doc/per-frame sums with cumsum +
+    ``np.add.reduceat`` (exact int64 throughout — frame RMS compares
+    int frame sums before the single monotone float divide, so the
+    maxima are bit-identical to the per-doc formulation and the
+    oracle). A real ingest keyed on STORED media still uses the
+    two-stage wav_media_table → decode shape.
     """
+    import numpy as np
+
     from beametrics_spark.operators.audiocodec import (
+        FRAME_SAMPLES,
         decode_wav,
-        frame_energy_stats,
+        fixture_wav_payload,
     )
 
-    media = wav_media_table(spark, sf_dir)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "doc_id": [],
-                "n_samples": [],
-                "n_frames": [],
-                "rms_global": [],
-                "peak": [],
-                "max_frame_rms": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n, nf, rms, peak, mfr = frame_energy_stats(
-                    decode_wav(bytes(payload))
-                )
-                out["doc_id"].append(int(doc_id))
-                out["n_samples"].append(n)
-                out["n_frames"].append(nf)
-                out["rms_global"].append(rms)
-                out["peak"].append(peak)
-                out["max_frame_rms"].append(mfr)
-            yield pd.DataFrame(out)
+            ids = pdf["doc_id"].to_numpy()
+            if not len(ids):
+                continue
+            # per-doc codec work (the REAL encode + chunk-walking parse);
+            # everything after is vectorized across the whole batch
+            samples = [
+                decode_wav(fixture_wav_payload(int(d))) for d in ids
+            ]
+            lens = np.array([a.size for a in samples], dtype=np.int64)
+            s = np.concatenate(samples).astype(np.int64)
+            sq = s * s
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ss = np.add.reduceat(sq, doc_starts)
+            peak = np.maximum.reduceat(np.abs(s), doc_starts)
+            nf = lens // FRAME_SAMPLES
+            # frame sums by prefix-sum difference: exact int64, any
+            # incomplete tail frame excluded by construction
+            csum = np.concatenate(([0], np.cumsum(sq)))
+            frame_starts_per_doc = np.concatenate(([0], np.cumsum(nf)[:-1]))
+            frame_doc = np.repeat(np.arange(len(ids)), nf)
+            k = np.arange(int(nf.sum()), dtype=np.int64) - np.repeat(
+                frame_starts_per_doc, nf
+            )
+            fstart = doc_starts[frame_doc] + k * FRAME_SAMPLES
+            fss = csum[fstart + FRAME_SAMPLES] - csum[fstart]
+            # every fixture doc has >= 5 frames, so reduceat segments
+            # are all non-empty
+            max_fss = np.maximum.reduceat(fss, frame_starts_per_doc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": lens,
+                    "n_frames": nf,
+                    "rms_global": np.sqrt(ss / lens),
+                    "peak": peak,
+                    "max_frame_rms": np.sqrt(max_fss / FRAME_SAMPLES),
+                }
+            )
 
-    decoded = media.mapInPandas(
+    decoded = docs.mapInPandas(
         _stats,
         schema=(
             "doc_id long, n_samples long, n_frames long, "
@@ -503,9 +598,51 @@ def multimodal_image_patch_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the canonical media shape: payload bytes never
     leave the executor, the Python stage is Arrow-batched and emits
-    grid² small rows per image, and everything after is columnar."""
-    media = bmp_ppm_media_table(spark, sf_dir)
-    pooled = patch_pool(media)
+    grid² small rows per image, and everything after is columnar.
+
+    Encode, decode, and pool run in ONE Python stage (round 12, the AVI
+    treatment): the r5-r11 shape chained ``bmp_ppm_media_table``'s
+    encode mapInPandas into ``patch_pool``'s mapInPandas — two Arrow
+    JVM↔Python round-trips for bytes that never needed to leave the
+    worker that built them. ``patch_pool`` itself remains the
+    stored-media shape (and keeps the geometry unit tests)."""
+    import numpy as np
+
+    from beametrics_spark.operators.imagecodec import (
+        decode_image,
+        fixture_payload,
+    )
+
+    grid = PATCH_GRID
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+
+    def _pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "patch_row", "patch_col", "n_px", "mean_sum"
+            )}
+            for d in pdf["doc_id"]:
+                _mt, payload = fixture_payload(int(d))
+                w, h, px = decode_image(payload)
+                plane = px.astype(np.int64)
+                for pr in range(grid):
+                    for pc in range(grid):
+                        y0, y1 = h * pr // grid, h * (pr + 1) // grid
+                        x0, x1 = w * pc // grid, w * (pc + 1) // grid
+                        out["doc_id"].append(int(d))
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["n_px"].append((y1 - y0) * (x1 - x0))
+                        out["mean_sum"].append(
+                            int(plane[y0:y1, x0:x1, :].sum())
+                        )
+            yield pd.DataFrame(out)
+
+    pooled = docs.mapInPandas(_pool, schema=PATCH_SCHEMA)
     return pooled.select(
         "doc_id",
         "patch_row",

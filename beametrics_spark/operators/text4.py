@@ -167,20 +167,27 @@ FROM ranked GROUP BY 1
 
 
 @register("quality_decile_token_budget", _DECILE_ORACLE)
-def quality_decile_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_decile_token_budget(
+    spark: SparkSession, sf_dir: str, *, use_ntile_window: bool = False
+) -> DataFrame:
     """Token budget per quality decile: rank the corpus by a quality
     signal (stopword ratio — the cheap fluency proxy; higher = more
-    natural-language-like here), ntile(10) on the ROUNDED score with
-    doc_id tiebreak (engine-portable total order), and report each
+    natural-language-like here), decile assignment on the ROUNDED score
+    with doc_id tiebreak (engine-portable total order), and report each
     decile's document count, summed token budget, and score range —
     the "how many tokens exist above quality bar X" table that decides
     curriculum mixes and filtering thresholds.
 
-    The ntile window sorts only the (doc_id, n_tokens, score) scalar
-    projection — three narrow columns, never the text; at extreme
-    corpus scale the same answer comes from the broadcast-cutoff
-    two-scan shape (percentile cutoffs → scan 2 tags each doc), see
-    doc_length_outlier_flags."""
+    The decile table is ONE ROW PER DOCUMENT, so an ntile window here
+    would push the whole corpus through a single sort task — the worst
+    of the ntile family at 100 TB. The default shape instead finds the
+    9 exact decile-boundary keys without any global sort
+    (functions.order_boundary_rows over the checkpointed narrow
+    projection), broadcasts them, and assigns each document's decile
+    with a scan-local struct comparison (bit-identical to ntile, pinned
+    by tests/test_round12_ops.py::test_quality_decile_cutoff_matches_
+    ntile). ``use_ntile_window=True`` keeps the single-window shape for
+    small corpora."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(words)
@@ -191,8 +198,29 @@ def quality_decile_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", n_tokens.alias("n_tokens"), score.alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    ranked = t.withColumn("decile", F.ntile(N_DECILES).over(w))
+    if use_ntile_window:
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = t.withColumn("decile", F.ntile(N_DECILES).over(w))
+    else:
+        from beametrics_spark.functions import (
+            cutoff_tile_expr,
+            key_struct,
+            ntile_targets,
+            order_boundary_rows,
+        )
+
+        # the text-derived projection feeds the boundary scans and the
+        # assignment scan — checkpoint the 3 narrow columns so the
+        # tokenizer runs once, not three times
+        t = t.localCheckpoint()
+        keys = [-F.col("score"), F.col("doc_id")]
+        bnd = order_boundary_rows(t, keys, ntile_targets(N_DECILES))
+        ranked = t.crossJoin(
+            F.broadcast(bnd.select("_bnds"))
+        ).withColumn(
+            "decile",
+            cutoff_tile_expr(key_struct(keys), F.col("_bnds"), N_DECILES - 1),
+        )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("token_budget"),
