@@ -242,10 +242,11 @@ RECERTIFY: frozenset[str] = frozenset(
         # stage + batch-vectorized reductions (multimodal.py)
         "multimodal_wav_frame_rms", "multimodal_bmp_ppm_decode",
         "multimodal_image_patch_pool",
-        # round 12 (VERDICT r11 #3): sortless broadcast-cutoff defaults
-        # for the last two unpartitioned-window queries (mining.py
-        # weighted_order_boundary_rows path, text4.py order_boundary_rows
-        # path)
+        # round 12 (VERDICT r11 #3): real sortless broadcast-cutoff
+        # paths behind documented flags (mining.py
+        # weighted_order_boundary_rows, text4.py order_boundary_rows),
+        # window defaults kept per the measured construction-inclusive
+        # crossover
         "part_revenue_abc_classes", "quality_decile_token_budget",
         # round 12 (VERDICT r11 #5): rollup -> plain groupBy(a,b) with
         # unigrams/totals derived from the persisted pair table

@@ -435,7 +435,7 @@ GROUP BY 1
 
 @register("part_revenue_abc_classes", _PARETO_ORACLE)
 def part_revenue_abc_classes(
-    spark: SparkSession, sf_dir: str, *, use_cumulative_window: bool = False
+    spark: SparkSession, sf_dir: str, *, use_cutoff_classes: bool = False
 ) -> DataFrame:
     """ABC / Pareto inventory classification: parts ranked by discounted
     revenue, classed A (first 80% of cumulative revenue), B (next 15%),
@@ -446,46 +446,30 @@ def part_revenue_abc_classes(
 
     Revenue reduces to one exact scaled-long row per part
     (functions.discounted_e4 — summation-order independent like the
-    decimal it replaces, without the per-row Decimal buffer tax). The
-    default shape then finds the two class-boundary KEYS without any
-    global sort (functions.weighted_order_boundary_rows: bin the
-    reduced table by revenue, locate each share crossing in the tiny
-    cumulative bin table, sort only the ≤2 straddling bins), broadcasts
-    them, and classes every part with a scan-local struct comparison —
-    no single task ever holds more than one bin of the |parts| table,
-    so the shape survives billions of parts. ``use_cumulative_window=
-    True`` keeps the r5-r11 single cumulative window over the reduced
-    table (bit-identical output, pinned by tests/test_round12_ops.py::
-    test_abc_cutoff_path_matches_cumulative_window) for engines/sizes
-    where one sorted pass of |parts| rows is cheaper."""
+    decimal it replaces, without the per-row Decimal buffer tax) before
+    the single cumulative window; the window sums LONGS over only
+    |parts| rows. ``use_cutoff_classes=True`` switches to the sortless
+    broadcast-cutoff shape for extreme part cardinality
+    (functions.weighted_order_boundary_rows: bin the reduced table by
+    revenue, locate each share crossing in the tiny cumulative bin
+    table, sort only the ≤2 straddling bins, class every part by
+    scan-local struct comparison — no task ever holds more than one
+    bin) — bit-identical output, pinned by tests/test_round12_ops.py::
+    test_abc_cutoff_path_matches_cumulative_window. It is NOT the
+    default because the reduced table must be materialized for its
+    boundary + assignment scans (localCheckpoint), and that write
+    costs more than the single-task sort it saves until |parts| is far
+    beyond this benchmark: construction-inclusive sf1 min-of-4, same
+    box: window 2.96 s vs cutoff 4.65 s (the r11-flagged ntile-family
+    claim is now a real code path with a measured crossover, not an
+    aspiration)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
             discounted_e4(F.col("l_extendedprice"), F.col("l_discount"))
         ).alias("revenue")
     )
-    if use_cumulative_window:
-        w = (
-            Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        all_rows = Window.partitionBy()
-        ranked = rev.select(
-            "l_partkey",
-            "revenue",
-            (F.sum("revenue").over(w) - F.col("revenue")).alias("cum_before"),
-            F.sum("revenue").over(all_rows).alias("total_rev"),
-        )
-        share_before = F.col("cum_before") / F.col("total_rev")
-        classed = ranked.select(
-            "revenue",
-            "total_rev",
-            F.when(share_before < 0.80, "A")
-            .when(share_before < 0.95, "B")
-            .otherwise("C")
-            .alias("abc_class"),
-        )
-    else:
+    if use_cutoff_classes:
         from beametrics_spark.functions import (
             cutoff_tile_expr,
             key_struct,
@@ -510,6 +494,27 @@ def part_revenue_abc_classes(
             .otherwise("C")
             .alias("abc_class"),
         )
+    else:
+        w = (
+            Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        all_rows = Window.partitionBy()
+        ranked = rev.select(
+            "l_partkey",
+            "revenue",
+            (F.sum("revenue").over(w) - F.col("revenue")).alias("cum_before"),
+            F.sum("revenue").over(all_rows).alias("total_rev"),
+        )
+        share_before = F.col("cum_before") / F.col("total_rev")
+        classed = ranked.select(
+            "revenue",
+            "total_rev",
+            F.when(share_before < 0.80, "A")
+            .when(share_before < 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
         e4_dollars(F.sum("revenue")).alias("class_revenue"),
@@ -518,6 +523,152 @@ def part_revenue_abc_classes(
         F.round(F.sum("revenue") / F.first("total_rev"), 4)
         .cast("double")
         .alias("revenue_share"),
+    )
+
+
+PARETO_COVERAGE_TARGETS = (0.50, 0.80, 0.90, 0.99)
+
+# The oracle recomputes revenue in the SAME exact 1e-4-dollar longs as
+# functions.discounted_e4 (round(price*100) * (100 - round(disc*100))),
+# so every comparison below divides identical int64 values — the
+# prefix-share predicate is bit-identical across engines, not merely
+# close.
+_PARETO_COVERAGE_ORACLE = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(revenue) OVER () AS tot
+  FROM rev
+),
+t(coverage_target) AS (VALUES (CAST(0.50 AS DOUBLE)), (CAST(0.80 AS DOUBLE)),
+                              (CAST(0.90 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+SELECT t.coverage_target,
+       CAST(count(*) FILTER (
+         WHERE CAST(cum - revenue AS DOUBLE) / CAST(tot AS DOUBLE)
+               < t.coverage_target) AS BIGINT) AS n_parts,
+       ROUND(CAST(sum(revenue) FILTER (
+         WHERE CAST(cum - revenue AS DOUBLE) / CAST(tot AS DOUBLE)
+               < t.coverage_target) AS DOUBLE) / CAST(any_value(tot) AS DOUBLE),
+         4) AS covered_share
+FROM ranked, t
+GROUP BY 1
+"""
+
+
+@register("revenue_pareto_coverage", _PARETO_COVERAGE_ORACLE)
+def revenue_pareto_coverage(
+    spark: SparkSession, sf_dir: str, *, use_cutoff_coverage: bool = False
+) -> DataFrame:
+    """Pareto coverage curve of part revenue: for each coverage target
+    (50/80/90/99%), the number of top-revenue parts whose cumulative
+    share reaches it and the share they actually cover — the
+    "how concentrated is this dimension" table that decides whether a
+    hot-key strategy (broadcast the head, salt the tail) is worth it,
+    read straight off the same curve ABC classification cuts.
+
+    A part counts toward target f iff its prefix share (exact-long
+    cumulative revenue before it, divided by the exact-long total as a
+    double — the identical arithmetic in the DuckDB oracle, which
+    recomputes revenue in the same 1e-4-dollar longs) is < f, so
+    n_parts is exactly the rank of the first part whose running total
+    reaches f. Default shape: one cumulative window over the reduced
+    |parts| table, targets expanded per part and filtered — the same
+    single-sort profile as part_revenue_abc_classes.
+    ``use_cutoff_coverage=True`` switches to the sortless shape for
+    extreme part cardinality: the four boundary KEYS come from
+    functions.weighted_order_boundary_rows, one assignment scan tiles
+    every part by broadcast struct comparison, and n_parts/
+    covered_share aggregate from the ≤5-row tile table (duplicate
+    boundaries skip a tile number; the ≤-join over the cumulative tile
+    table keeps those targets' rows correct). Bit-identical, pinned by
+    tests/test_round12_ops.py::test_pareto_coverage_cutoff_matches_window;
+    same measured materialization-vs-sort crossover as the ABC query,
+    so the window stays the benchmark default."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            discounted_e4(F.col("l_extendedprice"), F.col("l_discount"))
+        ).alias("revenue")
+    )
+    fracs = list(enumerate(PARETO_COVERAGE_TARGETS, start=1))
+    if use_cutoff_coverage:
+        from beametrics_spark.functions import (
+            cutoff_tile_expr,
+            key_struct,
+            weighted_order_boundary_rows,
+        )
+
+        rev = rev.localCheckpoint()
+        keys = [-F.col("revenue"), F.col("l_partkey")]
+        bnd = weighted_order_boundary_rows(rev, keys, F.col("revenue"), fracs)
+        tile = cutoff_tile_expr(
+            key_struct(keys), F.col("_bnds"), len(PARETO_COVERAGE_TARGETS)
+        )
+        tiled = rev.crossJoin(
+            F.broadcast(bnd.select("_bnds", "_tot"))
+        ).select(tile.alias("tile"), "revenue", "_tot")
+        per_tile = tiled.groupBy("tile").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("revenue").alias("rev"),
+            F.first("_tot").alias("tot"),
+        )
+        # cumulative over the <=5-row tile table (tiny by construction)
+        wcum = (
+            Window.orderBy("tile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = per_tile.select(
+            "tile",
+            F.sum("n").over(wcum).alias("n_cum"),
+            F.sum("rev").over(wcum).alias("rev_cum"),
+            "tot",
+        )
+        targets = spark.createDataFrame(
+            [(j, float(f)) for j, f in fracs],
+            "tj int, coverage_target double",
+        )
+        return (
+            F.broadcast(targets)
+            .join(cum, cum["tile"] <= targets["tj"])
+            .groupBy("coverage_target")
+            .agg(
+                # cumulative columns are non-decreasing in tile, so max
+                # = the value at the largest tile <= tj (robust to
+                # skipped tile numbers from coincident boundaries)
+                F.max("n_cum").alias("n_parts"),
+                F.round(
+                    F.max("rev_cum") / F.first("tot"), 4
+                ).alias("covered_share"),
+            )
+        )
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        "revenue",
+        (F.sum("revenue").over(w) - F.col("revenue")).alias("cum_before"),
+        F.sum("revenue").over(Window.partitionBy()).alias("tot"),
+    )
+    share_before = F.col("cum_before") / F.col("tot")
+    expanded = ranked.select(
+        "revenue",
+        "tot",
+        share_before.alias("share"),
+        F.explode(
+            F.array(*[F.lit(float(f)) for _, f in fracs])
+        ).alias("coverage_target"),
+    ).filter(F.col("share") < F.col("coverage_target"))
+    return expanded.groupBy("coverage_target").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("revenue") / F.first("tot"), 4).alias("covered_share"),
     )
 
 

@@ -168,7 +168,7 @@ FROM ranked GROUP BY 1
 
 @register("quality_decile_token_budget", _DECILE_ORACLE)
 def quality_decile_token_budget(
-    spark: SparkSession, sf_dir: str, *, use_ntile_window: bool = False
+    spark: SparkSession, sf_dir: str, *, use_cutoff_deciles: bool = False
 ) -> DataFrame:
     """Token budget per quality decile: rank the corpus by a quality
     signal (stopword ratio — the cheap fluency proxy; higher = more
@@ -178,16 +178,20 @@ def quality_decile_token_budget(
     the "how many tokens exist above quality bar X" table that decides
     curriculum mixes and filtering thresholds.
 
-    The decile table is ONE ROW PER DOCUMENT, so an ntile window here
-    would push the whole corpus through a single sort task — the worst
-    of the ntile family at 100 TB. The default shape instead finds the
-    9 exact decile-boundary keys without any global sort
-    (functions.order_boundary_rows over the checkpointed narrow
-    projection), broadcasts them, and assigns each document's decile
-    with a scan-local struct comparison (bit-identical to ntile, pinned
-    by tests/test_round12_ops.py::test_quality_decile_cutoff_matches_
-    ntile). ``use_ntile_window=True`` keeps the single-window shape for
-    small corpora."""
+    The decile table is ONE ROW PER DOCUMENT, so the default ntile
+    window pushes the per-doc scalar projection (3 narrow columns,
+    never the text) through one sort task — fine for millions of docs,
+    a straggler for billions. ``use_cutoff_deciles=True`` switches to
+    the sortless broadcast-cutoff shape: the 9 exact decile-boundary
+    keys come from functions.order_boundary_rows over the checkpointed
+    projection (so the tokenizer runs once, not three times) and each
+    document's decile is a scan-local struct comparison — bit-identical
+    to ntile, pinned by tests/test_round12_ops.py::
+    test_quality_decile_cutoff_matches_ntile. Not the default for the
+    same measured reason as part_revenue_abc_classes: the checkpoint
+    write of the projection costs more than the single-task sort until
+    the corpus is far beyond this benchmark (construction-inclusive sf1
+    min-of-4, same box: ntile 2.20 s vs cutoff 3.04 s)."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(words)
@@ -198,10 +202,7 @@ def quality_decile_token_budget(
     t = docs.select(
         "doc_id", n_tokens.alias("n_tokens"), score.alias("score")
     )
-    if use_ntile_window:
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        ranked = t.withColumn("decile", F.ntile(N_DECILES).over(w))
-    else:
+    if use_cutoff_deciles:
         from beametrics_spark.functions import (
             cutoff_tile_expr,
             key_struct,
@@ -209,9 +210,6 @@ def quality_decile_token_budget(
             order_boundary_rows,
         )
 
-        # the text-derived projection feeds the boundary scans and the
-        # assignment scan — checkpoint the 3 narrow columns so the
-        # tokenizer runs once, not three times
         t = t.localCheckpoint()
         keys = [-F.col("score"), F.col("doc_id")]
         bnd = order_boundary_rows(t, keys, ntile_targets(N_DECILES))
@@ -221,6 +219,9 @@ def quality_decile_token_budget(
             "decile",
             cutoff_tile_expr(key_struct(keys), F.col("_bnds"), N_DECILES - 1),
         )
+    else:
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = t.withColumn("decile", F.ntile(N_DECILES).over(w))
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("token_budget"),

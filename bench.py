@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "rfm_customer_segments",
     "value_cusum_drift",
     "part_revenue_abc_classes",
+    "revenue_pareto_coverage",
     "order_backlog_sweep",
     # round-5 wave e: snapshot reconciliation (CDC), attribution,
     # lateness audit, BPE merge scan
@@ -273,6 +274,10 @@ CONSTRUCTION_TIMED = {
     "bm25_eval_mrr",
     # r10: compaction writes the merged snapshot eagerly at build
     "cdc_mor_compaction_audit",
+    # r12 note: the ntile-family cutoff FLAGS (part_revenue_abc_classes
+    # use_cutoff_classes etc.) localCheckpoint at build and must be
+    # timed construction-inclusive when flagged on; the bench runs the
+    # lazy window DEFAULTS, so they stay out of this set.
 }
 
 

@@ -6,14 +6,14 @@ cutoff shapes for the last two unpartitioned-window queries.
   run in ONE mapInPandas (the round-11 AVI treatment) — the plan must
   contain exactly one Python stage, and the batch-vectorized WAV math
   must equal the per-doc frame_energy_stats formulation bit-for-bit.
-- part_revenue_abc_classes (mining.py): the default shape classes
-  parts via broadcast weighted-share boundary keys
-  (functions.weighted_order_boundary_rows) — bit-identical to the
-  cumulative-window formulation, with no unpartitioned Sort/Window in
-  the default plan.
-- quality_decile_token_budget (text4.py): default shape assigns
-  deciles via broadcast order_boundary_rows cutoffs — bit-identical to
-  ntile(10), no unpartitioned window over the per-document projection.
+- part_revenue_abc_classes / revenue_pareto_coverage (mining.py) and
+  quality_decile_token_budget (text4.py): the ``use_cutoff_*`` flags
+  switch to broadcast boundary-key shapes
+  (functions.weighted_order_boundary_rows / order_boundary_rows) —
+  bit-identical to the window defaults, with no global sort anywhere
+  in the flagged plan (the RFM pattern; the window stays default
+  because the measured construction-inclusive sf1 crossover favors one
+  sorted pass of the reduced table at benchmark scale).
 """
 
 from pyspark.sql import functions as F
@@ -139,31 +139,70 @@ def test_abc_cutoff_path_matches_cumulative_window(spark, sf_dir):
     from beametrics_spark.operators.mining import part_revenue_abc_classes
 
     got = sorted(
-        map(tuple, part_revenue_abc_classes(spark, sf_dir).collect())
-    )
-    want = sorted(
         map(
             tuple,
             part_revenue_abc_classes(
-                spark, sf_dir, use_cumulative_window=True
+                spark, sf_dir, use_cutoff_classes=True
             ).collect(),
         )
+    )
+    want = sorted(
+        map(tuple, part_revenue_abc_classes(spark, sf_dir).collect())
     )
     assert got == want and len(got) > 0
 
 
-def test_abc_default_plan_has_no_global_sort(spark, sf_dir):
-    """No single-task global sort anywhere in the default plan: no
-    rangepartitioning exchange, and any row_number window runs over the
-    tiny _bin partitions of the straddle bins (same pin pattern as
+def test_abc_cutoff_plan_has_no_global_sort(spark, sf_dir):
+    """No single-task global sort anywhere in the flagged plan: no
+    rangepartitioning exchange, and every window runs over the tiny
+    _bin partitions / bin-count table (same pin pattern as
     test_functions.py::test_cutoff_path_has_no_global_sort)."""
     from beametrics_spark.operators.mining import part_revenue_abc_classes
 
-    df = part_revenue_abc_classes(spark, sf_dir)
+    df = part_revenue_abc_classes(spark, sf_dir, use_cutoff_classes=True)
     df.collect()
     plan = _final_plan(df)
     assert "rangepartitioning" not in plan.lower().replace(" ", ""), plan
     _assert_windows_only_over_bin_tables(plan)
+
+
+def test_pareto_coverage_cutoff_matches_window(spark, sf_dir):
+    from beametrics_spark.operators.mining import revenue_pareto_coverage
+
+    got = sorted(
+        map(
+            tuple,
+            revenue_pareto_coverage(
+                spark, sf_dir, use_cutoff_coverage=True
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, revenue_pareto_coverage(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) == 4
+
+
+def test_pareto_coverage_cutoff_plan_has_no_global_sort(spark, sf_dir):
+    from beametrics_spark.operators.mining import revenue_pareto_coverage
+
+    df = revenue_pareto_coverage(spark, sf_dir, use_cutoff_coverage=True)
+    df.collect()
+    plan = _final_plan(df)
+    assert "rangepartitioning" not in plan.lower().replace(" ", ""), plan
+    # the <=5-row tile-table cumulative window is the one allowed
+    # non-bin window: its aggregate input columns are the tile partials
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        spec = line.split("windowspecdefinition(", 1)[1]
+        ok = (
+            spec.split(",")[0].strip().startswith("_bin")
+            or "(_cnt" in line
+            or "(_wsum" in line
+            or spec.split(",")[0].strip().startswith("tile")
+        )
+        assert ok, line
 
 
 def _assert_windows_only_over_bin_tables(plan: str) -> None:
@@ -184,23 +223,23 @@ def test_quality_decile_cutoff_matches_ntile(spark, sf_dir):
     from beametrics_spark.operators.text4 import quality_decile_token_budget
 
     got = sorted(
-        map(tuple, quality_decile_token_budget(spark, sf_dir).collect())
-    )
-    want = sorted(
         map(
             tuple,
             quality_decile_token_budget(
-                spark, sf_dir, use_ntile_window=True
+                spark, sf_dir, use_cutoff_deciles=True
             ).collect(),
         )
+    )
+    want = sorted(
+        map(tuple, quality_decile_token_budget(spark, sf_dir).collect())
     )
     assert got == want and len(got) > 0
 
 
-def test_quality_decile_default_plan_has_no_global_sort(spark, sf_dir):
+def test_quality_decile_cutoff_plan_has_no_global_sort(spark, sf_dir):
     from beametrics_spark.operators.text4 import quality_decile_token_budget
 
-    df = quality_decile_token_budget(spark, sf_dir)
+    df = quality_decile_token_budget(spark, sf_dir, use_cutoff_deciles=True)
     df.collect()
     plan = _final_plan(df)
     assert "rangepartitioning" not in plan.lower().replace(" ", ""), plan
