@@ -322,7 +322,7 @@ def order_boundary_rows(
 
 
 def raw_key_counts(
-    df: DataFrame, key: str, out: str = "n_rows", *, factor: int = 2
+    df: DataFrame, key: str, out: str = "n_rows", *, factor: int = 1
 ) -> DataFrame:
     """Per-key row counts for a NEAR-UNIQUE key: exchange the raw key
     rows first, then count — the discipline from key_skew_profile
@@ -330,14 +330,17 @@ def raw_key_counts(
     aggregate's per-task multi-M-entry hash maps buy a 4× row cut but
     cost far more in allocation/GC churn than the exchange they save.
 
-    ``factor``: partitions = factor × defaultParallelism. Round-12 A/B
-    on the sf1 lineitem.l_orderkey count (fresh process, min-of-4, same
-    box): repartition(2P) 1.69 s vs repartition(P) 1.92 s — two waves
-    of half-size per-task hash maps beat one wave of big ones; the
-    other levers measured worse (plain partial-agg groupBy 3.87 s,
-    repartition+sortWithinPartitions 2.58 s). The remaining wall is the
-    irreducible raw-key exchange itself — the declared floor for the
-    planner-stats trio."""
+    ``factor``: partitions = factor × defaultParallelism. Round-12
+    lever A/B (sf1 lineitem.l_orderkey, same box): ISOLATED, the 2P
+    count wins (1.69 s vs 1.92 s — two waves of half-size hash maps),
+    but every planner-trio query END-TO-END prefers P because its
+    downstream aggregate/join consumes the per-key output (interleaved
+    min-of-4: key_skew 1.87 vs 2.08 s, shuffle_partition_estimate 2.55
+    vs 2.97 s, join_cardinality 1.72 vs 1.79 s) — so factor=1 is the
+    default. The other levers measured strictly worse (plain
+    partial-agg groupBy 3.87 s, repartition+sortWithinPartitions
+    2.58 s). The remaining wall is the irreducible raw-key exchange
+    itself — the DECLARED FLOOR for the planner-stats trio."""
     sc = df.sparkSession.sparkContext
     return (
         df.select(F.col(key).alias("key"))

@@ -59,9 +59,10 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x row cut but cost far more in allocation/GC churn than they save
     — fresh-process sf1 min-of-4: 10.5 s (partial+final, trials
     swinging to 30 s) vs 2.28 s with the explicit repartition. Round-12
-    A/B of the remaining levers (see functions.raw_key_counts): 2P
-    partitions shave ~12% more; everything else measured worse. The
-    residual 2.2 s sf1 wall IS the raw-key exchange — declared floor.
+    A/B of the remaining levers (recorded in functions.raw_key_counts):
+    2P partitions win the isolated count but lose end-to-end; partial
+    aggregation and sort-within-partitions lose outright. The residual
+    ~1.9-2.4 s sf1 wall IS the raw-key exchange — declared floor.
     """
     li = load_table(spark, sf_dir, "lineitem")
     per_key = raw_key_counts(li, "l_orderkey")
