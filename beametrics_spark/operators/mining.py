@@ -433,6 +433,38 @@ GROUP BY 1
 """
 
 
+def _part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact scaled-long revenue row per part — the shared reduction
+    both Pareto readouts (ABC classes, coverage curve) start from."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.sum(
+            discounted_e4(F.col("l_extendedprice"), F.col("l_discount"))
+        ).alias("revenue")
+    )
+
+
+def _part_revenue_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared reduced+cumulated core for part_revenue_abc_classes and
+    revenue_pareto_coverage (VERDICT r12 #1: the two queries used to
+    scan lineitem and sort the identical relation independently): one
+    lineitem scan, one |parts|-row cumulative window, read out as
+    (l_partkey, revenue, cum_before, total_rev). Everything downstream
+    of this relation is a conditional aggregate over its single
+    window-output partition — no further exchange."""
+    rev = _part_revenue(spark, sf_dir)
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "l_partkey",
+        "revenue",
+        (F.sum("revenue").over(w) - F.col("revenue")).alias("cum_before"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total_rev"),
+    )
+
+
 @register("part_revenue_abc_classes", _PARETO_ORACLE)
 def part_revenue_abc_classes(
     spark: SparkSession, sf_dir: str, *, use_cutoff_classes: bool = False
@@ -462,14 +494,19 @@ def part_revenue_abc_classes(
     beyond this benchmark: construction-inclusive sf1 min-of-4, same
     box: window 2.96 s vs cutoff 4.65 s (the r11-flagged ntile-family
     claim is now a real code path with a measured crossover, not an
-    aspiration)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            discounted_e4(F.col("l_extendedprice"), F.col("l_discount"))
-        ).alias("revenue")
-    )
+    aspiration).
+
+    Round-13 default shape (VERDICT r12 #1): the class rollup is ONE
+    conditional aggregate over the shared _part_revenue_ranked core —
+    count/sum(when(share_before < boundary, ...)) per class — instead
+    of a per-part class label followed by a groupBy exchange. The
+    window output is a single partition, so the aggregate adds no
+    exchange at all; the 3 class rows unpivot from the one aggregate
+    row driver-free. Empty classes are filtered (n_parts > 0) to match
+    the oracle's GROUP BY drop-empty semantics and the cutoff branch's
+    groupBy output."""
     if use_cutoff_classes:
+        rev = _part_revenue(spark, sf_dir)
         from beametrics_spark.functions import (
             cutoff_tile_expr,
             key_struct,
@@ -494,35 +531,55 @@ def part_revenue_abc_classes(
             .otherwise("C")
             .alias("abc_class"),
         )
-    else:
-        w = (
-            Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return classed.groupBy("abc_class").agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            e4_dollars(F.sum("revenue")).alias("class_revenue"),
+            # long/long division is DOUBLE in Spark, matching the
+            # oracle's share type for the value hash
+            F.round(F.sum("revenue") / F.first("total_rev"), 4)
+            .cast("double")
+            .alias("revenue_share"),
         )
-        all_rows = Window.partitionBy()
-        ranked = rev.select(
-            "l_partkey",
-            "revenue",
-            (F.sum("revenue").over(w) - F.col("revenue")).alias("cum_before"),
-            F.sum("revenue").over(all_rows).alias("total_rev"),
+    ranked = _part_revenue_ranked(spark, sf_dir)
+    share_before = F.col("cum_before") / F.col("total_rev")
+    classes = [
+        ("A", share_before < 0.80),
+        ("B", (share_before >= 0.80) & (share_before < 0.95)),
+        ("C", share_before >= 0.95),
+    ]
+    row = ranked.agg(
+        *[
+            F.count(F.when(cond, F.lit(1))).alias(f"_n_{c}")
+            for c, cond in classes
+        ],
+        *[
+            F.sum(F.when(cond, F.col("revenue"))).alias(f"_r_{c}")
+            for c, cond in classes
+        ],
+        F.max("total_rev").alias("_tot"),
+    )
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("abc_class"),
+                            F.col(f"_n_{c}").alias("n_parts"),
+                            e4_dollars(F.col(f"_r_{c}")).alias(
+                                "class_revenue"
+                            ),
+                            F.round(F.col(f"_r_{c}") / F.col("_tot"), 4)
+                            .cast("double")
+                            .alias("revenue_share"),
+                        )
+                        for c, _ in classes
+                    ]
+                )
+            ).alias("_s")
         )
-        share_before = F.col("cum_before") / F.col("total_rev")
-        classed = ranked.select(
-            "revenue",
-            "total_rev",
-            F.when(share_before < 0.80, "A")
-            .when(share_before < 0.95, "B")
-            .otherwise("C")
-            .alias("abc_class"),
-        )
-    return classed.groupBy("abc_class").agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        e4_dollars(F.sum("revenue")).alias("class_revenue"),
-        # long/long division is DOUBLE in Spark, matching the oracle's
-        # share type for the value hash
-        F.round(F.sum("revenue") / F.first("total_rev"), 4)
-        .cast("double")
-        .alias("revenue_share"),
+        .select("_s.*")
+        .filter(F.col("n_parts") > 0)
     )
 
 
@@ -578,9 +635,14 @@ def revenue_pareto_coverage(
     double — the identical arithmetic in the DuckDB oracle, which
     recomputes revenue in the same 1e-4-dollar longs) is < f, so
     n_parts is exactly the rank of the first part whose running total
-    reaches f. Default shape: one cumulative window over the reduced
-    |parts| table, targets expanded per part and filtered — the same
-    single-sort profile as part_revenue_abc_classes.
+    reaches f. Round-13 default shape (VERDICT r12 #1): one cumulative
+    window over the shared _part_revenue_ranked core (the same relation
+    part_revenue_abc_classes reads), then ONE conditional aggregate —
+    count/sum(when(share_before < f, ...)) for each of the four fixed
+    targets — over the single window-output partition. No per-part
+    target expansion (the old shape exploded every part ×4 and
+    re-shuffled on coverage_target), no second exchange; the 4 output
+    rows unpivot from the one aggregate row.
     ``use_cutoff_coverage=True`` switches to the sortless shape for
     extreme part cardinality: the four boundary KEYS come from
     functions.weighted_order_boundary_rows, one assignment scan tiles
@@ -591,14 +653,9 @@ def revenue_pareto_coverage(
     tests/test_round12_ops.py::test_pareto_coverage_cutoff_matches_window;
     same measured materialization-vs-sort crossover as the ABC query,
     so the window stays the benchmark default."""
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            discounted_e4(F.col("l_extendedprice"), F.col("l_discount"))
-        ).alias("revenue")
-    )
     fracs = list(enumerate(PARETO_COVERAGE_TARGETS, start=1))
     if use_cutoff_coverage:
+        rev = _part_revenue(spark, sf_dir)
         from beametrics_spark.functions import (
             cutoff_tile_expr,
             key_struct,
@@ -648,28 +705,39 @@ def revenue_pareto_coverage(
                 ).alias("covered_share"),
             )
         )
-    w = (
-        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = _part_revenue_ranked(spark, sf_dir)
+    share_before = F.col("cum_before") / F.col("total_rev")
+    row = ranked.agg(
+        *[
+            F.count(F.when(share_before < F.lit(float(f)), F.lit(1))).alias(
+                f"_n_{j}"
+            )
+            for j, f in fracs
+        ],
+        *[
+            F.sum(
+                F.when(share_before < F.lit(float(f)), F.col("revenue"))
+            ).alias(f"_r_{j}")
+            for j, f in fracs
+        ],
+        F.max("total_rev").alias("_tot"),
     )
-    ranked = rev.select(
-        "revenue",
-        (F.sum("revenue").over(w) - F.col("revenue")).alias("cum_before"),
-        F.sum("revenue").over(Window.partitionBy()).alias("tot"),
-    )
-    share_before = F.col("cum_before") / F.col("tot")
-    expanded = ranked.select(
-        "revenue",
-        "tot",
-        share_before.alias("share"),
+    return row.select(
         F.explode(
-            F.array(*[F.lit(float(f)) for _, f in fracs])
-        ).alias("coverage_target"),
-    ).filter(F.col("share") < F.col("coverage_target"))
-    return expanded.groupBy("coverage_target").agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("revenue") / F.first("tot"), 4).alias("covered_share"),
-    )
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(f)).alias("coverage_target"),
+                        F.col(f"_n_{j}").alias("n_parts"),
+                        F.round(F.col(f"_r_{j}") / F.col("_tot"), 4).alias(
+                            "covered_share"
+                        ),
+                    )
+                    for j, f in fracs
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.*")
 
 
 _BACKLOG_ORACLE = """
