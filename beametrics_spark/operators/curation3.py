@@ -473,10 +473,19 @@ def cdc_mor_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, log = mor_base_and_log(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="beametrics_mor_compact_")
     try:
-        # the compaction write: one pass, doc_id-clustered files
-        mor_merged(base, log).repartition(
-            spark.sparkContext.defaultParallelism, F.col("doc_id")
-        ).write.mode("overwrite").parquet(out_dir)
+        # the compaction write: one pass, doc_id-clustered files.
+        # Round 13: keyed repartition WITHOUT a pinned partition count —
+        # AQE sizes the exchange by advisoryPartitionSizeInBytes, so the
+        # snapshot comes out as few right-sized files at any scale
+        # (guide §6: 128 MB–1 GB files). The r10 shape pinned
+        # defaultParallelism (32) and wrote 32 near-empty files at bench
+        # scale — 32 file-open/commit round-trips and a 32-split
+        # read-back for a table that fits in one row group; at cluster
+        # scale a core-count constant is equally wrong in the other
+        # direction (SCALING.md scale-adaptive partitioning rule).
+        mor_merged(base, log).repartition(F.col("doc_id")).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
         compacted = spark.read.schema(
             "doc_id long, source string, text string"
         ).parquet(out_dir)

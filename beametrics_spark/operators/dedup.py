@@ -127,10 +127,26 @@ def gram_rows(
 
 
 def shingle_table(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
-    """(doc_id, s, n): DISTINCT shingles per doc + set size."""
+    """(doc_id, s, n): DISTINCT shingles per doc + set size.
+
+    ONE exchange (round 13): hash(doc_id) satisfies BOTH the
+    (doc_id, s) dedup aggregate (clustering by a SUBSET of the grouping
+    keys is a valid distribution) and the per-doc count window, so the
+    gram-string table crosses the network once. The r6 shape paid two
+    full gram-table shuffles back to back — distinct's (doc_id, s)
+    exchange, then the window's (doc_id) exchange; the plan now shows a
+    single Exchange hashpartitioning(doc_id) under both operators.
+    The repartition forgoes distinct's map-side partial dedup, but
+    in-document duplicate 5-gram rates are low (word-stream fixture and
+    natural text alike), so the extra bytes are far cheaper than the
+    second shuffle they replace."""
     from pyspark.sql import Window
 
-    grams = gram_rows(docs, width).distinct()
+    grams = (
+        gram_rows(docs, width)
+        .repartition("doc_id")
+        .dropDuplicates(["doc_id", "s"])
+    )
     return grams.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
@@ -470,28 +486,35 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     cand_ids = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    # checkpoint the candidate shingle sets too: both broadcast sides (a
-    # and b) below are exchanges that would otherwise each re-run the
-    # document scan + gram explosion; materializing ~|candidates| tiny
-    # rows once makes the verify phase scan-free
+    # Round 13: ONE broadcast of the candidate shingle sets, probed by
+    # both join sides. The r6 shape eagerly checkpointed sets_df and
+    # broadcast two per-side PROJECTIONS of it (aliased a/b) — two
+    # BroadcastExchanges with different children, so nothing could be
+    # reused and the checkpoint barrier was the only thing stopping a
+    # duplicated scan. Broadcasting the IDENTICAL sets plan twice lets
+    # the second exchange become a ReusedExchange (canonicalized-plan
+    # match), so the gram build for candidate docs runs once with NO
+    # materialization barrier; the per-side column renames move to the
+    # join outputs.
     sets_df = (
         gram_rows(docs.join(F.broadcast(cand_ids), "doc_id"))
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("sh"))
-        .localCheckpoint(eager=True)
     )
-    a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    a = F.broadcast(sets_df).alias("_va")
+    b = F.broadcast(sets_df).alias("_vb")
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        candidates.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        candidates.join(a, F.col("doc_a") == F.col("_va.doc_id"))
+        .join(b, F.col("doc_b") == F.col("_vb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sa", "sb")).cast("double").alias("c"),
-            F.size("sa").alias("na"),
-            F.size("sb").alias("nb"),
+            F.size(F.array_intersect("_va.sh", "_vb.sh"))
+            .cast("double")
+            .alias("c"),
+            F.size("_va.sh").alias("na"),
+            F.size("_vb.sh").alias("nb"),
         )
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))

@@ -536,21 +536,55 @@ def _unit(df: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _argmax_pick(scored: DataFrame, id_col: str) -> DataFrame:
+    """(id, v, fid, _s) → one row per id: the fid maximizing (_s, -fid)
+    — i.e. highest score, ties to the LOWEST fid — with the v payload
+    carried through the aggregation buffer.
+
+    Round 13: max_by aggregate instead of the r7
+    row_number()-over-(partitionBy id, orderBy _s desc, fid asc)
+    window. Identical selection — fid is unique within a level, so the
+    (_s, -fid) struct ordering is strictly total and max_by can never
+    face the tie ambiguity the window broke by sort order.
+
+    Plan reality (pinned in tests/test_round13_ops.py): max_by is a
+    DECLARATIVE aggregate whose buffer holds the (fid, v) struct — an
+    array-bearing buffer is not a mutable UnsafeRow field, so Spark
+    plans SortAggregate, NOT a hash aggregate (and ObjectHashAggregate
+    only runs TypedImperative aggregates — max_by is not one, so no
+    conf can change this). The win over the window is elsewhere and
+    measured (sf1 dedicated min-of-4: 6.23 s → 5.35 s whole-query):
+    (a) PARTIAL map-side max_by collapses each partition to one row
+    per id BEFORE the exchange — the window shuffled the full n·B
+    expansion, this shuffles ~n rows (B=8× fewer bytes, and the
+    crossJoin emits same-id rows consecutively so the partial pass
+    reduces early); (b) the residual sorts order by the single id key,
+    not (id, _s desc, fid), and the row_number projection+filter pass
+    is gone."""
+    pick = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("fid"), F.col("v")),
+            F.struct(F.col("_s"), (-F.col("fid")).alias("_nf")),
+        ).alias("_p")
+    )
+    return pick.select(
+        id_col, F.col("_p.v").alias("v"), F.col("_p.fid").alias("node")
+    )
+
+
 def _root_assign(items: DataFrame, id_col: str, roots: DataFrame) -> DataFrame:
     """items(id, v) × broadcast roots(fid, fv) → (id, v, node): argmax
     dot over ALL roots, ties to the lowest fid. Raw vectors against
     UNIT centroids: argmax dot(v, c/|c|) == argmax cos(v, c) for a
-    fixed v. The v payload rides through the window (its required
+    fixed v. The v payload rides through the aggregation (its required
     distribution is the id) so no caller ever re-joins the corpus."""
     from beametrics_spark.operators.dedup import dot_expr
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("fid"))
-    return (
-        items.crossJoin(F.broadcast(roots))
-        .withColumn("_s", dot_expr("v", "fv"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "v", F.col("fid").alias("node"))
+    return _argmax_pick(
+        items.crossJoin(F.broadcast(roots)).withColumn(
+            "_s", dot_expr("v", "fv")
+        ),
+        id_col,
     )
 
 
@@ -560,14 +594,16 @@ def _child_assign(items: DataFrame, id_col: str, lvl: DataFrame) -> DataFrame:
     tree-descent step; ties to the lowest fid; v payload carried."""
     from beametrics_spark.operators.dedup import dot_expr
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("fid"))
-    return (
+    return _argmax_pick(
         items.alias("i")
         .join(F.broadcast(lvl.alias("t")), F.col("i.node") == F.col("t.parent"))
-        .withColumn("_s", dot_expr("v", "fv"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(f"i.{id_col}", "i.v", F.col("t.fid").alias("node"))
+        .select(
+            F.col(f"i.{id_col}").alias(id_col),
+            F.col("i.v").alias("v"),
+            F.col("t.fid").alias("fid"),
+            dot_expr("v", "fv").alias("_s"),
+        ),
+        id_col,
     )
 
 

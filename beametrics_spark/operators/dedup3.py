@@ -206,13 +206,25 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures only for docs that appear in a candidate pair: on a
     # lightly-duplicated corpus that skips the md5 work for the vast
     # majority of documents (the pair table restricts the output to
-    # these docs anyway, so values are unchanged)
+    # these docs anyway, so values are unchanged). Round 13: the
+    # semi-join prunes the DOCUMENT rows before tokenize/gram explosion
+    # (the r12 shape semi-joined the full corpus's exploded shingle
+    # table — the whole gram build ran just to be filtered), and the
+    # signature branch reads raw gram OCCURRENCES (gram_rows, no
+    # distinct, no per-doc count window): min over a hash family of a
+    # multiset equals min over its distinct set, and signatures never
+    # need n — so the branch adds no exchange at all before its one
+    # groupBy(doc_id).
     pair_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sigs = minhash_signatures_md5(sh.join(pair_docs, "doc_id", "semi"))
+    from beametrics_spark.operators.dedup import gram_rows
+
+    sigs = minhash_signatures_md5(
+        gram_rows(docs.join(F.broadcast(pair_docs), "doc_id", "semi"))
+    )
     K = AUDIT_MINHASH_K
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),

@@ -145,9 +145,6 @@ def bm25_matched_and_scored(
     tests/test_round9_ops.py. The single-consumer top-k path skips the
     cache entirely."""
     split_once = docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
-    stats = split_once.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("s")
-    )
     # Term-at-a-time scan (the query workload is 9 FIXED terms):
     # tf(term) = dl − |array_remove(toks, term)| — nine plain codegen
     # expressions per doc, no explode, no per-token join, no postings
@@ -164,6 +161,22 @@ def bm25_matched_and_scored(
         for q, p, term in QUERY_TERMS
     ]
     per_doc = split_once.select("doc_id", F.size("toks").alias("dl"), *tf_cols)
+    if share:
+        # Round 13 (VERDICT r12 #3): the corpus stats pass used to be
+        # its own tokenize scan — the decomposition showed the fused
+        # family paying TWO full regexp-split passes (stats + matched)
+        # per query. Caching the narrow per-doc projection (doc_id, dl,
+        # 9 tf longs) makes the tokenize scan run once; stats and the
+        # matched explode both read the cache. share=False keeps the
+        # two-scan lazy shape: its stats branch prunes the tf columns,
+        # so it pays only tokenize+size — and stays cache-free for
+        # plan-reuse bench timing.
+        from pyspark import StorageLevel
+
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    )
     hits = [
         F.when(
             F.col(f"tf_{q}_{p}") > 0,
@@ -489,10 +502,18 @@ def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc count, so the second aggregate is map-side. Postings for
     non-query terms never leave the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(tokens_expr(F.col("text"))).alias("tp0", "term"),
-    ).select("doc_id", (F.col("tp0") + 1).alias("tp"), "term")
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(tokens_expr(F.col("text"))).alias("tp0", "term"),
+        )
+        # literal prune inside the Generate's codegen stage: postings
+        # for non-phrase terms die before the broadcast-join probe (and
+        # before anything is shuffled) — the join's own filtering did
+        # this via hash probes per token occurrence
+        .filter(F.col("term").isin(*sorted({t for _, _, t in PHRASE_TERMS})))
+        .select("doc_id", (F.col("tp0") + 1).alias("tp"), "term")
+    )
     ph = spark.createDataFrame(
         list(PHRASE_TERMS), "query_id int, pip int, term string"
     )

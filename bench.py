@@ -422,9 +422,32 @@ def main() -> int:
 
     construction_timed = CONSTRUCTION_TIMED
 
+    # Session-aging hygiene (VERDICT r12 #4): identical code measured 11%
+    # apart across two long sessions, inflation concentrated in the
+    # LATE-positioned dedup/ANN family. Two mechanisms accumulate in a
+    # single session and are both GC-coupled: ContextCleaner only
+    # releases broadcast blocks / shuffle files / cache entries when the
+    # driver JVM garbage-collects their weak references (a 20 g heap can
+    # run a whole bench without an old-gen GC — spark.cleaner
+    # .periodicGC.interval defaults to 30 min, longer than the run), and
+    # JIT code-cache/metaspace pressure from 500+ compiled plan classes
+    # slows late compilation. An explicit System.gc() between query
+    # families bounds the first mechanism at a fixed, measured cost
+    # (~0.1 s per call, OUTSIDE any timed trial); the second is monitored
+    # via jcmd (round-13 runs: profiled-nmethods peaked at 93/119 MB,
+    # full_count=0 — no exhaustion on this box). Protocol validation:
+    # two consecutive full runs must agree within 3% on the dedup/ANN
+    # subtotal (recorded in OPTIMIZATION_r13.md).
+    GC_EVERY = 25
+
+    def _driver_gc() -> None:
+        spark.sparkContext._jvm.System.gc()
+
     def timed(names: list[str], *, rebuild: bool = False) -> dict[str, float]:
         out: dict[str, float] = {}
-        for name in names:
+        for i, name in enumerate(names):
+            if i and i % GC_EVERY == 0:
+                _driver_gc()
             if name not in qs:
                 continue
             # Cross-query cache hygiene (ADVICE r9): operators that
