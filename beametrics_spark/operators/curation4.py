@@ -75,6 +75,47 @@ FROM d LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def boiler_block_occurrences(d: DataFrame, P: int) -> DataFrame:
+    """(doc_id, h1, h2): every non-overlapping P-token block occurrence,
+    keyed by two independently-salted xxhash64s of the token slice
+    (128-bit combined key — no block string, no md5). The block
+    expansion runs once per consumer (df aggregate + occurrence join) —
+    codegen CPU, no exchange; a repartition-for-ReusedExchange was
+    tried and rejected (see dedup_substring_runs: AQE does not reuse
+    the stage across the replanned join, and the forced occurrence
+    shuffle forfeits the aggregate's map-side partial). ``d`` must
+    carry (doc_id, toks, n)."""
+    sl = F.slice("toks", F.col("st"), P)
+    return (
+        d.filter(F.col("n") >= P)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - P + 1, F.lit(P))
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(sl).alias("h1"),
+            F.xxhash64(F.lit("bp2:"), sl).alias("h2"),
+        )
+    )
+
+
+def boiler_dup_blocks(blk: DataFrame) -> DataFrame:
+    """(h1, h2, _dup=1) for blocks in >= BOILER_DF_MIN (=2) distinct
+    docs: min(doc_id) != max(doc_id) — ONE map-side-combinable hash
+    aggregate instead of count_distinct's two aggregate phases."""
+    assert BOILER_DF_MIN == 2, "min/max trick requires BOILER_DF_MIN == 2"
+    return (
+        blk.groupBy("h1", "h2")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("h1", "h2", F.lit(1).alias("_dup"))
+    )
+
+
 @register("boilerplate_block_mask", _BOILER_ORACLE)
 def boilerplate_block_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate keep plan via corpus document frequency.
@@ -90,44 +131,36 @@ def boilerplate_block_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     and masked fraction — the plan a curation job applies before
     tokenization.
 
-    Plan: one block table (arrays_zip-free: strided sequence + slice,
-    ~n/P rows per doc), one count-distinct aggregation over 16-byte md5
-    keys, one hash join back, one per-doc aggregation, one left join to
-    re-attach block-less docs. No pair expansion anywhere; the
-    count-distinct is two partial-aggregated hash passes. At 100 TB the
-    block table is ~1/16 of the token count and the frequency table is
-    bounded by distinct-block count — both shuffle-light; a stop-gram
-    df pre-filter is unnecessary because blocks are already distinct-
-    per-position (no posting-list blow-up to cap).
+    Plan (round 13): one block table (arrays_zip-free: strided sequence
+    + slice, ~n/P rows per doc), keyed by a 128-bit xxhash64 PAIR over
+    the token slice itself — the block string is never materialized
+    (the r12 shape concat_ws'd P tokens and md5'd the result per
+    occurrence; equal slices hash equal under any hash, and 128 bits
+    keeps cross-block collisions in md5's negligibility class). The
+    block table is repartitioned by the hash pair once and that ONE
+    exchange feeds both the document-frequency aggregate and the
+    occurrence join (ReusedExchange), so the tokenize + slice expansion
+    runs once, not per branch. BOILER_DF_MIN = 2 turns the
+    count-distinct (two aggregate phases) into a single min/max
+    aggregate: df >= 2 ⟺ min(doc_id) != max(doc_id). No pair expansion
+    anywhere. At 100 TB the block table is ~1/16 of the token count and
+    the frequency table is bounded by distinct-block count — both
+    shuffle-light; a stop-gram df pre-filter is unnecessary because
+    blocks are already distinct-per-position (no posting-list blow-up
+    to cap).
     """
     P = PASSAGE_WIDTH
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
     ).withColumn("n", F.size("toks"))
-    blk = (
-        d.filter(F.col("n") >= P)
-        .select(
-            "doc_id",
-            "toks",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n") - P + 1, F.lit(P))
-            ).alias("st"),
-        )
-        .select(
-            "doc_id",
-            F.md5(F.concat_ws(" ", F.slice("toks", F.col("st"), P))).alias(
-                "h"
-            ),
-        )
-    )
-    dfreq = blk.groupBy("h").agg(F.count_distinct("doc_id").alias("ddf"))
+    blk = boiler_block_occurrences(d, P)
     per_doc = (
-        blk.join(dfreq, "h")
+        blk.join(boiler_dup_blocks(blk), ["h1", "h2"], "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),
-            F.sum((F.col("ddf") >= BOILER_DF_MIN).cast("long")).alias(
+            F.sum(F.col("_dup").isNotNull().cast("long")).alias(
                 "n_boiler_blocks"
             ),
         )
@@ -539,26 +572,15 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", tokens_expr(F.col("text")).alias("toks")
     ).withColumn("n", F.size("toks"))
 
-    blk = (
-        d.filter(F.col("n") >= P)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n") - P + 1, F.lit(P))
-            ).alias("st"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            F.md5(F.concat_ws(" ", F.slice("toks", F.col("st"), P))).alias("h"),
-        )
-    )
-    dfreq = blk.groupBy("h").agg(F.count_distinct("doc_id").alias("ddf"))
+    # boiler stage: the boilerplate_block_mask core (xxhash64-pair block
+    # keys, single min/max df aggregate, one ReusedExchange — see
+    # boiler_block_occurrences/boiler_dup_blocks docstrings)
+    blk = boiler_block_occurrences(d, P)
     boiler = (
-        blk.join(dfreq, "h")
+        blk.join(boiler_dup_blocks(blk), ["h1", "h2"], "left")
         .groupBy("doc_id")
         .agg(
-            F.sum((F.col("ddf") >= BOILER_DF_MIN).cast("long")).alias(
+            F.sum(F.col("_dup").isNotNull().cast("long")).alias(
                 "n_boiler_blocks"
             )
         )

@@ -126,6 +126,57 @@ def gram_rows(
     )
 
 
+def gram_hash_pair_rows(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """(doc_id, h1, h2): a 128-bit fingerprint per gram OCCURRENCE — two
+    independently-salted multi-arg xxhash64s over the token columns.
+    Like gram_hash_rows, the gram string is never materialized (no
+    concat_ws allocation, no 30+-byte string rows through the shuffle);
+    unlike it, the PAIR is collision-safe enough to stand in for gram
+    EQUALITY (a cross-gram collision needs both 64-bit hashes to agree:
+    ~G²/2¹²⁹ — vanishing even at 10¹² gram occurrences, the same
+    negligibility class as the md5 keys used for exact dedup
+    elsewhere), so exact-count consumers (jaccard posting lists,
+    containment, df counts) can key on it."""
+    d = (
+        docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= width)
+    )
+    gram_len = F.col("n") - (width - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, gram_len).alias(f"t{i}") for i in range(width)]
+    )
+    toks = [F.col("g")[f"t{i}"] for i in range(width)]
+    return d.select("doc_id", F.explode(zipped).alias("g")).select(
+        "doc_id",
+        F.xxhash64(*toks).alias("h1"),
+        F.xxhash64(F.lit("g2:"), *toks).alias("h2"),
+    )
+
+
+def shingle_hash_table(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """(doc_id, h1, h2, n): DISTINCT gram fingerprints per doc + set
+    size — the hash-keyed twin of shingle_table for consumers that
+    never output gram text (dedup_ngram_jaccard, containment_dup_pairs,
+    the minhash audit's pair branch). Same ONE-exchange shape as
+    shingle_table: hash(doc_id) satisfies both the (doc_id, h1, h2)
+    dedup aggregate and the per-doc count window. The fingerprint pair
+    replaces the gram STRING everywhere downstream: the dedup
+    aggregate, the count window, the posting-list groupBy and its sort
+    all compare/shuffle two longs instead of a ~30-byte string (and the
+    string is never even built — see gram_hash_pair_rows)."""
+    from pyspark.sql import Window
+
+    grams = (
+        gram_hash_pair_rows(docs, width)
+        .repartition("doc_id")
+        .dropDuplicates(["doc_id", "h1", "h2"])
+    )
+    return grams.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+
+
 def shingle_table(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
     """(doc_id, s, n): DISTINCT shingles per doc + set size.
 
@@ -234,10 +285,18 @@ def ngram_jaccard_pairs(
     buffer itself stays O(df) per gram — for corpora where single-gram
     df can reach 10^8 (GB-scale buffers), pre-filter stop-grams with a
     map-combinable df-count semi-join before this inverted index.
+
+    Round 13: posting lists are keyed on the 128-bit gram fingerprint
+    pair (shingle_hash_table) — gram strings are never built, and the
+    posting groupBy shuffles/compares two longs per row instead of a
+    ~30-byte string. Values are unchanged: equal grams hash equal, and
+    a cross-gram pair collision (~G²/2¹²⁹) is in the same
+    negligibility class as the md5 fingerprints the exact-dedup
+    operators already rely on.
     """
-    sh = shingle_table(docs)
+    sh = shingle_hash_table(docs)
     posting = (
-        sh.groupBy("s")
+        sh.groupBy("h1", "h2")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )

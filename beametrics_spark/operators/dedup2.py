@@ -123,14 +123,32 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup run where the pairwise operators need LSH):
 
       1. positional shingles: every RUN_WIDTH-token gram with its start
-         offset, hashed to md5 — arrays_zip/slice/posexplode, all
-         whole-stage codegen; shuffles carry (16-byte hash, doc_id,
+         offset, keyed by a 128-bit hash PAIR — two multi-arg xxhash64
+         calls straight over the token columns (independent salts), so
+         the gram string is NEVER materialized (no concat_ws, no md5;
+         the r12 shape built a 32-char md5 hex string per occurrence).
+         128 bits keeps cross-gram collisions in md5's negligibility
+         class (~G²/2¹²⁹ — vanishing even at 10¹² grams, where a single
+         64-bit key would already collide). arrays_zip/slice/posexplode,
+         all whole-stage codegen; shuffles carry (two longs, doc_id,
          int) rows only.
       2. cross-doc grams: a gram is duplicated iff its distinct-doc
-         count >= 2 — two hash aggregations (distinct, then count),
-         both map-side combinable; no posting-list materialization, so
-         no HOT_GROUP_CAP is needed (a boilerplate gram shared by 10^6
-         docs costs one counter, not 10^12 pairs).
+         count >= 2 ⟺ min(doc_id) != max(doc_id) over its occurrences —
+         ONE map-side-combinable hash aggregation (the r12 shape paid a
+         distinct THEN a count, two full shuffles back to back; the
+         min/max partial aggregate ships ~|distinct grams| rows, not
+         occurrences); no posting-list materialization, so no
+         HOT_GROUP_CAP is needed (a boilerplate gram shared by 10^6
+         docs costs two comparisons, not 10^12 pairs). The gram
+         expansion runs once per branch (dup aggregate + occurrence
+         join) — pure codegen CPU, no exchange; an explicit
+         repartition-for-ReusedExchange was tried and REJECTED: AQE
+         replans the join side independently (no stage reuse fired),
+         and the forced occurrence shuffle costs more than the second
+         expansion while forfeiting the aggregate's map-side partial.
+         AQE broadcasts the dup-gram set when it is small (local
+         scales) and falls back to one hash/sort join keyed on the
+         16-byte pair at corpus scale.
       3. islands: consecutive duplicated gram offsets chain into runs
          (pos − row_number() grouping) under a per-doc window — the
          partition key is doc_id, so state per task is one document's
@@ -155,24 +173,25 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipped = F.arrays_zip(
         *[F.slice("toks", i + 1, gram_len).alias(f"t{i}") for i in range(W)]
     )
-    occ = d.select(
-        "doc_id", "n", F.posexplode(zipped).alias("pos", "g")
-    ).select(
-        "doc_id",
-        "n",
-        "pos",
-        F.md5(F.concat_ws(" ", *[F.col("g")[f"t{i}"] for i in range(W)])).alias("h"),
+    toks = [F.col("g")[f"t{i}"] for i in range(W)]
+    occ = (
+        d.select("doc_id", "n", F.posexplode(zipped).alias("pos", "g"))
+        .select(
+            "doc_id",
+            "n",
+            "pos",
+            F.xxhash64(*toks).alias("h1"),
+            F.xxhash64(F.lit("sr2:"), *toks).alias("h2"),
+        )
     )
 
     dup_h = (
-        occ.select("h", "doc_id")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("h")
+        occ.groupBy("h1", "h2")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("h1", "h2")
     )
-    docc = occ.join(dup_h, "h").select("doc_id", "n", "pos")
+    docc = occ.join(dup_h, ["h1", "h2"]).select("doc_id", "n", "pos")
 
     by_pos = Window.partitionBy("doc_id").orderBy("pos")
     isl = docc.withColumn("grp", F.col("pos") - F.row_number().over(by_pos))

@@ -34,7 +34,7 @@ from beametrics_spark.operators.dedup import (
     drop_hot_groups,
     explode_sorted_pairs,
 
-    shingle_table,
+    shingle_hash_table,
 )
 from beametrics_spark.registry import register
 from beametrics_spark.sources import load_table
@@ -163,10 +163,14 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair property, so sampling docs doesn't bias it.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs)
+    # Round 13: the pair branch is keyed on the 128-bit gram fingerprint
+    # pair (shingle_hash_table) — gram strings never materialize on the
+    # corpus-wide path; only the signature branch below (oracle-pinned
+    # md5 family) builds strings, and only for candidate-pair docs.
+    sh = shingle_hash_table(docs)
 
     posting = (
-        sh.groupBy("s")
+        sh.groupBy("h1", "h2")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )

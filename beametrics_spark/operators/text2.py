@@ -187,26 +187,38 @@ def corpus_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFra
     fraction of its distinct word-5-gram shingles that also occur in at
     least one OTHER document. Documents scoring high are near-copies or
     template spam even when no single whole-document duplicate exists.
-    Shuffle budget: distinct on (doc_id, s), document frequency on s
-    (the join back reuses that partitioning), and the final per-doc
-    aggregation — the per-doc set SIZE is counted in the final group
-    rather than pre-attached via a window, which would cost an extra
-    full shuffle + sort on doc_id (measured: 5 → 4 exchanges). Since
-    per-doc shingles are distinct and every shingle survives the inner
-    join (df ≥ 1 always), count(*) in the final group IS the set size,
-    and df > 1 ⇔ the shingle appears in another document."""
-    from beametrics_spark.operators.dedup import gram_rows
+    Shuffle budget (round 13): gram occurrences are keyed by the
+    128-bit xxhash64 fingerprint pair (no gram strings anywhere — see
+    dedup.gram_hash_pair_rows), so the distinct shuffle carries 20-byte
+    rows instead of ~40-byte string rows; "appears in another document"
+    ⇔ occurrences span ≥ 2 distinct docs ⇔ min(doc_id) != max(doc_id) —
+    a single map-side-combinable min/max aggregate over the distinct
+    table, not a count(*) over a second full shuffle. The per-doc set
+    SIZE is counted in the final group (per-doc shingles are distinct
+    and the left join keeps every row, so count(*) IS the set size).
+    AQE broadcasts the dup-gram set at local scales; at corpus scale
+    the join keys 16-byte pairs, not strings."""
+    from beametrics_spark.operators.dedup import gram_hash_pair_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = gram_rows(docs).distinct()  # (doc_id, s)
-    dfc = grams.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    occ = gram_hash_pair_rows(docs)
+    grams = occ.dropDuplicates(["doc_id", "h1", "h2"])
+    # min/max over occurrences == min/max over the distinct set, so the
+    # dup branch aggregates the RAW occurrence stream (map-side partial,
+    # no dependence on the distinct's exchange)
+    dup = (
+        occ.groupBy("h1", "h2")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("h1", "h2", F.lit(1).alias("_dup"))
+    )
     return (
-        grams.join(dfc, "s")
+        grams.join(dup, ["h1", "h2"], "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.round(
-                F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+                F.sum(F.col("_dup").isNotNull().cast("int"))
                 * F.lit(1.0)
                 / F.count(F.lit(1)),
                 3,

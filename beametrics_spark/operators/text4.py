@@ -39,7 +39,7 @@ from beametrics_spark.operators.dedup import (
     HOT_GROUP_CAP,
     drop_hot_groups,
     explode_sorted_pairs,
-    shingle_table,
+    shingle_hash_table,
 )
 from beametrics_spark.operators.text import STOPWORDS
 from beametrics_spark.registry import register
@@ -104,10 +104,12 @@ def containment_pairs(
     cap: int = HOT_GROUP_CAP,
     cap_metric="containment_hot_grams",
 ) -> DataFrame:
-    """Pair body, parameterized for tests (mirrors ngram_jaccard_pairs)."""
-    sh = shingle_table(docs)
+    """Pair body, parameterized for tests (mirrors ngram_jaccard_pairs —
+    round 13: posting lists keyed on the 128-bit gram fingerprint pair,
+    no gram strings anywhere; see shingle_hash_table)."""
+    sh = shingle_hash_table(docs)
     posting = (
-        sh.groupBy("s")
+        sh.groupBy("h1", "h2")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )

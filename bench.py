@@ -298,6 +298,9 @@ def _iter_count(name: str) -> int:
 def _iterative_bench(spark, sf_dir: str, qs) -> dict:
     out: dict[str, dict] = {}
     for name in ITERATIVE_QUERIES:
+        # same pre-query gc hygiene as timed() — see the session-aging
+        # note in main()
+        spark.sparkContext._jvm.System.gc()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
         for _ in range(2):
@@ -431,23 +434,32 @@ def main() -> int:
     # run a whole bench without an old-gen GC — spark.cleaner
     # .periodicGC.interval defaults to 30 min, longer than the run), and
     # JIT code-cache/metaspace pressure from 500+ compiled plan classes
-    # slows late compilation. An explicit System.gc() between query
-    # families bounds the first mechanism at a fixed, measured cost
-    # (~0.1 s per call, OUTSIDE any timed trial); the second is monitored
-    # via jcmd (round-13 runs: profiled-nmethods peaked at 93/119 MB,
-    # full_count=0 — no exhaustion on this box). Protocol validation:
-    # two consecutive full runs must agree within 3% on the dedup/ANN
+    # slows late compilation. An explicit System.gc() BEFORE EVERY QUERY
+    # bounds the first mechanism at a fixed, measured cost (~0.1-0.2 s
+    # per call, OUTSIDE any timed trial); the second is monitored via
+    # jcmd (round-13 runs: profiled-nmethods peaked at 93/119 MB,
+    # full_count=0 — no exhaustion on this box).
+    #
+    # Why every query and not every 25 (the first r13 cadence): measured
+    # with scripts/ab_interleave_probe.py (sf1 replica, the SAME plan
+    # re-executed round over round in one session), a no-GC session
+    # degraded MONOTONICALLY — ~12 s -> 29 s -> 76 s by round 5 on a
+    # ~6 s query — while the per-round-gc session held 5.7-7.4 s flat
+    # across every round AND ran 2x faster than the no-GC session's
+    # FIRST round. Degradation onset is within ~5 heavy executions, so
+    # a 25-query cadence leaves most of the bench in the degraded
+    # regime; multi-minute outlier trials observed before the fix (a
+    # 25.5 s range_join min, a 374 s dedup_minhash_lsh trial) were this
+    # mechanism at full depth, not host noise. Protocol validation: two
+    # consecutive full runs must agree within 3% on the dedup/ANN
     # subtotal (recorded in OPTIMIZATION_r13.md).
-    GC_EVERY = 25
-
     def _driver_gc() -> None:
         spark.sparkContext._jvm.System.gc()
 
     def timed(names: list[str], *, rebuild: bool = False) -> dict[str, float]:
         out: dict[str, float] = {}
-        for i, name in enumerate(names):
-            if i and i % GC_EVERY == 0:
-                _driver_gc()
+        for name in names:
+            _driver_gc()
             if name not in qs:
                 continue
             # Cross-query cache hygiene (ADVICE r9): operators that

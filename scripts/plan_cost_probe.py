@@ -47,6 +47,8 @@ def main() -> int:
         builds, plans, ex1s, exns, totals = [], [], [], [], []
         for _ in range(N):
             spark.catalog.clearCache()
+            # session-aging hygiene (see bench.py)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             t1 = time.perf_counter()

@@ -35,6 +35,9 @@ def main() -> int:
         trials = []
         for _ in range(4):
             spark.catalog.clearCache()
+            # session-aging hygiene (see bench.py): without a gc the
+            # 2nd+ heavy rebuild runs in a degraded session
+            spark.sparkContext._jvm.System.gc()
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()

@@ -238,3 +238,123 @@ def test_mor_compaction_write_not_pinned_to_core_count(spark, sf_dir):
         assert 0 < len(files) <= 4, files
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# --- dedup_substring_runs: xxhash64-pair keys == the r12 md5 dup set --------
+
+
+def test_substring_runs_hash_pair_matches_md5_dup_set(spark, sf_dir):
+    """The duplicated-occurrence set (doc_id, pos) under the round-13
+    xxhash64-pair key + min/max dup test must equal the r12 shape's
+    md5-string key + distinct/count shape (equal grams hash equal under
+    both; 128-bit pair keeps collisions negligible)."""
+    from beametrics_spark.operators.dedup import tokens_expr
+    from beametrics_spark.operators.dedup2 import RUN_WIDTH as W
+    from beametrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= W)
+    )
+    gram_len = F.col("n") - (W - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, gram_len).alias(f"t{i}") for i in range(W)]
+    )
+    toks = [F.col("g")[f"t{i}"] for i in range(W)]
+    base = d.select("doc_id", F.posexplode(zipped).alias("pos", "g"))
+
+    # r12 shape: md5 string key, distinct -> count >= 2
+    occ_old = base.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", *toks)).alias("h"),
+    )
+    dup_old = (
+        occ_old.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    old = occ_old.join(dup_old, "h").select("doc_id", "pos")
+
+    # r13 shape: hash-pair key, min != max
+    occ_new = base.select(
+        "doc_id",
+        "pos",
+        F.xxhash64(*toks).alias("h1"),
+        F.xxhash64(F.lit("sr2:"), *toks).alias("h2"),
+    )
+    dup_new = (
+        occ_new.groupBy("h1", "h2")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("h1", "h2")
+    )
+    new = occ_new.join(dup_new, ["h1", "h2"]).select("doc_id", "pos")
+
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_substring_runs_hash_keys_partial_agg(spark, sf_dir):
+    """No md5/string gram keys anywhere on the path, and the dup-gram
+    aggregate must partially aggregate map-side (min/max of doc_id)
+    BEFORE its exchange — the r12 shape's distinct-then-count shipped
+    every occurrence twice."""
+    from beametrics_spark.operators.dedup2 import dedup_substring_runs
+
+    df = dedup_substring_runs(spark, sf_dir)
+    df.collect()
+    plan = _final_plan(df)
+    assert "md5" not in plan, plan
+    assert "partial_min(doc_id" in plan, plan
+    assert "xxhash64" in plan, plan
+
+
+# --- boilerplate df >= 2 via min/max == count_distinct ----------------------
+
+
+def test_boiler_dup_blocks_matches_count_distinct(spark, sf_dir):
+    from beametrics_spark.operators.curation4 import (
+        PASSAGE_WIDTH,
+        boiler_block_occurrences,
+        boiler_dup_blocks,
+    )
+    from beametrics_spark.operators.dedup import tokens_expr
+    from beametrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    blk = boiler_block_occurrences(d, PASSAGE_WIDTH)
+    via_minmax = sorted(
+        map(tuple, boiler_dup_blocks(blk).select("h1", "h2").collect())
+    )
+    via_distinct = sorted(
+        map(
+            tuple,
+            blk.groupBy("h1", "h2")
+            .agg(F.count_distinct("doc_id").alias("ddf"))
+            .filter(F.col("ddf") >= 2)
+            .select("h1", "h2")
+            .collect(),
+        )
+    )
+    assert via_minmax == via_distinct
+    assert len(via_minmax) > 0  # fixtures must actually exercise the path
+
+
+def test_boilerplate_mask_hash_keys_no_md5(spark, sf_dir):
+    from beametrics_spark.operators.curation4 import boilerplate_block_mask
+
+    df = boilerplate_block_mask(spark, sf_dir)
+    df.collect()
+    plan = _final_plan(df)
+    assert "md5" not in plan, plan
+    assert "partial_min(doc_id" in plan, plan
