@@ -67,10 +67,20 @@ def connected_components(pairs: DataFrame, max_iter: int = _CC_MAX_ITER) -> Data
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).localCheckpoint(eager=True)
 
+    # Round 13: labels INITIALIZE at min(id, min neighbor) — exactly the
+    # state after round 1's neighbor step under the old root=id init, at
+    # the cost of one groupBy instead of a distinct + a full
+    # join+checkpoint+collect round. Min-label propagation converges to
+    # the same unique fixpoint from any initial labeling that (a) is
+    # <= id and (b) only uses vertex ids as labels (the jump join's
+    # lookup invariant) — both hold for min(id, min neighbor).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("root", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_mn")).alias("root"),
+        )
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("root")).collect()[0][0]

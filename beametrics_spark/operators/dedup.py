@@ -555,6 +555,14 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # match), so the gram build for candidate docs runs once with NO
     # materialization barrier; the per-side column renames move to the
     # join outputs.
+    # Round 13 probe note (lsh_stage_probe: verification is ~7 s of the
+    # ~12-15 s sf1 wall): two cheaper set ENCODINGS were A/B'd
+    # interleaved and REJECTED — (h1, h2) hash-pair STRUCT elements
+    # measured 2x SLOWER than the gram strings (30 vs 15 s median:
+    # array_intersect leaves the primitive-specialized path for complex
+    # element types), and a 16-byte binary concat is blocked by ANSI
+    # (no bigint -> binary cast). Gram strings stay — exact, and the
+    # measured best.
     sets_df = (
         gram_rows(docs.join(F.broadcast(cand_ids), "doc_id"))
         .groupBy("doc_id")
