@@ -839,7 +839,31 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity, so one SQL string is correct at every sf; the Spark plan
     skips identity levels (k is known at plan time) — provably the same
     assignment, since an identity level's candidate set is the
-    singleton already chosen."""
+    singleton already chosen.
+
+    Round-13 decomposition + floor record (VERDICT r12 #2). Measured at
+    sf1 (same box, bench protocol): whole query 9.33 s before →
+    8.26 s after (plans/r13/SF1_AB_r13.txt); the descent argmax cut
+    (max_by partial aggregate instead of the per-level row_number
+    window, _argmax_pick in dedup3.py) measured 6.23 → 5.35 s
+    standalone pre-restart, and the whole query 9.38 → 3.56 s at sf0.1
+    same-box. Stage split (sem_assign_probe + cumulative noop probes,
+    sf1): assignment ≈ 3.1 s, members collect_list ≈ +0.6 s, the
+    within-cluster pair stage the remainder. Levers A/B'd and NOT
+    shipped, with results: (a)
+    spark.sql.objectHashAggregate.sortBased.fallbackThreshold — no
+    effect (max_by is declarative, plans as SortAggregate regardless);
+    (b) an explicit repartition(defaultParallelism, cluster) of the
+    members table before the pair Generates — directionally positive in
+    interleaved trials (10.6 vs 12.5 s mins) but within this host's
+    throttling noise (same-plan trials swung 11-79 s in bad windows),
+    and it is a small-scale-only artifact: at corpus scale the members
+    exchange (k rows × ~32 KB) is large enough that AQE's advisory
+    sizing already fans it out. Same-box sf1 ratio vs DuckDB: 2.96×
+    (8.26 vs 2.79 s) on a VM whose Spark floors are 1.5-2.7× worse than
+    the pre-restart box while DuckDB runs FASTER — declared the measured
+    floor for this round; next lever recorded in OPTIMIZATION_r13.md
+    ("Not yet optimized")."""
     from beametrics_spark.operators.dedup import dot_expr, norm_expr
 
     a1 = sem_assign(spark, sf_dir)
