@@ -841,13 +841,16 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, since an identity level's candidate set is the
     singleton already chosen.
 
-    Round-13 decomposition + floor record (VERDICT r12 #2). Measured at
-    sf1 (same box, bench protocol): whole query 9.33 s before →
-    8.26 s after (plans/r13/SF1_AB_r13.txt); the descent argmax cut
-    (max_by partial aggregate instead of the per-level row_number
-    window, _argmax_pick in dedup3.py) measured 6.23 → 5.35 s
-    standalone pre-restart, and the whole query 9.38 → 3.56 s at sf0.1
-    same-box. Stage split (sem_assign_probe + cumulative noop probes,
+    Round-13 decomposition + floor record (VERDICT r12 #2). The
+    CODE-ATTRIBUTABLE speedup is the same-protocol sf1 A/B: whole query
+    9.33 s before → 8.26 s after (~1.13×, plans/r13/SF1_AB_r13.txt);
+    the descent argmax cut (max_by partial aggregate instead of the
+    per-level row_number window, _argmax_pick) measured 6.23 → 5.35 s
+    standalone pre-restart. The oft-quoted sf0.1 9.38 → 3.56 s same-box
+    ratio is PROTOCOL-INCLUSIVE (ADVICE r13): its "before" ran under
+    the old no-per-query-GC driver loop, so it conflates the r13
+    session-aging fix with the code change — read it as "what the old
+    driver would have reported", not as the code speedup. Stage split (sem_assign_probe + cumulative noop probes,
     sf1): assignment ≈ 3.1 s, members collect_list ≈ +0.6 s, the
     within-cluster pair stage the remainder. Levers A/B'd and NOT
     shipped, with results: (a)

@@ -274,6 +274,13 @@ CONSTRUCTION_TIMED = {
     "bm25_eval_mrr",
     # r10: compaction writes the merged snapshot eagerly at build
     "cdc_mor_compaction_audit",
+    # r14 (VERDICT r13 #3): the exact per-key table localCheckpoints
+    # eagerly at build — plan-reuse timing excluded the query's ONLY
+    # events scan. Construction-timed is the honest accounting; the
+    # r13-and-earlier numbers (~0.3 s at sf0.1) measured the
+    # post-checkpoint consumers only and are restated in
+    # OPTIMIZATION_r14.md.
+    "countmin_error_audit",
     # r12 note: the ntile-family cutoff FLAGS (part_revenue_abc_classes
     # use_cutoff_classes etc.) localCheckpoint at build and must be
     # timed construction-inclusive when flagged on; the bench runs the
@@ -558,19 +565,21 @@ def main() -> int:
         "calibration": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # The driver's capture keeps the SUFFIX of stdout (VERDICT r10 #7:
-    # r9's summary-first ordering still lost the totals because the
-    # giant per-query line that followed pushed the summary out of the
-    # window). So: the full object goes to BENCH_LOCAL.json next to
-    # this script AND prints first; the compact self-contained summary
-    # line prints LAST, so any suffix capture ends with an intact,
-    # parseable JSON line carrying the headline total + calibration.
+    # The driver parses the LAST stdout line (VERDICT r13 #2: the r13
+    # ordering printed the full object first and a queries-free summary
+    # last, so the driver's PERF per-query/scaling analyses came back
+    # EMPTY). The contract line is {"metric", "value", "unit",
+    # "queries", "sf", ...} — the per-query map MUST ride the final
+    # line. So: headline-only summary first (human-scannable), then the
+    # full object (compact separators) as the LAST line, and the same
+    # object in BENCH_LOCAL.json next to this script for the record.
     full = {
         **summary,
         "queries": timings,
         "streaming_parity_queries": streaming,
         "iterative_queries": iterative,
         "layout": layout,
+        "full_results": "BENCH_LOCAL.json",
     }
     # atomic write (temp + rename): a crash mid-dump must not leave the
     # committed artifact truncated/inconsistent with the printed summary
@@ -581,8 +590,8 @@ def main() -> int:
     with open(tmp_path, "w") as f:
         json.dump(full, f)
     os.replace(tmp_path, local_path)
-    print(json.dumps(full))
     print(json.dumps({**summary, "full_results": "BENCH_LOCAL.json"}))
+    print(json.dumps(full, separators=(",", ":")))
     return 0
 
 

@@ -25,12 +25,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> int:
+    if len(sys.argv) < 4:
+        print(__doc__.strip(), file=sys.stderr)
+        return 2
     out_dir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
+    qs = load_all()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+        print(f"known: {', '.join(sorted(qs))}", file=sys.stderr)
+        return 2
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = load_all()
     for name in names:
         fn, _ = qs[name]
         df = fn(spark, SF_DIR)

@@ -1,9 +1,16 @@
-"""Bench-protocol sf1 timings for named queries, one batch per process.
+"""Bench-py-LIKE sf1 timings for named queries, one batch per process.
 
 Usage: python scripts/sf1_ab_probe.py SF_DIR query [query ...]
 
-Protocol = bench.py's: plan warm-up at sf0.001, then min-of-3 noop-sink
-trials; CONSTRUCTION_TIMED queries rebuild their DataFrame per trial
+Protocol follows bench.py with two DISCLOSED differences (ADVICE r13):
+trials default to min-of-N_TRIALS per batch — overridable via
+SPARK_GRAFT_BENCH_TRIALS, same env as bench.py, which defaults to 4
+where this script keeps a lower per-batch count because the A/B design
+alternates many batches per side (the cross-batch min sees >= 4
+executions of each side anyway) — and the clearCache/gc cadence is
+per-trial here vs per-query in bench.py. Otherwise identical: plan
+warm-up at sf0.001, noop-sink trials; CONSTRUCTION_TIMED queries
+rebuild their DataFrame per trial
 (eager checkpoints / persists are part of their cost), everything else
 reuses the built plan. clearCache + driver System.gc() before every
 trial (the session-aging hygiene measured in scripts/
@@ -26,7 +33,7 @@ from beametrics_spark.registry import load_all  # noqa: E402
 from beametrics_spark.session import get_spark  # noqa: E402
 
 WARM_DIR = "/root/testdata/sf0.001"
-N_TRIALS = 3
+N_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
 
 def main() -> int:
