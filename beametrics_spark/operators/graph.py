@@ -5,10 +5,12 @@ orders ⋈ lineitem, weighted by line count).
 Beyond connected components (curation.py), this is the second iterative
 distributed algorithm expressed purely as DataFrame joins/aggregations —
 the pattern that at 100 TB replaces any specialized graph runtime for
-bounded-iteration analytics: edges live edge-partitioned, each power
-iteration is one join (rank ⋈ edges on src) + one hash aggregate (sum
-by dst), and lineage is truncated per round with localCheckpoint so the
-plan never grows with the iteration count.
+bounded-iteration analytics: the contribution table is keyed by src
+ONCE (one exchange, persist()ed so its partitioning survives for every
+round), each power iteration is one join (rank ⋈ edges on src, the
+edge side never re-shuffled) + one hash aggregate (sum by dst), and
+the fixed small iteration count runs as one lazily-nested plan — no
+per-round materialization barrier, no node-sized intermediates written.
 
 Determinism contract with the DuckDB oracle: FIXED iteration count
 (unrolled CTEs on the oracle side), identical damping and
@@ -85,41 +87,90 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # r14 (§2.3 narrower types + §2.4 fewer passes): the |lineitem|-row
+    # aggregate groups on the two INTEGER keys, and every iteration
+    # joins/aggregates LONG node ids (customer c ↦ 2c, supplier s ↦
+    # 2s+1 — disjoint by parity) instead of "c:…"/"s:…" strings; the
+    # strings are reconstructed only on the final TOP_N readout, so the
+    # output is bit-identical while shuffles carry 8-byte keys and the
+    # merge join compares longs. Both edge directions come from ONE
+    # explode over the aggregated row — the r13 union shape planned the
+    # base join+aggregate subtree twice, once per direction.
     raw = (
         orders.join(
             lineitem, lineitem["l_orderkey"] == orders["o_orderkey"]
         )
-        .groupBy(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
-        )
+        .groupBy("o_custkey", "l_suppkey")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    c_enc = F.col("o_custkey") * 2
+    s_enc = F.col("l_suppkey") * 2 + 1
     edges = raw.select(
-        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
-    ).unionAll(raw.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
-    edges = edges.localCheckpoint(eager=True)
-
-    nodes = edges.select("src").distinct().withColumnRenamed("src", "node")
-    n_nodes = nodes.count()  # scalar only — never a row collect
-    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    contrib_edges = edges.join(outw, "src").localCheckpoint(eager=True)
-
-    rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
-    for _ in range(N_ITER):
-        rank = (
-            contrib_edges.join(rank, rank["node"] == contrib_edges["src"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                (
-                    F.lit((1 - DAMPING) / n_nodes)
-                    + DAMPING
-                    * F.sum(F.col("pr") * F.col("w") / F.col("outw"))
-                ).alias("pr")
+        F.explode(
+            F.array(
+                F.struct(c_enc.alias("src"), s_enc.alias("dst"), F.col("w")),
+                F.struct(s_enc.alias("src"), c_enc.alias("dst"), F.col("w")),
             )
-            .localCheckpoint(eager=True)
+        ).alias("e")
+    ).select("e.*")
+
+    # r14 (VERDICT r13 #1, guide §2.4/§5): ONE keyed exchange for the
+    # whole query. The edge table is repartitioned by src and the
+    # outw-joined contribution table persist()ed — a cached plan keeps
+    # its outputPartitioning (canChangeCachedPlanOutputPartitioning
+    # defaults false), so every iteration's join-on-src and the nodes
+    # distinct read hashpartitioning(src) straight from the cache and
+    # plan NO edge re-shuffle. localCheckpoint (the r13 shape) cannot
+    # do this under AQE: its LogicalRDD comes back with unknown
+    # partitioning (measured, scripts/graph_iter_probe.py), which
+    # re-exchanged the edge table EVERY iteration. The per-iteration
+    # eager localCheckpoint barriers are gone too: N_ITER is a fixed
+    # small constant, so the lazily-nested 5-iteration plan executes as
+    # ONE job instead of 5 sequential materialization jobs plus a
+    # final pass — and the node-sized rank tables are never
+    # materialized at all. (bench._iterative_bench clearCache()s per
+    # trial, so rebuilt trials never see a warm cache.)
+    er = edges.repartition("src")
+    # outw aggregates ON the repartitioned table: hashpartitioning(src)
+    # satisfies the groupBy, and the join's two reads of `er` share the
+    # single exchange via ReusedExchange inside the one build job.
+    outw = er.groupBy("src").agg(F.sum("w").alias("outw"))
+    contrib_edges = er.join(outw, "src").persist()
+    # one pass doubles as the cache materializer and the node count —
+    # the old shape paid a separate edges build for count() alone
+    nodes = contrib_edges.select("src").distinct().withColumnRenamed(
+        "src", "node"
+    )
+    n_nodes = nodes.count()  # scalar only — never a row collect
+
+    def power_round(joined: DataFrame, pr: F.Column) -> DataFrame:
+        return joined.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit((1 - DAMPING) / n_nodes)
+                + DAMPING * F.sum(pr * F.col("w") / F.col("outw"))
+            ).alias("pr")
         )
-    scored = rank.select("node", F.round("pr", 9).alias("pagerank"))
+
+    # Round 1's rank is the uniform constant 1/n on every node, so the
+    # join that would attach it is skipped: the same pr·w/outw terms
+    # are summed with pr as the literal — bit-identical arithmetic
+    # (the r13 shape's pr column was this very literal).
+    rank = power_round(contrib_edges, F.lit(1.0 / n_nodes))
+    for _ in range(1, N_ITER):
+        rank = power_round(
+            contrib_edges.join(rank, rank["node"] == contrib_edges["src"]),
+            F.col("pr"),
+        )
+    node_str = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(F.lit("s:")),
+        F.shiftright(F.col("node"), 1),
+    )
+    scored = rank.select(
+        node_str.alias("node"), F.round("pr", 9).alias("pagerank")
+    )
+    # TakeOrderedAndProject over the |nodes|-row table: the string
+    # decode runs once per node, and the ORDER uses the decoded string
+    # — identical tiebreak semantics to the all-string r13 shape.
     return scored.orderBy(F.desc("pagerank"), F.asc("node")).limit(TOP_N)
 
 

@@ -83,35 +83,81 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # r14 (§2.3 narrower shuffle keys): the |lineitem|-row aggregate
+    # groups on the two INTEGER keys; node strings are built on the
+    # |edges|-row result. Both directions come from ONE explode so the
+    # base join+aggregate plans once (the union shape planned it per
+    # direction).
     raw = (
         orders.join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .groupBy(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
-        )
+        .groupBy("o_custkey", "l_suppkey")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    c_enc = F.concat(F.lit("c:"), F.col("o_custkey"))
+    s_enc = F.concat(F.lit("s:"), F.col("l_suppkey"))
+    # r14 (VERDICT r13 #1, §2.4/§5): ONE keyed exchange for the whole
+    # query — edges repartition("src") + persist() (a cached plan keeps
+    # its outputPartitioning; localCheckpoint under AQE does not —
+    # measured, scripts/graph_iter_probe.py), so every round's
+    # join-on-src reads hashpartitioning(src) from the cache and only
+    # the node-sized label table moves. The per-round eager
+    # localCheckpoint barriers are gone (N_ITER is a fixed small
+    # constant; the lazily-nested plan runs as ONE job), and the
+    # per-round argmax is a min(struct(-wsum, lab)) aggregate — the
+    # r13 semdedup move: map-side partials collapse to one row per
+    # node BEFORE the exchange, where row_number shuffled every tally
+    # and sorted (node, wsum DESC, lab). Selection is identical: min
+    # over (-wsum, lab) is (max wsum, tie → min lab), the window's
+    # exact order, and the struct comparison is total.
     edges = (
-        raw.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w")
-        .unionAll(
-            raw.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+        raw.select(
+            F.explode(
+                F.array(
+                    F.struct(c_enc.alias("src"), s_enc.alias("dst"), F.col("w")),
+                    F.struct(s_enc.alias("src"), c_enc.alias("dst"), F.col("w")),
+                )
+            ).alias("e")
         )
-        .localCheckpoint(eager=True)
+        .select("e.*")
+        .repartition("src")
+        .persist()
     )
+    # materialize the cache NOW (scalar count, never a row collect): a
+    # plan built against an unexecuted cached AdaptiveSparkPlan sees
+    # UNKNOWN partitioning and EnsureRequirements re-exchanges the edge
+    # side of every round's join; after materialization every
+    # downstream plan reads hashpartitioning(src) from the cache.
+    edges.count()
 
-    labels = edges.select(
-        F.col("src").alias("node"), F.col("src").alias("lab")
-    ).distinct()
-    w_arg = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("lab"))
-    for _ in range(N_ITER):
-        labels = (
+    def argmax_round(tallies: DataFrame) -> DataFrame:
+        return (
+            tallies.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("wsum")).alias("_nw"), F.col("lab"))
+                ).alias("_m")
+            )
+            .select("node", F.col("_m.lab").alias("lab"))
+        )
+
+    # Round 1 is an IDENTITY on the edge table: every node's initial
+    # label is itself, so the round-1 tally for (dst, lab=src) is
+    # exactly w(src, dst) — the aggregated edge rows are unique per
+    # (src, dst) pair. The join with the all-nodes label table and the
+    # (dst, lab) re-aggregate would reproduce the edge table verbatim,
+    # so round 1 is just the argmax over edges read as tallies.
+    labels = argmax_round(
+        edges.select(
+            F.col("dst").alias("node"),
+            F.col("src").alias("lab"),
+            F.col("w").alias("wsum"),
+        )
+    )
+    for _ in range(1, N_ITER):
+        labels = argmax_round(
             edges.join(labels, labels["node"] == edges["src"])
             .groupBy(F.col("dst").alias("node"), "lab")
             .agg(F.sum("w").alias("wsum"))
-            .withColumn("rn", F.row_number().over(w_arg))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint(eager=True)
         )
     return (
         labels.groupBy(F.col("lab").alias("community"))
@@ -208,31 +254,83 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # r14 (§2.3 narrower shuffle keys): the |lineitem|-row distinct
+    # groups the two INTEGER keys; node strings are built on the
+    # |edges|-row result, and both directions come from ONE explode
+    # (the union shape planned the base join+distinct per direction).
     raw = (
         orders.join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
     )
+    # The peel never outputs a node id — only 'c'/'s' SIDES — so nodes
+    # stay LONGS end to end (customer c ↦ 2c, supplier s ↦ 2s+1,
+    # disjoint by parity; side = parity). No "c:"/"s:" strings are
+    # built anywhere: the cache, every semi-join and the degree
+    # aggregate compare 8-byte longs.
+    c_enc = F.col("o_custkey") * 2
+    s_enc = F.col("l_suppkey") * 2 + 1
+    # r14 (VERDICT r13 #1, §2.4/§3.1/§5): ONE keyed exchange for the
+    # whole peel. The edge table is repartition("src") + persist()ed (a
+    # cached plan keeps its outputPartitioning; the r13 localCheckpoint
+    # under AQE came back with unknown partitioning and re-exchanged
+    # the shrinking edge table inside every round's two survivor
+    # joins). Because keep-sets only ever SHRINK (keep_i ⊆ keep_{i-1}),
+    # round i's surviving subgraph is the ORIGINAL edge table
+    # semi-joined with the LATEST keep set on both endpoints — so each
+    # round is: scan the cache (partitioned by src), two broadcast
+    # semi-joins against the round's keep set, and one
+    # exchange-free degree aggregate. No shrunken edge copy is ever
+    # re-materialized or re-shuffled. The keep sets are node-level
+    # metadata (the §8 "decide with small rows" proxy — KB-to-MB per
+    # round here); at corpus scale where a keep list outgrows
+    # broadcast, drop the hint and the planner falls back to a
+    # shuffled semi-join on the same cached partitioning for the src
+    # side.
     edges = (
-        raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(raw.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .localCheckpoint(eager=True)
+        raw.select(
+            F.explode(
+                F.array(
+                    F.struct(c_enc.alias("src"), s_enc.alias("dst")),
+                    F.struct(s_enc.alias("src"), c_enc.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .repartition("src")
+        .persist()
     )
+    # materialize the cache NOW so every round's degree aggregate and
+    # semi-join is planned against the known hashpartitioning(src)
+    # (same note as label_prop_communities above).
+    edges.count()
     side = lambda col: F.when(
-        F.col(col).startswith("c:"), F.lit("c")
+        F.col(col) % 2 == 0, F.lit("c")
     ).otherwise(F.lit("s"))
 
     # removals are computed over explicit SURVIVOR NODE SETS, not the
     # degree table: a node whose last edge disappears has no degree row
     # at all, and only the set difference s_prev \ s_next counts it
     removals = []
-    cur = edges
-    survivors = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    survivors = edges.select(F.col("src").alias("node")).distinct()
+    keep = None
     for i in range(1, KCORE_ROUNDS + 1):
+        cur = edges
+        if keep is not None:
+            cur = cur.join(
+                F.broadcast(keep.withColumnRenamed("node", "src")),
+                "src",
+                "semi",
+            ).join(
+                F.broadcast(keep.withColumnRenamed("node", "dst")),
+                "dst",
+                "semi",
+            )
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        # each keep set is consumed by three later subtrees (this
+        # round's removal count, the next round's two semi-joins, the
+        # next removal's survivor side) — materialize the tiny table
+        # once; each checkpoint job is an exchange-free cache scan
         keep = (
             deg.filter(F.col("d") >= KCORE_K)
             .select(F.col("src").alias("node"))
@@ -245,12 +343,6 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(i).alias("round"), "side", "n")
         )
         removals.append(removed)
-        cur = (
-            cur.join(keep.withColumnRenamed("node", "src"), "src")
-            .join(keep.withColumnRenamed("node", "dst"), "dst")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
         survivors = keep
     core = (
         survivors.groupBy(side("node").alias("side"))

@@ -306,11 +306,18 @@ def _iterative_bench(spark, sf_dir: str, qs) -> dict:
     out: dict[str, dict] = {}
     for name in ITERATIVE_QUERIES:
         # same pre-query gc hygiene as timed() — see the session-aging
-        # note in main()
+        # note in main(). clearCache per trial (r14): the graph
+        # operators persist() their keyed edge table; CacheManager
+        # matches rebuilt plans by canonicalized subtree, so without
+        # the clear each rebuilt trial would read the PREVIOUS trial's
+        # warm cache instead of paying its own construction (the same
+        # honesty rule the CONSTRUCTION_TIMED rebuild loop applies).
         spark.sparkContext._jvm.System.gc()
+        spark.catalog.clearCache()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
