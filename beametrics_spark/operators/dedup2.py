@@ -884,19 +884,31 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join, which would re-execute the whole assignment subtree on
     # both sides); member rows are ~64 * (64*8)B ~ 32 KB — the fixed
     # cluster size bounds them at ANY corpus size. Norms hoisted out of
-    # the pair stage: one dot per pair instead of three folds. The
-    # upper triangle is two nested codegen Generates + a filter on
-    # vec_id order — the r8 HOF array-filter ran an INTERPRETED lambda
-    # per (member, candidate) before the second explode; the plain
-    # filter does the same comparisons inside whole-stage codegen.
+    # the pair stage: one dot per pair instead of three folds.
+    # r14 (VERDICT r13 #5): the member list is SORTED by vec_id
+    # (array_sort on the struct compares the unique leading vec_id
+    # only), so the upper triangle generates EXACTLY the |c|·(|c|-1)/2
+    # ordered pairs — posexplode the anchor, slice the tail for its
+    # candidates — where the r13 shape generated all |c|² rows and
+    # filtered half away AFTER the second Generate copied both 512-byte
+    # vectors into each row.
     members = assigned.groupBy(F.col("fid").alias("cluster")).agg(
-        F.collect_list(F.struct("vec_id", "v", "nv")).alias("ms")
+        F.array_sort(F.collect_list(F.struct("vec_id", "v", "nv"))).alias("ms")
     )
     dot = dot_expr("a.v", "b.v")
     pairs = (
-        members.select("cluster", F.explode("ms").alias("a"), "ms")
-        .select("cluster", "a", F.explode("ms").alias("b"))
-        .filter(F.col("b.vec_id") > F.col("a.vec_id"))
+        members.select(
+            "cluster", F.posexplode("ms").alias("p", "a"), "ms"
+        )
+        .select(
+            "cluster",
+            "a",
+            F.explode(
+                F.slice(
+                    "ms", F.col("p") + 2, F.size("ms") - F.col("p") - 1
+                )
+            ).alias("b"),
+        )
         .select(
             "cluster",
             F.col("a.vec_id").alias("id_a"),
@@ -905,14 +917,28 @@ def semdedup_prune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_ab") >= SEM_TAU)
     )
-    by_pruned = Window.partitionBy("id_b").orderBy(F.desc("cos_ab"), F.asc("id_a"))
+    # r14: the per-pruned-vector argmax runs as a (cluster, id_b)
+    # max_by aggregate INSIDE the members partitioning — every id_b
+    # lives in exactly one cluster, so grouping by (cluster, id_b)
+    # picks the same row as the r13 row_number window over id_b, and
+    # hashpartitioning(cluster) from the members exchange satisfies
+    # the grouping (clustering by a key subset) — the window's extra
+    # full exchange of the surviving pairs plus its
+    # (id_b, cos DESC, id_a) sort are gone. Ordering (cos_ab, -id_a)
+    # is the window's exact (cos DESC, id_a ASC) order; ties in
+    # cos_ab are real (identical vectors), the id tiebreak is total.
     return (
-        pairs.withColumn("rn", F.row_number().over(by_pruned))
-        .filter(F.col("rn") == 1)
+        pairs.groupBy("cluster", "id_b")
+        .agg(
+            F.max_by(
+                F.struct("id_a", "cos_ab"),
+                F.struct(F.col("cos_ab"), (-F.col("id_a")).alias("_ni")),
+            ).alias("_p")
+        )
         .select(
             F.col("cluster").cast("long").alias("cluster"),
             F.col("id_b").alias("pruned_vec_id"),
-            F.col("id_a").alias("keep_vec_id"),
-            F.round("cos_ab", 6).alias("cos_sim"),
+            F.col("_p.id_a").alias("keep_vec_id"),
+            F.round("_p.cos_ab", 6).alias("cos_sim"),
         )
     )

@@ -117,15 +117,28 @@ def minhash_signatures_md5(sh: DataFrame, k: int = AUDIT_MINHASH_K) -> DataFrame
     Identical min-of-rehashed-fingerprint structure to the production
     _minhash_from_base_hashes (NOT the Kirsch-Mitzenmacher shortcut —
     see that docstring for why linear combining collapses the family).
-    The gram fingerprint AND the k/2 digests are materialized in a
-    projection BEFORE the aggregate (one md5 per (gram, digest), never
-    per function), leaving k string-min columns in one codegen hash
-    aggregation — k/4 digests per gram total."""
-    fp = F.md5(F.col("s"))
-    digests = sh.select(
+
+    r14 shape (VERDICT r13 #6; §2.3 shuffle narrow rows + §1 codegen):
+    only (doc_id, fp) crosses the exchange — the k/4 digests are
+    projected AFTER an explicit repartition+sortWithinPartitions on
+    doc_id, so the single-phase SortAggregate's required sort runs
+    over 40-byte rows instead of rows carrying 16 digest strings, and
+    the digest+min evaluation sits in one whole-stage-codegen span
+    (needs codegen.maxFields > 100+k — set in session.py). The r13
+    shape's partial SortAggregate evaluated the 64 string-min updates
+    INTERPRETED (the 80-field aggregate broke the default 100-field
+    codegen cutoff via its fat input projection): measured sf1 over
+    the full 2.65M-occurrence stream, 49.5 s → 7.2 s min-of-2 noop
+    (this box; both sides identical input). String mins are kept —
+    fixed-length lowercase hex compares in numeric order, and a
+    conv()-to-long reformulation measured SLOWER (71.8 s: conv is the
+    rare non-codegen expression here)."""
+    fp_rows = sh.select("doc_id", F.md5(F.col("s")).alias("_fp"))
+    srt = fp_rows.repartition("doc_id").sortWithinPartitions("doc_id")
+    digests = srt.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{t}:"), fp)).alias(f"_d{t}")
+            F.md5(F.concat(F.lit(f"{t}:"), F.col("_fp"))).alias(f"_d{t}")
             for t in range((k + 3) // 4)
         ],
     )

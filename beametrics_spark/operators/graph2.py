@@ -139,20 +139,19 @@ def supplier_cotrade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree rollup, the edge count) consumes it — FOUR consumers.
     # ReusedExchange only collapses the subtree up to the distinct's
     # exchange; each leg still re-runs the final aggregate + projection
-    # and its own downstream shuffle. An eager localCheckpoint of the
-    # tiny edge set materializes it once and feeds all four legs
-    # (measured 2.2 s -> 1.8 s rebuilt-per-trial at sf0.1; the earlier
-    # round-5 measurement that favored no-checkpoint predates the
-    # one-groupBy pair-explosion rewrite that made the upstream cheap
-    # enough to flip the write-vs-reuse tradeoff). bench.py times this
-    # query construction-inclusive, since the checkpoint executes
-    # eagerly at plan-build time.
+    # and its own downstream shuffle. r14 (VERDICT r13 #7, §5): a LAZY
+    # persist() replaces the r13 eager localCheckpoint — the tiny edge
+    # set still materializes once and feeds all legs, but inside the
+    # single final action instead of as a separate construction-time
+    # barrier job (the same move the retrieval family shipped in r13).
+    # bench.py keeps this query construction-inclusive and clearCaches
+    # per rebuilt trial, so the cache is paid for inside the timer.
     edges = (
         picks.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
     e1 = edges
     e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))

@@ -40,6 +40,18 @@ def get_spark(app_name: str = "beametrics_spark", *, shuffle_partitions: int | N
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2MB"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Whole-stage codegen cutoff raised above the default 100: the
+        # 64-wide signature/embedding aggregates (minhash audit's 64
+        # string mins + 16 digest inputs, semdedup's 64 avg() means)
+        # sit just past it, and the fallback runs INTERPRETED — r14
+        # measured 49.5 s -> 7.2 s on the minhash sf1 signature stage
+        # from codegen alone. Scale-independent (the cutoff guards
+        # compile time of kilocolumn plans; the widest plan here is
+        # ~180 fields) and env-overridable for A/B.
+        .config(
+            "spark.sql.codegen.maxFields",
+            os.environ.get("SPARK_GRAFT_CODEGEN_MAXFIELDS", "400"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

@@ -296,3 +296,125 @@ def test_lpa_argmax_tie_semantics(spark):
         ("n2", "c:7"),
         ("n3", "s:30"),
     ]
+
+
+# --- minhash signature shape: narrow-sort-then-digest == r13 projection ------
+
+
+def test_minhash_signatures_match_r13_shape(spark, sf_dir):
+    from beametrics_spark.operators.dedup import gram_rows
+    from beametrics_spark.operators.dedup3 import minhash_signatures_md5
+    from beametrics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    g = gram_rows(docs)
+    # r13 shape: fat digest projection feeding a two-phase aggregate
+    fp = F.md5(F.col("s"))
+    dig = g.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"{t}:"), fp)).alias(f"_d{t}") for t in range(16)],
+    )
+    old = dig.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col(f"_d{i // 4}"), 1 + 8 * (i % 4), 8)).alias(
+                f"h{i}"
+            )
+            for i in range(64)
+        ]
+    )
+    assert _rows(minhash_signatures_md5(g)) == _rows(old)
+
+
+# --- semdedup pair stage: sorted-slice triangle + grouped argmax -------------
+
+
+def test_semdedup_pair_stage_matches_r13_shape(spark):
+    import random
+
+    from beametrics_spark.operators.dedup import dot_expr, norm_expr
+    from beametrics_spark.operators.dedup2 import SEM_TAU
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(60):
+        # 3 clusters, vectors built to produce plenty of cos ties and
+        # above-threshold pairs (duplicated base vectors)
+        base = [[1.0] * 8, [0.5] * 8, [-0.25] * 8][vid % 3]
+        v = [x + (0.01 * (vid // 20)) for x in base]
+        rows.append((vid, vid % 3, v + [0.0] * 56))
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, fid long, v array<double>"
+    ).select("vec_id", "fid", "v", norm_expr("v").alias("nv"))
+
+    dot = dot_expr("a.v", "b.v")
+
+    def old_shape():
+        from pyspark.sql import Window
+
+        members = assigned.groupBy(F.col("fid").alias("cluster")).agg(
+            F.collect_list(F.struct("vec_id", "v", "nv")).alias("ms")
+        )
+        pairs = (
+            members.select("cluster", F.explode("ms").alias("a"), "ms")
+            .select("cluster", "a", F.explode("ms").alias("b"))
+            .filter(F.col("b.vec_id") > F.col("a.vec_id"))
+            .select(
+                "cluster",
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                (dot / (F.col("a.nv") * F.col("b.nv"))).alias("cos_ab"),
+            )
+            .filter(F.col("cos_ab") >= SEM_TAU)
+        )
+        w = Window.partitionBy("id_b").orderBy(F.desc("cos_ab"), F.asc("id_a"))
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("cluster").cast("long").alias("cluster"),
+                F.col("id_b").alias("pruned_vec_id"),
+                F.col("id_a").alias("keep_vec_id"),
+                F.round("cos_ab", 6).alias("cos_sim"),
+            )
+        )
+
+    def new_shape():
+        members = assigned.groupBy(F.col("fid").alias("cluster")).agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "v", "nv"))).alias("ms")
+        )
+        pairs = (
+            members.select("cluster", F.posexplode("ms").alias("p", "a"), "ms")
+            .select(
+                "cluster",
+                "a",
+                F.explode(
+                    F.slice("ms", F.col("p") + 2, F.size("ms") - F.col("p") - 1)
+                ).alias("b"),
+            )
+            .select(
+                "cluster",
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                (dot / (F.col("a.nv") * F.col("b.nv"))).alias("cos_ab"),
+            )
+            .filter(F.col("cos_ab") >= SEM_TAU)
+        )
+        return (
+            pairs.groupBy("cluster", "id_b")
+            .agg(
+                F.max_by(
+                    F.struct("id_a", "cos_ab"),
+                    F.struct(F.col("cos_ab"), (-F.col("id_a")).alias("_ni")),
+                ).alias("_p")
+            )
+            .select(
+                F.col("cluster").cast("long").alias("cluster"),
+                F.col("id_b").alias("pruned_vec_id"),
+                F.col("_p.id_a").alias("keep_vec_id"),
+                F.round("_p.cos_ab", 6).alias("cos_sim"),
+            )
+        )
+
+    got, want = _rows(new_shape()), _rows(old_shape())
+    assert got == want
+    assert len(got) > 20  # the fixture actually exercises ties/pairs
