@@ -534,3 +534,32 @@ def ntile_targets(n_tiles: int) -> list:
         )
 
     return [(q, end_of(q)) for q in range(1, n_tiles)]
+
+
+def global_sort_ok(src: DataFrame) -> bool:
+    """Decide the ntile-family DEFAULT between the single-task global
+    window sort and the sortless broadcast-cutoff branch (VERDICT r13
+    #4): True (window) while the reduced table's SOURCE scan is small
+    enough that one sort task is cheaper than the cutoff branch's
+    extra materialization + boundary scans, False (cutoff) beyond it.
+
+    The estimate is Catalyst's optimizedPlan sizeInBytes for the
+    source relation — driver-only arithmetic over file sizes, no job.
+    The threshold is bytes of SOURCE SCAN feeding the reduction, not
+    reduced rows: at the measured sf1 crossover the window still wins
+    (abc classes 2.96 s window vs 4.65 s cutoff, deciles 2.20 vs 3.04
+    — r12 numbers at the code sites), so the default 64 GiB
+    (~sf70-100 lineitem, >=10^8 reduced rows) keeps every benched SF
+    on the measured-faster branch while a 100-TB caller flips to the
+    shape with no single-task sort. Override via
+    SPARK_GRAFT_GLOBAL_SORT_MAX_BYTES (production deployments should
+    size it to where THEIR sort task hits memory/straggler limits)."""
+    import os
+
+    limit = int(
+        os.environ.get("SPARK_GRAFT_GLOBAL_SORT_MAX_BYTES", str(64 << 30))
+    )
+    size = int(
+        src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return size <= limit

@@ -107,7 +107,7 @@ GROUP BY 1
 
 @register("user_activity_power_law", _POWER_LAW_ORACLE)
 def user_activity_power_law(
-    spark: SparkSession, sf_dir: str, *, use_cutoff_rank: bool = False
+    spark: SparkSession, sf_dir: str, *, use_cutoff_rank: bool | None = None
 ) -> DataFrame:
     """Heavy-tail profile of the user dimension: log2 buckets of
     events-per-user (bucket k = users with 2^k..2^(k+1)-1 events), each
@@ -132,6 +132,11 @@ def user_activity_power_law(
     output (pinned by
     tests/test_functions.py::test_power_law_cutoff_path_matches_rank)."""
     events = load_table(spark, sf_dir, "events")
+    if use_cutoff_rank is None:
+        # r14 default flip (VERDICT r13 #4)
+        from beametrics_spark.functions import global_sort_ok
+
+        use_cutoff_rank = not global_sort_ok(events)
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     if use_cutoff_rank:
         from beametrics_spark.functions import (

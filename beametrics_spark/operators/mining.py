@@ -249,7 +249,7 @@ FROM scored GROUP BY 1, 2, 3
 
 @register("rfm_customer_segments", _RFM_ORACLE)
 def rfm_customer_segments(
-    spark: SparkSession, sf_dir: str, *, use_cutoff_quartiles: bool = False
+    spark: SparkSession, sf_dir: str, *, use_cutoff_quartiles: bool | None = None
 ) -> DataFrame:
     """RFM segmentation: each customer scored into recency / frequency /
     monetary quartiles (quartile 1 = most recent / most frequent /
@@ -268,6 +268,13 @@ def rfm_customer_segments(
     bit-identical output (pinned by
     tests/test_functions.py::test_rfm_cutoff_path_matches_ntile)."""
     orders = load_table(spark, sf_dir, "orders")
+    if use_cutoff_quartiles is None:
+        # r14 default flip (VERDICT r13 #4): window while the source
+        # scan is small enough for one sort task, sortless cutoff
+        # beyond — see functions.global_sort_ok for the threshold.
+        from beametrics_spark.functions import global_sort_ok
+
+        use_cutoff_quartiles = not global_sort_ok(orders)
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
@@ -467,7 +474,7 @@ def _part_revenue_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("part_revenue_abc_classes", _PARETO_ORACLE)
 def part_revenue_abc_classes(
-    spark: SparkSession, sf_dir: str, *, use_cutoff_classes: bool = False
+    spark: SparkSession, sf_dir: str, *, use_cutoff_classes: bool | None = None
 ) -> DataFrame:
     """ABC / Pareto inventory classification: parts ranked by discounted
     revenue, classed A (first 80% of cumulative revenue), B (next 15%),
@@ -505,6 +512,14 @@ def part_revenue_abc_classes(
     row driver-free. Empty classes are filtered (n_parts > 0) to match
     the oracle's GROUP BY drop-empty semantics and the cutoff branch's
     groupBy output."""
+    if use_cutoff_classes is None:
+        # r14 default flip (VERDICT r13 #4) — threshold rationale in
+        # functions.global_sort_ok
+        from beametrics_spark.functions import global_sort_ok
+
+        use_cutoff_classes = not global_sort_ok(
+            load_table(spark, sf_dir, "lineitem")
+        )
     if use_cutoff_classes:
         rev = _part_revenue(spark, sf_dir)
         from beametrics_spark.functions import (
@@ -621,7 +636,7 @@ GROUP BY 1
 
 @register("revenue_pareto_coverage", _PARETO_COVERAGE_ORACLE)
 def revenue_pareto_coverage(
-    spark: SparkSession, sf_dir: str, *, use_cutoff_coverage: bool = False
+    spark: SparkSession, sf_dir: str, *, use_cutoff_coverage: bool | None = None
 ) -> DataFrame:
     """Pareto coverage curve of part revenue: for each coverage target
     (50/80/90/99%), the number of top-revenue parts whose cumulative
@@ -654,6 +669,13 @@ def revenue_pareto_coverage(
     same measured materialization-vs-sort crossover as the ABC query,
     so the window stays the benchmark default."""
     fracs = list(enumerate(PARETO_COVERAGE_TARGETS, start=1))
+    if use_cutoff_coverage is None:
+        # r14 default flip (VERDICT r13 #4)
+        from beametrics_spark.functions import global_sort_ok
+
+        use_cutoff_coverage = not global_sort_ok(
+            load_table(spark, sf_dir, "lineitem")
+        )
     if use_cutoff_coverage:
         rev = _part_revenue(spark, sf_dir)
         from beametrics_spark.functions import (

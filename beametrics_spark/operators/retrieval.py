@@ -279,7 +279,7 @@ def bm25_ranked(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 @register("bm25_topk_retrieval", _BM25_ORACLE)
 def bm25_topk_retrieval(
-    spark: SparkSession, sf_dir: str, *, use_cutoff_rank: bool = False
+    spark: SparkSession, sf_dir: str, *, use_cutoff_rank: bool | None = None
 ) -> DataFrame:
     """Top-10 documents per query under rational-idf BM25 (k1=1.2,
     b=0.75) for a fixed 4-query workload over the corpus — see the
@@ -297,6 +297,13 @@ def bm25_topk_retrieval(
     bit-identical output (pinned by
     tests/test_round8_ops.py::test_bm25_cutoff_path_matches_window)."""
     docs = load_table(spark, sf_dir, "documents")
+    if use_cutoff_rank is None:
+        # r14 default flip (VERDICT r13 #4): the per-query candidate
+        # set is corpus-sized for stop-word terms, so the decision
+        # follows the corpus scan size — see functions.global_sort_ok.
+        from beametrics_spark.functions import global_sort_ok
+
+        use_cutoff_rank = not global_sort_ok(docs)
     if not use_cutoff_rank:
         return bm25_ranked(spark, docs).filter(F.col("rk") <= TOP_K)
 

@@ -170,7 +170,7 @@ FROM ranked GROUP BY 1
 
 @register("quality_decile_token_budget", _DECILE_ORACLE)
 def quality_decile_token_budget(
-    spark: SparkSession, sf_dir: str, *, use_cutoff_deciles: bool = False
+    spark: SparkSession, sf_dir: str, *, use_cutoff_deciles: bool | None = None
 ) -> DataFrame:
     """Token budget per quality decile: rank the corpus by a quality
     signal (stopword ratio — the cheap fluency proxy; higher = more
@@ -195,6 +195,11 @@ def quality_decile_token_budget(
     the corpus is far beyond this benchmark (construction-inclusive sf1
     min-of-4, same box: ntile 2.20 s vs cutoff 3.04 s)."""
     docs = load_table(spark, sf_dir, "documents")
+    if use_cutoff_deciles is None:
+        # r14 default flip (VERDICT r13 #4)
+        from beametrics_spark.functions import global_sort_ok
+
+        use_cutoff_deciles = not global_sort_ok(docs)
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))

@@ -418,3 +418,41 @@ def test_semdedup_pair_stage_matches_r13_shape(spark):
     got, want = _rows(new_shape()), _rows(old_shape())
     assert got == want
     assert len(got) > 20  # the fixture actually exercises ties/pairs
+
+
+# --- ntile-family default flips on a source-size estimate --------------------
+
+
+def test_ntile_default_flips_on_size_estimate(spark, sf_dir, monkeypatch):
+    from beametrics_spark.operators.mining import part_revenue_abc_classes
+    from beametrics_spark.operators.text4 import quality_decile_token_budget
+
+    import re
+
+    def has_part_table_window(plan: str) -> bool:
+        # the window branch's single-task cumulative sum orders the
+        # REDUCED PART TABLE by (revenue DESC, l_partkey); the cutoff
+        # branch's only windows run over the bounded per-bin aggregate
+        # (functions.weighted_order_boundary_rows) — never a
+        # part-cardinality sort
+        return bool(re.search(r"windowspecdefinition\(revenue#\d+", plan))
+
+    spark.catalog.clearCache()
+    # local SFs sit far under the default threshold: window branch
+    plan_small = _initial_plan(part_revenue_abc_classes(spark, sf_dir))
+    assert has_part_table_window(plan_small)
+
+    # a 1-byte threshold simulates the 100x-scale caller: the default
+    # must route to the sortless cutoff branch with the SAME rows
+    monkeypatch.setenv("SPARK_GRAFT_GLOBAL_SORT_MAX_BYTES", "1")
+    flipped = part_revenue_abc_classes(spark, sf_dir)
+    assert not has_part_table_window(_initial_plan(flipped))
+    assert _rows(flipped) == _rows(
+        part_revenue_abc_classes(spark, sf_dir, use_cutoff_classes=False)
+    )
+
+    deciles = quality_decile_token_budget(spark, sf_dir)
+    assert "ntile" not in _initial_plan(deciles)
+    assert _rows(deciles) == _rows(
+        quality_decile_token_budget(spark, sf_dir, use_cutoff_deciles=False)
+    )
