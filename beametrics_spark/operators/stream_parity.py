@@ -910,6 +910,18 @@ def stream_debounce_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     invocation emits per-batch INCREMENTS; the final kept-rate rollup
     is a 5-row batch aggregate over the drained increments. Shares
     event_debounce_rate's oracle verbatim.
+
+    r14 cost decomposition (VERDICT r13 #8, measured this box at
+    sf0.1): total ~3.5 s = chunk build 0.47 s (one partitionBy write —
+    was 1.16 s as four filter+coalesce jobs) + ~2.8 s of 4-trigger
+    drain + sub-0.1 s rollup. The drain is HARNESS FLOOR, not state
+    work: the same 4-trigger applyInPandasWithState harness over 40
+    synthetic rows costs ~4.8 s cold / ~1.2 s of it pure foreachBatch
+    scheduling (probe in OPTIMIZATION_r14.md) — per-trigger state-store
+    commit + Python state-worker round trips dominate, and the pandas
+    sort/scan inside is microseconds. Declared floor: on a real
+    deployment this is a long-running query whose per-trigger constant
+    amortizes; only the chunk build was code-improvable.
     """
     from beametrics_spark.operators.timeseries import DEBOUNCE_GAP_US
     from beametrics_spark.sources import load_table
@@ -921,20 +933,35 @@ def stream_debounce_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_deb_")
     try:
         # four single-file chunks in event-time order with increasing
-        # mtimes (FileStreamSource processes oldest-first)
-        for i, (lo, hi) in enumerate([(1, 8), (8, 16), (16, 24), (24, 32)]):
-            chunk = ev.filter(
-                (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
-            )
-            tmp = os.path.join(stream_dir, f"_build_{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                p for p in os.listdir(tmp) if p.endswith(".parquet")
-            )
+        # mtimes (FileStreamSource processes oldest-first). r14 (§2.4
+        # fewer passes): ONE partitionBy write replaces four
+        # filter+coalesce(1) jobs that each re-scanned events — same
+        # day-boundary chunk SETS (the state fn sorts each batch into
+        # the (ts_us, event_id) total order, so in-file row order is
+        # irrelevant); measured 1.16 s -> 0.47 s for the chunk build
+        # at sf0.1.
+        day = F.dayofmonth("ts")
+        bucket = (
+            F.when(day < 8, 0)
+            .when(day < 16, 1)
+            .when(day < 24, 2)
+            .otherwise(3)
+        )
+        tmp = os.path.join(stream_dir, "_build")
+        (
+            ev.withColumn("_chunk", bucket)
+            .repartition(4, "_chunk")
+            .write.partitionBy("_chunk")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for i in range(4):
+            d = os.path.join(tmp, f"_chunk={i}")
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
             dst = os.path.join(stream_dir, f"{i:02d}.parquet")
-            os.replace(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp, ignore_errors=True)
+            os.replace(os.path.join(d, part), dst)
             os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
         schema = spark.read.parquet(stream_dir).schema
         stream = (
             spark.readStream.schema(schema)
@@ -1362,7 +1389,16 @@ def stream_cdc_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store). Per-batch cost: one anti join + one union + one
     rewrite — on a lakehouse the rewrite is file-level (copy-on-write /
     merge-on-read), not a full table scan; the audit aggregates per
-    source are batch-side, computed once after the drain."""
+    source are batch-side, computed once after the drain.
+
+    r14 cost decomposition (VERDICT r13 #8, sf0.1 this box): total
+    ~3.2 s = base snapshot write + ONE partitionBy feed write (was four
+    filter+coalesce jobs re-executing the feed unions per chunk) +
+    4 foreachBatch merges, each a real anti-join + full-table parquet
+    rewrite — the rewrite per trigger IS the operator's semantics
+    (copy-on-write state table), and the bare 4-trigger foreachBatch
+    harness alone floors at ~1.2 s. Declared floor beyond the chunk
+    build fix (alternating A/B 3.57 -> 3.19 s)."""
     from beametrics_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1409,20 +1445,44 @@ def stream_cdc_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # initial snapshot = the base table
         docs.write.mode("overwrite").parquet(base_dir)
-        # feed chopped into 4 key-range files, one per trigger
+        # feed chopped into 4 key-range files, one per trigger. r14
+        # (§2.4 fewer passes): ONE partitionBy write replaces four
+        # filter+coalesce(1) jobs that each re-executed the whole feed
+        # subtree (docs scans + unions); chunk SETS are identical
+        # (floor(doc_id/step) == the old range predicates) and
+        # merge-into is row-order-insensitive. A missing partition dir
+        # (empty chunk) falls back to writing that chunk the old way,
+        # keeping the 4-trigger contract.
         hi = max_id + CDC_INSERTS + 1
         step = (hi + 3) // 4
-        for i in range(4):
-            chunk = feed.filter(
-                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        tmp = os.path.join(stream_dir, "_build")
+        (
+            feed.withColumn(
+                "_chunk", F.floor(F.col("doc_id") / step).cast("int")
             )
-            tmp = os.path.join(stream_dir, f"_build_{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            .repartition(4, "_chunk")
+            .write.partitionBy("_chunk")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for i in range(4):
+            d = os.path.join(tmp, f"_chunk={i}")
             dst = os.path.join(stream_dir, f"{i:02d}.parquet")
-            os.replace(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.isdir(d):
+                part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+                os.replace(os.path.join(d, part), dst)
+            else:  # empty chunk: still emit a file so trigger i fires
+                etmp = os.path.join(stream_dir, f"_build_empty_{i}")
+                feed.filter(F.lit(False)).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(etmp)
+                part = next(
+                    p for p in os.listdir(etmp) if p.endswith(".parquet")
+                )
+                os.replace(os.path.join(etmp, part), dst)
+                shutil.rmtree(etmp, ignore_errors=True)
             os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
 
         state_schema = "doc_id long, source string, text string"
 
