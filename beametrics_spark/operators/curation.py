@@ -63,6 +63,17 @@ def connected_components(pairs: DataFrame, max_iter: int = _CC_MAX_ITER) -> Data
     no driver-side data collection at any point.
     """
     global LAST_CC_ROUNDS
+    # r14 rejected A/B (recorded per the round-13 discipline): the
+    # graph-family treatment — explode-once edges + repartition("dst")
+    # + persist so rounds skip the edge re-exchange — measured
+    # consistently SLOWER here (alternating worktree A/B at sf0.1:
+    # dedup_clusters 3.61 -> 5.18 s, quality_aware_keep_list 3.69 ->
+    # 4.86 s, curation_pipeline_v2 4.33 -> 5.57 s, batch-1 mins).
+    # Unlike the trade graph's ~1.5M-row edge table, CC runs over the
+    # VERIFIED PAIR set (10^2-10^4 rows at bench SFs, and at corpus
+    # scale still ~dup-rate x docs, orders below the gram tables), so
+    # the added keyed exchange + cache encode/decode cost more than
+    # the per-round re-shuffles they remove. The r13 shape stands.
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).localCheckpoint(eager=True)
