@@ -1050,17 +1050,28 @@ def stream_weighted_sample_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         hi = docs.agg(F.max("doc_id")).first()[0] + 1
         step = (hi + 3) // 4
-        for i in range(4):
-            chunk = docs.filter(
-                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        # r14: ONE partitionBy write replaces four filter+coalesce(1)
+        # jobs re-scanning documents (same key-range chunk SETS; the
+        # reservoir merge is row-order-insensitive — its window is the
+        # (k DESC, doc_id) total order). Same move as
+        # stream_debounce_parity; measurement there.
+        tmp = os.path.join(stream_dir, "_build")
+        (
+            docs.withColumn(
+                "_chunk", F.floor(F.col("doc_id") / step).cast("int")
             )
-            tmp = os.path.join(stream_dir, f"_build_{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            .repartition(4, "_chunk")
+            .write.partitionBy("_chunk")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for i in range(4):
+            d = os.path.join(tmp, f"_chunk={i}")
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
             dst = os.path.join(stream_dir, f"{i:02d}.parquet")
-            os.replace(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp, ignore_errors=True)
+            os.replace(os.path.join(d, part), dst)
             os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
 
         state_schema = "source string, doc_id long, weight long, k double"
         w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
@@ -1582,21 +1593,34 @@ def stream_cdc_mor_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could drift from the batch twin's): each trigger's feed file is
     # the shared log filtered to its sequence number
     base, log = mor_base_and_log(spark, sf_dir)
-    waves = [log.filter(F.col("seq") == s) for s in (1, 2, 3, 4)]
 
     stream_dir = tempfile.mkdtemp(prefix="beametrics_stream_mor_")
     log_dir = _scratch("beametrics_mor_log_")
     ckpt = _scratch("beametrics_mor_ckpt_")
     try:
-        # one feed file per log wave, one wave per trigger
-        for i, wave in enumerate(waves):
-            tmp = os.path.join(stream_dir, f"_build_{i}")
-            wave.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        # one feed file per log wave, one wave per trigger. r14: ONE
+        # write partitioned by seq replaces four filter+coalesce(1)
+        # jobs re-executing the shared log subtree (same wave SETS;
+        # last-writer-wins resolves on the seq column at read time, so
+        # in-file row order is irrelevant).
+        tmp = os.path.join(stream_dir, "_build")
+        (
+            # partition on a COPY of seq: partitionBy lifts its column
+            # into the directory key, and the feed rows must keep seq
+            # (read-side last-writer-wins resolves on it)
+            log.withColumn("_wave", F.col("seq"))
+            .repartition(4, "_wave")
+            .write.partitionBy("_wave")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for i, s in enumerate((1, 2, 3, 4)):
+            d = os.path.join(tmp, f"_wave={s}")
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
             dst = os.path.join(stream_dir, f"{i:02d}.parquet")
-            os.replace(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp, ignore_errors=True)
+            os.replace(os.path.join(d, part), dst)
             os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
 
         def append_epoch(mb: DataFrame, _epoch_id: int) -> None:
             # the ENTIRE merge-on-read write path: append the delta,
