@@ -120,6 +120,12 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.*")
         .repartition("src")
+        # pre-sort the cache by the join key: InMemoryTableScan
+        # preserves outputOrdering, so a sort-merge round join never
+        # re-sorts the edge side — whether the planner picks SMJ or
+        # broadcast for the node-sized labels, the per-round cost over
+        # the cache is a pipelined scan (one narrow sort once at build)
+        .sortWithinPartitions("src")
         .persist()
     )
     # materialize the cache NOW (scalar count, never a row collect): a
