@@ -349,13 +349,22 @@ def test_bm25_plan_shape(spark, sf_dir):
 
 
 def test_label_prop_plan_truncates_lineage(spark, sf_dir):
-    """After 3 localCheckpointed rounds the final plan must read only
-    checkpointed RDDs — no parquet scan may survive into the last
-    iteration's plan (the lineage-growth failure mode)."""
+    """Lineage must not grow with the iteration count. r14 shape: the
+    edge table is built ONCE into a persisted cache and every round
+    reads InMemoryTableScan — the only parquet scans in the final plan
+    are the ones embedded in that single cached relation's build plan
+    (the r13 per-round localCheckpoint pin asserted ExistingRDD roots;
+    superseded — full plan pins live in tests/test_round14_ops.py)."""
+    spark.catalog.clearCache()
     df = label_prop_communities(spark, sf_dir)
     plan = _plan_of(df)
-    assert "Scan parquet" not in plan, plan
-    assert "Scan ExistingRDD" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    # every parquet-scan mention sits inside the ONE cached build plan:
+    # remove the cached-relation subtree prints and nothing may remain
+    import re
+
+    outside = re.split(r"InMemoryRelation", plan)[0]
+    assert "Scan parquet" not in outside, outside
 
 
 def test_ewma_single_scan_and_partial_agg(spark, sf_dir):
